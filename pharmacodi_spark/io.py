@@ -1,0 +1,165 @@
+"""Multi-format IO: load/save + glob-union readers (SURVEY §2.1 S1-S6, S10-S12).
+
+The reference dispatches on file extension (read_pset.py:78-90), glob-unions
+per-PSet `.jay` shards (combine_pset_tables.py:213-271), and writes `.jay`
+memory-mapped files "for fast write to disk" (write_pset_table.py:34-39).
+
+Spark-first mapping:
+- one lazy ``load(spark, path, fmt)`` covering csv/csv.gz (codec transparent),
+  parquet, json, text;
+- glob-union = a single multi-path ``spark.read`` (one scan node, partition-
+  parallel — NOT a loop of reads + union, which would defeat file pruning);
+- `.jay` replaced by Parquet, the columnar mmap-equivalent that scales past
+  one node; per-dataset sinks use ``partitionBy`` so downstream per-dataset
+  reads prune partitions instead of regex-filtering file lists
+  (combine_pset_tables.py:227-228).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_EXT_FMT = [
+    (re.compile(r"\.csv(\.gz)?$", re.I), "csv"),
+    (re.compile(r"\.parquet$", re.I), "parquet"),
+    (re.compile(r"\.json(\.gz)?$", re.I), "json"),
+    (re.compile(r"\.txt$", re.I), "text"),
+]
+
+
+def infer_format(path: str) -> str:
+    """Extension dispatch, as the reference's read_pset_file (read_pset.py:78-90)."""
+    for pat, fmt in _EXT_FMT:
+        if pat.search(path):
+            return fmt
+    raise ValueError(f"cannot infer format for {path}")
+
+
+def load(
+    spark: SparkSession,
+    path: str | list[str],
+    fmt: str | None = None,
+    schema: T.StructType | str | None = None,
+    na_value: str = "NA",
+    **options,
+) -> DataFrame:
+    """Lazy multi-format reader (S1).
+
+    CSV defaults mirror the reference's readers: header row, the ``NA``
+    null sentinel (polars ``null_values="NA"``, build_synonym_tables.py:37,153
+    — and the NA-as-string pitfall noted at :97), schema inference only when
+    no contract is given (read_pset.py:78-90 infers; our engine prefers
+    explicit schemas so scans skip the inference pass at scale).
+    """
+    first = path if isinstance(path, str) else path[0]
+    fmt = fmt or infer_format(first)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        opts = {"header": "true", "nullValue": na_value}
+        if schema is None:
+            opts["inferSchema"] = "true"
+        opts.update({k: str(v) for k, v in options.items()})
+        reader = reader.options(**opts)
+    elif options:
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
+    paths = path if isinstance(path, list) else [path]
+    return reader.format(fmt).load(paths)
+
+
+def load_table_all_shards(
+    spark: SparkSession,
+    name: str,
+    data_dir: str,
+    schema: T.StructType | None = None,
+    dedup: bool = True,
+    key_columns: list[str] | None = None,
+) -> DataFrame:
+    """Glob-union loader (S3/S4): read every ``{dir}/*/*_{name}.parquet``
+    shard as ONE scan, union-by-name with missing-column tolerance, dedupe.
+
+    Re-expresses load_table / fread_table_for_all_psets
+    (combine_pset_tables.py:213-271: glob → regex filter → rbind(force=True)
+    → dedupe). ``rbind(force=True)`` ≡ ``unionByName(allowMissingColumns)``;
+    with a declared schema we instead read all shards in one
+    ``spark.read.schema(...)`` pass (missing columns become nulls via
+    parquet schema merging), keeping a single partition-parallel scan node.
+    """
+    pattern = os.path.join(data_dir, "*", f"*_{name}.parquet")
+    reader = spark.read
+    if schema is not None:
+        df = reader.schema(schema).parquet(pattern)
+    else:
+        df = reader.option("mergeSchema", "true").parquet(pattern)
+    if key_columns:
+        # first-per-key (S4: combine_pset_tables.py:266-270)
+        df = df.dropDuplicates(key_columns)
+    elif dedup:
+        df = df.dropDuplicates()
+    return df
+
+
+def union_by_name(dfs: list[DataFrame]) -> DataFrame:
+    """U1: rbind(force=True) ≡ unionByName(allowMissingColumns=True)
+    (combine_pset_tables.py:229-230, build_target_tables.py:73-74)."""
+    if not dfs:
+        raise ValueError("union_by_name of empty list")
+    out = dfs[0]
+    for other in dfs[1:]:
+        out = out.unionByName(other, allowMissingColumns=True)
+    return out
+
+
+def save(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Table sink (S10/S11/S12). Parquet replaces `.jay`
+    (write_pset_table.py:34-39); ``partition_by`` replaces the
+    per-PSet-subdirectory convention (write_pset_table.py:20-33) so reads
+    prune partitions. ``sort_by`` clusters rows within files
+    (combine_pset_tables.py:207-208 write-time sort) without forcing a
+    single output partition."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def read_pset_catalog(spark: SparkSession, pset_dir: str) -> dict[str, DataFrame]:
+    """Directory→catalog scan (S2): list a PSet export directory, split each
+    filename on ``$`` into its slot path, strip ``.*@|.csv(.gz)?$|.parquet$|
+    .txt$`` (read_pset.py:40-74), and return ``{'slot$sub': DataFrame}``.
+
+    The reference eagerly reads every file through a swifter-parallel pandas
+    apply (read_pset.py:63-64); here the catalog holds *lazy* DataFrames —
+    nothing is read until a downstream action, and Spark parallelizes each
+    file scan itself (SURVEY §2.10 X1).
+    """
+    catalog: dict[str, DataFrame] = {}
+    for fname in sorted(os.listdir(pset_dir)):
+        if fname.startswith("."):
+            continue  # hidden-file filter, read_pset.py:48
+        base = re.sub(r"@.*$|\.csv(\.gz)?$|\.parquet$|\.txt$", "", fname)
+        key = base  # "$"-separated slot path, e.g. "sensitivity$info"
+        catalog[key] = load(spark, os.path.join(pset_dir, fname))
+    return catalog
+
+
+def with_source_file(df: DataFrame, col_name: str = "_source_file") -> DataFrame:
+    """P7 companion: expose the originating file for regex row filters over
+    multi-file scans (combine_pset_tables.py:227-228) without a driver-side
+    file loop."""
+    return df.withColumn(col_name, F.input_file_name())

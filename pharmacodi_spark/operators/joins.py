@@ -1,0 +1,81 @@
+"""Join operators (SURVEY §2.3).
+
+The reference's joins are all hash left/inner joins on small keyed dims
+(combine_pset_tables.py:296-330, utilities.py:54-83). Spark-first policy:
+dims broadcast (no shuffle of the fact side), update-joins become pure
+join+coalesce projections (no in-place mutation), and the de-facto semi/anti
+patterns (J4 delete-unjoined, J9 null-filter) use real ``left_semi`` /
+``left_anti`` joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_left_join(
+    df: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """J1/J3: enrich a fact with dim attributes; dim side broadcast so the
+    fact never shuffles (reference keyed joins, build_experiment_tables.py:
+    68-69, combine_pset_tables.py:296-330)."""
+    return df.join(F.broadcast(dim), on=on, how=how)
+
+
+def update_join(
+    df: DataFrame,
+    patch: DataFrame,
+    on: str | list[str],
+    update_cols: dict[str, str],
+    only_if_matched: bool = True,
+) -> DataFrame:
+    """J5/J6: overwrite columns from a joined table's namespace —
+    ``df[:, update(c=g.c), join(patch)]`` (utilities.py:54-83 and the
+    build_meta_tables.py:74-99,179-225 cascades; conditional variant
+    :199-207).
+
+    ``update_cols`` maps target column in ``df`` → source column in
+    ``patch``. With ``only_if_matched`` the old value is kept for unmatched
+    rows (``coalesce(new, old)``); otherwise unmatched rows get null. Pure
+    transform: Tungsten fuses the join and projection into one stage — the
+    reference's by-reference mutation buys nothing here.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    src_cols = set(update_cols.values())
+    patch_proj = patch.select(
+        *on_cols, *[F.col(s).alias(f"__patch_{s}") for s in src_cols]
+    ).dropDuplicates(on_cols)
+    joined = df.join(F.broadcast(patch_proj), on=on_cols, how="left")
+    for target, src in update_cols.items():
+        new = F.col(f"__patch_{src}")
+        if only_if_matched and target in df.columns:
+            new = F.coalesce(new, F.col(target))
+        joined = joined.withColumn(target, new)
+    return joined.drop(*[f"__patch_{s}" for s in src_cols])
+
+
+def lookup_map(df: DataFrame, col: str, mapping: dict, out_col: str | None = None, default=None) -> DataFrame:
+    """J11: dict-lookup applied to a column (``dataset_map[x]`` .apply,
+    build_synonym_tables.py:74-82). For literal dicts this folds to a CASE
+    WHEN chain — fully codegen'd, no join, no UDF."""
+    out_col = out_col or col
+    expr: Column = F.lit(default)
+    items = list(mapping.items())
+    if items:
+        expr = F.when(F.col(col) == F.lit(items[0][0]), F.lit(items[0][1]))
+        for k, v in items[1:]:
+            expr = expr.when(F.col(col) == F.lit(k), F.lit(v))
+        expr = expr.otherwise(F.lit(default))
+    return df.withColumn(out_col, expr)
+
+
+def clamp(df: DataFrame, col: str, upper: float | None = None, lower: float | None = None) -> DataFrame:
+    """P8: conditional-update clamp — the IC50 ≤ 1e54 overflow guard
+    (combine_pset_tables.py:173) as ``least``/``greatest``."""
+    c = F.col(col)
+    if upper is not None:
+        c = F.least(c, F.lit(upper))
+    if lower is not None:
+        c = F.greatest(c, F.lit(lower))
+    return df.withColumn(col, c)

@@ -1,0 +1,12 @@
+from pharmacodi_spark.plans.queries import QUERIES, spark_queries, oracle_queries
+import pharmacodi_spark.plans.extensions  # noqa: F401  (registers extension queries)
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's smoke-check query (SURVEY §7.1 step 2)."""
+    return QUERIES["experiment_join"][0](spark, sf_dir)
+
+
+__all__ = ["QUERIES", "spark_queries", "oracle_queries", "flagship"]
