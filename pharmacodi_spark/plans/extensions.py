@@ -136,16 +136,39 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles(df: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, shingle) rows: n-gram word shingles via a single projection —
+    split → sequence of start positions → slice+join per position → explode.
+    All array functions, no UDF; a doc shorter than n tokens yields one
+    whole-doc shingle (both engines clip the slice identically)."""
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks)-4, 1))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+"""
+
+
 def _minhash_cols(n_hashes: int) -> list[F.Column]:
+    """k 32-bit hash families sliced from ONE md5 per shingle (hex digits
+    [1..8], [9..16], ... ) — 4x fewer digest computations than seeded
+    re-hashing, still independent bits, still oracle-expressible."""
+    md5 = F.md5("shingle")
     return [
-        F.min(_md5_long(F.concat(F.lit(f"{i}|"), F.col("token")))).alias(f"h{i}")
+        F.min(F.conv(F.substring(md5, 1 + 8 * i, 8), 16, 10).cast("long")).alias(f"h{i}")
         for i in range(n_hashes)
     ]
 
 
 def _minhash_sql_select(n_hashes: int) -> str:
     hashes = ",\n           ".join(
-        f"min(CAST(('0x' || substr(md5('{i}|' || token), 1, 15)) AS BIGINT)) AS h{i}"
+        f"min(CAST(('0x' || substr(md5(shingle), {1 + 8 * i}, 8)) AS BIGINT)) AS h{i}"
         for i in range(n_hashes)
     )
     return hashes
@@ -156,19 +179,20 @@ def _minhash_sql_select(n_hashes: int) -> str:
     f"""
     SELECT doc_id,
            {_minhash_sql_select(4)}
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    FROM ({_SHINGLE_SQL})
     GROUP BY doc_id
     """,
 )
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=4) over whitespace shingles. Each hash family is
-    md5(seed|token) → 60-bit int, so signatures are bit-identical in DuckDB —
-    a fully oracle-checked MinHash, not a rows-only approximation.
-    One explode + one groupBy: the shuffle carries (doc_id, 4 longs), not
-    token text."""
+    """MinHash signatures (k=4) over 5-gram word shingles. Hash families are
+    sliced from one md5 per shingle → bit-identical in DuckDB — a fully
+    oracle-checked MinHash, not a rows-only approximation. 5-gram (not
+    unigram) shingles matter: the fixture corpus has a ~30-word vocabulary,
+    so unigram sets are near-identical across ALL documents and LSH buckets
+    degenerate to quadratic blowup; 5-grams are discriminative. One explode +
+    one groupBy: the shuffle carries (doc_id, 4 longs), not shingle text."""
     d = _t(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    return tokens.groupBy("doc_id").agg(*_minhash_cols(4))
+    return _shingles(d).groupBy("doc_id").agg(*_minhash_cols(4))
 
 
 @q(
@@ -177,7 +201,7 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
       SELECT doc_id,
              {_minhash_sql_select(4)}
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      FROM ({_SHINGLE_SQL})
       GROUP BY doc_id
     ),
     bands AS (
@@ -196,21 +220,46 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, self-join on (band, values), emit distinct ordered pairs — the
     scale path for near-dedup (shingle→minhash→band→bucket-join). The join
     key is (band, two longs): cardinality-bounded buckets instead of an all-
-    pairs comparison."""
+    pairs comparison (5-gram shingles keep buckets small — see
+    minhash_signature)."""
     d = _t(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    sig = tokens.groupBy("doc_id").agg(*_minhash_cols(4))
-    b0 = sig.select("doc_id", F.lit(0).alias("band"), F.col("h0").alias("v1"), F.col("h1").alias("v2"))
-    b1 = sig.select("doc_id", F.lit(1).alias("band"), F.col("h2").alias("v1"), F.col("h3").alias("v2"))
-    bands = b0.unionByName(b1)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, on=["band", "v1", "v2"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    sig = _shingles(d).groupBy("doc_id").agg(*_minhash_cols(4))
+    # bands via ONE explode (not a self-union, which would run the whole
+    # shingle+md5+groupBy subplan once per branch)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("h0").alias("v1"), F.col("h1").alias("v2")),
+                F.struct(F.lit(1).alias("band"), F.col("h2").alias("v1"), F.col("h3").alias("v2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.v1", "b.v2")
+    # no self-join (it would recompute the signature subplan per side and
+    # shuffle the full band table twice): group into buckets, then expand
+    # ordered pairs WITHIN each bucket array — one signature computation, one
+    # shuffle, bucket-local pair generation. At 100 TB bucket sizes are the
+    # only quadratic term, and LSH banding keeps them small by construction.
+    buckets = (
+        bands.groupBy("band", "v1", "v2")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .where(F.size("members") > 1)
     )
+    ms = F.col("members")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ms,
+                    lambda x, i: F.transform(
+                        F.slice(ms, i + 2, F.size(ms)),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 @q(
