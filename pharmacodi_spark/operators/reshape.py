@@ -35,7 +35,7 @@ def melt_wide(
     matches.sort(key=lambda t: t[1])
     pairs = ", ".join(f"{n}, `{c}`" for c, n in matches)
     stacked = df.select(
-        *id_vars,
+        *[F.col(f"`{c}`") for c in id_vars],
         F.expr(f"stack({len(matches)}, {pairs}) as ({var_name}, {value_name})"),
     )
     if drop_null:
@@ -53,7 +53,12 @@ def melt_columns(
     """R2: generic melt over an explicit column list (synonym sheets melt
     regex-selected ``*.cellid`` columns, build_synonym_tables.py:45-63).
     Spark ≥3.4 ``unpivot`` — same single-projection physical shape."""
-    return df.unpivot(id_vars, value_vars, var_name, value_name)
+    return df.unpivot(
+        [F.col(f"`{c}`") for c in id_vars],
+        [F.col(f"`{c}`") for c in value_vars],
+        var_name,
+        value_name,
+    )
 
 
 def explode_list(df: DataFrame, col: str, out_col: str | None = None, split_on: str | None = None) -> DataFrame:

@@ -74,6 +74,13 @@ def harmonize(df: DataFrame, contract: Mapping[str, str | T.DataType] | T.Struct
     return df.select(*cols)
 
 
+def col_q(name: str) -> Column:
+    """Column reference tolerating the reference's dotted names
+    (``.rownames``, ``.exp_id``, ``.features`` — e.g. read_pset.py slot
+    tables): backtick-quote so Spark doesn't parse a struct path."""
+    return F.col(f"`{name}`")
+
+
 def assert_columns(df: DataFrame, required: list[str], context: str = "") -> None:
     """Hard error when a required column is missing.
 

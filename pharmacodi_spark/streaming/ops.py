@@ -1,0 +1,120 @@
+"""Structured Streaming operators over event streams (north-star extension;
+SURVEY §2.11 — the reference is batch-only, the driver's ``events`` table is
+the designated surface).
+
+Design: every op is a pure transform on a (possibly streaming) DataFrame
+with an event-time ``ts`` timestamp column, so the SAME function works in
+batch mode (where its semantics are oracle-checked — see
+plans/extensions.py window_tumbling / sessionization) and under
+``readStream`` with watermarks. That batch/stream unification is the whole
+point of Structured Streaming's model.
+
+Scale notes: windowed aggs shuffle on (window, key) — state store size is
+bounded by the watermark horizon; ``dropDuplicatesWithinWatermark`` keeps
+only in-horizon keys. All operators here avoid Python UDFs entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source event stream with the driver's events schema (json or
+    parquet directory being appended to). For parquet fixtures with
+    nanosecond timestamps use ``events_ns_to_ts`` after reading with
+    nanosAsLong."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def events_ns_to_ts(df: DataFrame, ns_col: str = "ts") -> DataFrame:
+    """epoch-nanos LONG → TimestampType (µs truncation), for sources read
+    with spark.sql.legacy.parquet.nanosAsLong."""
+    return df.withColumn(ns_col, F.timestamp_micros(F.expr(f"{ns_col} div 1000")))
+
+
+def tumbling_window_agg(
+    events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """count/sum per (tumbling window, event_type) with late-data tolerance.
+    Batch twin: plans/extensions.py::window_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time window: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-merged). Batch twin (lag+cumsum):
+    plans/extensions.py::sessionization — same session count semantics."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup with bounded state: drop repeats of ``keys`` arriving
+    within the watermark horizon (exactly-once-per-key semantics without
+    unbounded state — the streaming twin of exact_dedup)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

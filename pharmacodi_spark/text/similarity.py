@@ -1,0 +1,96 @@
+"""Vector similarity search (north star): brute-force cosine top-k baseline
++ LSH-bucketed scale path over an ``array<float>`` embedding column.
+
+Physical design:
+- the query vector is a broadcast literal — the embedding table never
+  shuffles for a top-k probe;
+- dot/norm are native higher-order functions (``zip_with`` +
+  ``aggregate``) — JVM-side, no Python;
+- top-k compiles to TakeOrderedAndProject (per-partition heaps), not a
+  global sort;
+- the LSH variant buckets by random-hyperplane sign bits, so a probe scans
+  only matching buckets (the IVF pattern); at 100 TB the bucket column is a
+  partition key and probes prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k vs one query vector — the referee for
+    the approximate variants. Tie-broken on id for determinism."""
+    q = F.lit(query).cast("array<double>")
+    v = _as_double(F.col(vec_col))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        df.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign bits of <v, plane_j>.
+    ``planes`` are driver-generated (seeded) hyperplanes — the index build.
+    Adds a ``bucket`` int column; at scale, write partitioned by it."""
+    v = _as_double(F.col(vec_col))
+    bucket: Column = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.lit(plane).cast("array<double>")
+        bit = F.when(_dot(v, p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(bit)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane bucket is
+    within ``probe_hamming`` bits of the query's bucket (multi-probe IVF
+    pattern). Bucket filter is a pushable predicate → partition pruning when
+    the table is partitioned by bucket."""
+    bucketed = hyperplane_buckets(df, planes, vec_col)
+    qbucket = 0
+    for j, plane in enumerate(planes):
+        dot = sum(x * y for x, y in zip(query, plane))
+        if dot >= 0:
+            qbucket |= 1 << j
+    candidates = bucketed.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
+    )
+    return cosine_topk(candidates, query, k, vec_col, id_col)

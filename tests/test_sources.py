@@ -1,0 +1,79 @@
+"""Tests for the record-text source (Cellosaurus-shaped, FIXTURES.md §B5)
+and the injected-fetcher API connector (§B8 — no network)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pharmacodi_spark.sources.api import fetch_batched
+from pharmacodi_spark.sources.record_text import parse_record_text
+
+CELLO = "\n".join(
+    ["header line"] * 5
+    + [
+        "ID   CELL-A",
+        "AC   CVCL_0001",
+        "SY   synA1; synA2",
+        "DI   NCIt; C0001; Carcinoma",
+        "DI   NCIt; C0002; Melanoma",
+        "//",
+        "ID   CELL-B",
+        "AC   CVCL_0002",
+        "OX   NCBI_TaxID=9606; ! Homo sapiens",
+        "//",
+    ]
+) + "\n"
+
+
+def test_parse_record_text(spark, tmp_path):
+    p = tmp_path / "cello.txt"
+    p.write_text(CELLO)
+    df = parse_record_text(spark, str(p), header_lines=5)
+    rows = {r.ID: r.asDict() for r in df.collect()}
+    assert set(rows) == {"CELL-A", "CELL-B"}
+    a = rows["CELL-A"]
+    assert a["AC"] == "CVCL_0001"
+    # repeated codes group-concatenated in line order (build_cellosaurus.py:60-61)
+    assert a["DI"] == "NCIt; C0001; Carcinoma|||NCIt; C0002; Melanoma"
+    b = rows["CELL-B"]
+    assert b["OX"].startswith("NCBI_TaxID=9606") and b["DI"] is None
+
+
+def test_parse_record_text_pinned_codes(spark, tmp_path):
+    p = tmp_path / "cello2.txt"
+    p.write_text(CELLO)
+    df = parse_record_text(spark, str(p), header_lines=5, codes=["ID", "AC", "ZZ"])
+    assert df.columns == ["entry_id", "ID", "AC", "ZZ"]
+    assert df.where(df.ZZ.isNotNull()).count() == 0
+
+
+def test_fetch_batched_injected(spark):
+    ids = spark.createDataFrame([(f"id{i}",) for i in range(10)], ["uniprot_id"])
+    calls = []
+
+    def fake_fetcher(chunk):
+        calls.append(len(chunk))
+        return pd.DataFrame(
+            {"uniprot_id": chunk, "gene_id": [f"G_{c}" for c in chunk]}
+        )
+
+    out = fetch_batched(
+        ids, fake_fetcher, "uniprot_id string, gene_id string", batch_size=3
+    )
+    rows = {r.uniprot_id: r.gene_id for r in out.collect()}
+    assert rows["id7"] == "G_id7" and len(rows) == 10
+
+
+def test_fetch_batched_retry(spark):
+    ids = spark.createDataFrame([("x",)], ["k"])
+    state = {"fails": 0}
+
+    def flaky(chunk):
+        # fails once per partition-attempt then succeeds (executor-local state)
+        if state["fails"] < 1:
+            state["fails"] += 1
+            raise RuntimeError("transient")
+        return pd.DataFrame({"k": chunk})
+
+    out = fetch_batched(ids, flaky, "k string", batch_size=10)
+    assert out.count() == 1

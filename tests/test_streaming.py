@@ -1,0 +1,124 @@
+"""Structured Streaming tests: drive each op through a real file-source
+stream (availableNow trigger → memory sink) and check batch/stream
+equivalence — the same transform on the same rows must agree with its batch
+run (Structured Streaming's core contract)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.streaming.ops import (
+    dedup_within_watermark,
+    events_ns_to_ts,
+    read_event_stream,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Write the sf0.001 events fixture as json files (streaming file source),
+    split into 3 files to get multiple micro-batches."""
+    path = tmp_path_factory.mktemp("events_stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = events_ns_to_ts(df).orderBy("ts").collect()
+    third = len(rows) // 3 + 1
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        with open(path / f"part-{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    return str(path)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _batch_events(spark, event_dir):
+    from pharmacodi_spark.streaming.ops import EVENT_SCHEMA
+
+    return spark.read.schema(EVENT_SCHEMA).json(event_dir)
+
+
+def test_tumbling_stream_matches_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    out = _run_stream(spark, tumbling_window_agg(stream), "tumbling_t")
+    batch = tumbling_window_agg(_batch_events(spark, event_dir))
+    s = {(r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+         for r in out.collect()}
+    b = {(r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+         for r in batch.collect()}
+    assert s == b and len(s) > 10
+
+
+def test_sliding_stream_runs(spark, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    out = _run_stream(spark, sliding_window_agg(stream), "sliding_t")
+    batch = sliding_window_agg(_batch_events(spark, event_dir))
+    assert out.count() == batch.count() > 0
+
+
+def test_session_window_matches_batch_sessionization(spark, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    out = _run_stream(spark, session_window_agg(stream, gap="30 minutes"), "session_t")
+    # session counts per user must equal the batch lag/cumsum sessionization
+    stream_counts = {
+        r.user_id: r.n for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    batch = session_window_agg(_batch_events(spark, event_dir), gap="30 minutes")
+    batch_counts = {
+        r.user_id: r.n for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert stream_counts == batch_counts and len(stream_counts) > 0
+
+
+def test_dedup_within_watermark(spark, event_dir, tmp_path):
+    # duplicate one file's rows → streaming dedup must drop the repeats
+    import shutil, os
+
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    for f in os.listdir(event_dir):
+        shutil.copy(f"{event_dir}/{f}", dup_dir / f)
+    shutil.copy(f"{event_dir}/part-0.json", dup_dir / "part-0-copy.json")
+
+    stream = read_event_stream(spark, str(dup_dir), max_files_per_trigger=10)
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(DISTINCT event_id) c FROM dedup_t").collect()[0].c
+    total = spark.sql("SELECT count(*) c FROM dedup_t").collect()[0].c
+    assert n == total  # no duplicate event_ids survived

@@ -1,0 +1,126 @@
+"""Tests for the text/similarity/multimodal library modules (north-star
+components beyond the oracle-checked plans)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.multimodal import MEDIA_SCHEMA, extract_features, frame_sample_plan, resize_plan
+from pharmacodi_spark.text.analysis import language_scores, text_features, token_counts
+from pharmacodi_spark.text.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+)
+from pharmacodi_spark.text.similarity import cosine_topk, hyperplane_buckets, lsh_bucket_topk
+
+
+def _docs(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _emb(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    d = _docs(spark)
+    out = exact_dedup(d)
+    n_distinct = d.select(F.md5("text")).distinct().count()
+    assert out.count() == n_distinct
+    # survivors are the min doc_id of each content group
+    joined = out.alias("o").join(
+        d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keeper")),
+        F.md5(F.col("o.text")) == F.col("h"),
+    )
+    assert joined.where(F.col("o.doc_id") != F.col("keeper")).count() == 0
+
+
+def test_minhash_near_dups_catch_exact_dups(spark):
+    d = _docs(spark)
+    dups = (
+        d.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .collect()
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(d, num_hashes=8, bands=4).collect()
+    }
+    for row in dups:
+        ids = sorted(row.ids)
+        assert (ids[0], ids[1]) in pairs  # exact dups must be candidates
+    sig = minhash_signatures(d, num_hashes=8)
+    assert len(sig.columns) == 9 and sig.count() == d.count()
+
+
+def test_simhash_pairs(spark):
+    d = _docs(spark)
+    sim = simhash(d, bits=32)
+    assert sim.count() == d.count()
+    pairs = simhash_near_pairs(sim, max_hamming=0, prefix_bits=8)
+    # exact duplicate texts → identical simhash → hamming 0 pairs exist
+    n_dup_groups = d.groupBy("text").count().where("count > 1").count()
+    if n_dup_groups:
+        assert pairs.count() >= n_dup_groups
+
+
+def test_cosine_topk_and_lsh(spark):
+    e = _emb(spark)
+    rng = random.Random(7)
+    query = [rng.uniform(-1, 1) for _ in range(64)]
+    exact = cosine_topk(e, query, k=10)
+    rows = exact.collect()
+    assert len(rows) == 10
+    assert rows[0].cosine >= rows[-1].cosine
+
+    planes = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(6)]
+    bucketed = hyperplane_buckets(e, planes)
+    assert bucketed.select("bucket").distinct().count() > 1
+
+    approx = lsh_bucket_topk(e, query, planes, k=10, probe_hamming=2)
+    arows = approx.collect()
+    assert 0 < len(arows) <= 10
+    # approx candidates are a subset of the corpus ranked identically:
+    # recall@10 vs exact should be positive with multiprobe
+    exact_ids = {r.vec_id for r in rows}
+    hit = sum(1 for r in arows if r.vec_id in exact_ids)
+    assert hit >= 1
+
+
+def test_text_features_and_lang(spark):
+    d = _docs(spark)
+    feats = text_features(d)
+    row = feats.where(F.col("n_words") > 0).first()
+    assert 0 <= row.repetition_ratio <= 1 and row.mean_word_len > 0
+    tc = token_counts(d).first()
+    assert tc.n_subword_tokens >= tc.n_words > 0
+    langs = language_scores(d)
+    assert langs.where(F.col("pred_lang") == "unknown").count() < d.count()
+
+
+def test_multimodal_stub_plumbing(spark):
+    rows = [
+        (1, "image", b"\x01\x02\x03\x04", "image/png", 640, 480, None),
+        (2, "video", b"\xff" * 100, "video/mp4", 1920, 1080, 3500),
+        (3, "image", None, "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].decode_ok and len(feats[1].feat) == 8
+    assert feats[1].n_bytes == 4 and feats[3].n_bytes == 0
+    # deterministic fake: same payload → same features
+    again = {r.media_id: r.feat for r in extract_features(media).collect()}
+    assert again[2] == feats[2].feat
+
+    frames = frame_sample_plan(media, every_ms=1000)
+    assert frames.count() == 4  # video only: ts 0,1000,2000,3000
+    resized = resize_plan(media, max_side=256).where(F.col("media_id") == 2).first()
+    assert max(resized.target_w, resized.target_h) == 256
