@@ -1,5 +1,6 @@
 from pharmacodi_spark.plans.queries import QUERIES, spark_queries, oracle_queries
 import pharmacodi_spark.plans.extensions  # noqa: F401  (registers extension queries)
+import pharmacodi_spark.plans.extensions2  # noqa: F401  (registers second batch)
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -1,0 +1,453 @@
+"""Second batch of north-star extension queries (SURVEY §7.1 step 7):
+SimHash near-dedup, embedding-cosine near-dup, BPE-ish token counting,
+quality scoring, sliding event windows, watermark-dedup batch twin, JSON
+property flattening, multimodal mapInPandas features, and the §7.3
+hard-part — dense surrogate keys on a *fact* table without a global window.
+
+Same cross-engine determinism strategy as plans/extensions.py: md5-derived
+integer hashes, integer-quantized vector math, exact integer-ratio doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.plans.queries import q, _t, _rnd
+
+# ---------------------------------------------------------------------------
+# SimHash (dedup family, SURVEY §7.1 step 7; library twin: text/dedup.py)
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 16
+
+
+def _simhash_spark(d: DataFrame) -> DataFrame:
+    """16-bit SimHash from md5-sliced 60-bit token hashes (oracle-parity
+    variant of text/dedup.py::simhash, which uses xxhash64/64 bits)."""
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIM_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(_SIM_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+_SIM_SUMS_SQL = ",\n             ".join(
+    f"sum(CASE WHEN (th & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SIM_BITS)
+)
+_SIM_FP_SQL = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIM_BITS)
+)
+_SIM_SQL = f"""
+      SELECT doc_id, CAST({_SIM_FP_SQL} AS BIGINT) AS simhash16
+      FROM (
+        SELECT doc_id,
+             {_SIM_SUMS_SQL}
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS th
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents))
+        GROUP BY doc_id
+      )
+"""
+
+
+@q("simhash_fingerprint", f"SELECT doc_id, simhash16 FROM ({_SIM_SQL})")
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: per token a 60-bit md5-sliced hash; per bit j,
+    sum(±1) over tokens; fingerprint bit j = sign of the sum. Near-dups then
+    differ in few bits. One explode + one groupBy with 16 conditional sums —
+    all codegen'd; the shuffle carries (doc_id, 16 ints), never text. The
+    64-bit production variant (xxhash64) is text/dedup.py::simhash; this
+    16-bit md5 build exists so the whole fingerprint is oracle-checkable."""
+    return _simhash_spark(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "simhash_near_pairs",
+    f"""
+    WITH sim AS ({_SIM_SQL}),
+    b AS (SELECT doc_id, simhash16, simhash16 // 256 AS bucket FROM sim)
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash16, b2.simhash16)) AS BIGINT) AS hamming
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.simhash16, b2.simhash16)) <= 3
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: bucket by the top 8 fingerprint bits
+    (near-dups share the prefix with high probability), expand ordered pairs
+    within buckets, exact Hamming filter via bit_count(a XOR b) ≤ 3.
+    Bucket-local pair expansion (no self-join re-computing the fingerprint
+    subplan per side) — same physical shape as minhash_band_pairs; at 100 TB
+    the prefix-bucket sizes are the only quadratic term."""
+    sim = _simhash_spark(_t(spark, sf_dir, "documents"))
+    bucketed = sim.withColumn("bucket", F.shiftrightunsigned("simhash16", 8))
+    buckets = (
+        bucketed.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash16"))).alias("m"))
+        .where(F.size("m") > 1)
+    )
+    ms = F.col("m")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ms,
+                    lambda x, i: F.transform(
+                        F.slice(ms, i + 2, F.size(ms)),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.bit_count(F.col("p.a.simhash16").bitwiseXOR(F.col("p.b.simhash16")))
+        .cast("long")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (dedup family; scale path: text/similarity.py LSH)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "embedding_near_dup",
+    """
+    WITH un AS (
+      SELECT vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE vec_id < 200
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+      FROM un a JOIN un b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n2 FROM un GROUP BY vec_id)
+    SELECT d.vec_a, d.vec_b,
+           floor((CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS cosine
+    FROM dots d
+    JOIN norms na ON d.vec_a = na.vec_id
+    JOIN norms nb ON d.vec_b = nb.vec_id
+    WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.3), all-integer dot/norm
+    math → one exact double division per pair, bit-identical across engines.
+    Bounded to vec_id < 200: the quadratic all-pairs form is the *referee*;
+    the scale path is hyperplane-LSH bucketing (text/similarity.py::
+    lsh_bucket_topk) where only within-bucket pairs are scored."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    un = e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id",
+        "pos",
+        _rnd(F.col("val").cast("double") * 10000).cast("long").alias("qv"),
+    )
+    a, b = un.alias("a"), un.alias("b")
+    dots = (
+        a.join(b, on="pos")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("dot"))
+    )
+    norms = un.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("n2")
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cosine = F.col("dot").cast("double") / F.sqrt(
+        F.col("na.n2").cast("double") * F.col("nb.n2").cast("double")
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("vec_a") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("vec_b") == F.col("nb.vec_id"))
+        .where(cosine >= 0.3)
+        .select("vec_a", "vec_b", _rnd(cosine, 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: BPE-ish tokenization + quality scoring (north star)
+# ---------------------------------------------------------------------------
+
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@q(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
+             AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a byte-pair-style pre-tokenizer regex
+    (letter runs | digit runs | single punctuation) via regexp_extract_all —
+    the standard LLM-corpus token-budget estimator. Single narrow projection,
+    no explode, no UDF: the token arrays never leave the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@q(
+    "quality_score",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+           floor((CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / n_chars
+                  + 2.0 * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars
+                  + 0.5 * CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / n_chars)
+                 * 10000 + 0.5) / 10000 AS noise_score
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: punctuation / digit / uppercase densities
+    composed into a noise score (high ⇒ boilerplate/tables/code, the
+    C4/Gopher-rule family). Counts via regexp_replace+length — pure codegen,
+    one pass over the scan, exact integer-ratio doubles."""
+    d = _t(spark, sf_dir, "documents")
+
+    def cnt(pat: str) -> F.Column:
+        return F.length(F.regexp_replace("text", pat, ""))
+
+    n_punct, n_digit, n_upper = cnt(r"[^.!?,;]"), cnt(r"[^0-9]"), cnt(r"[^A-Z]")
+    nc = F.col("n_chars").cast("double")
+    noise = n_punct / nc + 2.0 * n_digit / nc + 0.5 * n_upper / nc
+    return d.select(
+        "doc_id",
+        n_punct.cast("long").alias("n_punct"),
+        n_digit.cast("long").alias("n_digit"),
+        n_upper.cast("long").alias("n_upper"),
+        _rnd(noise, 4).alias("noise_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time: sliding windows + watermark-dedup batch twin (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_sliding",
+    """
+    SELECT win_start, count(*) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+    FROM (
+      SELECT unnest([slot - 300, slot]) AS win_start, value
+      FROM (SELECT CAST(epoch_ns(ts) // 300000000000 AS BIGINT) * 300 AS slot, value
+            FROM events)
+    )
+    GROUP BY win_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — the batch twin of Structured
+    Streaming ``window(ts, '10 minutes', '5 minutes')`` (streaming/ops.py::
+    sliding_window_agg). Each event lands in exactly size/slide = 2 windows,
+    assigned by integer arithmetic + a 2-element explode — engine-neutral,
+    no timezone surface."""
+    ev = _t(spark, sf_dir, "events")
+    slot = (F.expr("ts div 300000000000") * 300).cast("long")
+    return (
+        ev.select(
+            F.explode(F.array(slot - 300, slot)).alias("win_start"), "value"
+        )
+        .groupBy("win_start")
+        .agg(F.count("*").alias("n_events"), _rnd(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@q(
+    "dedup_watermark",
+    """
+    SELECT user_id, event_type,
+           CAST(epoch_ns(ts) // 600000000000 AS BIGINT) * 600 AS bucket_start,
+           CAST(min(event_id) AS BIGINT) AS keeper_event_id,
+           count(*) AS n_dups
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark``: one keeper per
+    (user_id, event_type) within each 10-minute bucket, min event_id wins
+    (streaming/ops.py::dedup_within_watermark is the streaming form whose
+    state store this aggregation mirrors). Map-side partial agg collapses
+    per-partition dups before the shuffle — the batch cost model matches the
+    streaming state-store bound."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.expr("ts div 600000000000") * 600).cast("long")
+    return ev.groupBy(
+        "user_id", "event_type", bucket.alias("bucket_start")
+    ).agg(
+        F.min("event_id").cast("long").alias("keeper_event_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property flattening (SURVEY §2.8 R4 — dict-in-cell → columns)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 (flatten dict column) on the events fixture: ``props`` holds JSON;
+    extract ``$.k`` natively (get_json_object — JVM-side Jackson, no UDF;
+    the reference json_normalize's dict cells at get_chembl_targets.py:32-38)
+    and aggregate per event_type. At scale the extraction sits inside the
+    scan's codegen stage; only (event_type, k) reach the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: mapInPandas feature extraction with an exact oracle
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) / 255.0 AS REAL) AS feat0
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, end-to-end checked: documents become binary
+    payloads (utf-8 encode) with typed media metadata, run through the
+    Arrow-batched ``mapInPandas`` decode/feature stage (multimodal.py::
+    extract_features, deterministic fake decoder — container has no codec
+    libs), and the first feature dimension is verified against a pure-SQL
+    oracle (byte₀/255 as float32). Proves schema, batch shape, and UDF
+    signature carry exact values — swap the injected decoder for PIL/ffmpeg
+    without touching the plan."""
+    from pharmacodi_spark.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.element_at("feat", 1).alias("feat0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §7.3 hard part: dense surrogate keys on a fact table, no global window
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "surrogate_key_fact",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS id,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+)
+def surrogate_key_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1..n surrogate ids on a FACT table — the §7.3 scale hazard.
+    The reference assigns ids by single-node row order
+    (combine_pset_tables.py:345-348); a global ``row_number()`` window would
+    serialize 10⁸ rows through one task. Instead: range-repartition on the
+    sort key (so partition i's keys all precede partition i+1's), local
+    ``row_number`` per partition, then add per-partition offsets computed
+    from a 32-row count table (broadcast). Ids are identical to the global
+    window's for a unique sort key, but every stage is parallel; the only
+    single-task step touches 32 rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    parts = li.repartitionByRange(32, "l_orderkey", "l_linenumber")
+    pid = F.spark_partition_id()
+    local = parts.withColumn("pid", pid).withColumn(
+        "local_id",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("l_orderkey", "l_linenumber")
+        ),
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("offset") + F.col("local_id")).cast("long").alias("id"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
