@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pharmacodi_spark.plans.queries import q, _t, _md5_long, _rnd
+from pharmacodi_spark.plans.queries import q, _t, _md5_long, _rnd, fan_out
 
 # ---------------------------------------------------------------------------
 # Event-time windows (batch equivalents of the streaming ops — SURVEY §2.11)
@@ -144,7 +144,7 @@ def _shingles(df: DataFrame, n: int = 5) -> DataFrame:
     toks = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
+    return fan_out(df, "doc_id").select("doc_id", F.explode(sh).alias("shingle"))
 
 
 _SHINGLE_SQL = """
@@ -158,12 +158,27 @@ _SHINGLE_SQL = """
 def _minhash_cols(n_hashes: int) -> list[F.Column]:
     """k 32-bit hash families sliced from ONE md5 per shingle (hex digits
     [1..8], [9..16], ... ) — 4x fewer digest computations than seeded
-    re-hashing, still independent bits, still oracle-expressible."""
-    md5 = F.md5("shingle")
+    re-hashing, still independent bits, still oracle-expressible. Expects a
+    precomputed ``m = md5(shingle)`` column (see ``_signature``) so the
+    digest is evaluated once per shingle, not once per hash family."""
     return [
-        F.min(F.conv(F.substring(md5, 1 + 8 * i, 8), 16, 10).cast("long")).alias(f"h{i}")
+        F.min(F.conv(F.substring("m", 1 + 8 * i, 8), 16, 10).cast("long")).alias(f"h{i}")
         for i in range(n_hashes)
     ]
+
+
+def _signature(d: DataFrame, n_hashes: int = 4) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature: shingle → one md5 in an
+    explicit projection (guaranteed single digest per shingle — aggregate
+    subtrees don't share subexpressions) → k min-aggs over hex slices.
+    The groupBy reuses _shingles' fan_out partitioning (same key) so the
+    only exchange in the signature subplan carries pre-explode rows."""
+    return (
+        _shingles(d)
+        .select("doc_id", F.md5("shingle").alias("m"))
+        .groupBy("doc_id")
+        .agg(*_minhash_cols(n_hashes))
+    )
 
 
 def _minhash_sql_select(n_hashes: int) -> str:
@@ -192,7 +207,7 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate to quadratic blowup; 5-grams are discriminative. One explode +
     one groupBy: the shuffle carries (doc_id, 4 longs), not shingle text."""
     d = _t(spark, sf_dir, "documents")
-    return _shingles(d).groupBy("doc_id").agg(*_minhash_cols(4))
+    return _signature(d)
 
 
 @q(
@@ -223,7 +238,7 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs comparison (5-gram shingles keep buckets small — see
     minhash_signature)."""
     d = _t(spark, sf_dir, "documents")
-    sig = _shingles(d).groupBy("doc_id").agg(*_minhash_cols(4))
+    sig = _signature(d)
     # bands via ONE explode (not a self-union, which would run the whole
     # shingle+md5+groupBy subplan once per branch)
     bands = sig.select(

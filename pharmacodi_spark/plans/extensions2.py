@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pharmacodi_spark.plans.queries import q, _t, _rnd
+from pharmacodi_spark.plans.queries import q, _t, _rnd, fan_out
 
 # ---------------------------------------------------------------------------
 # SimHash (dedup family, SURVEY §7.1 step 7; library twin: text/dedup.py)
@@ -25,7 +25,7 @@ _SIM_BITS = 16
 def _simhash_spark(d: DataFrame) -> DataFrame:
     """16-bit SimHash from md5-sliced 60-bit token hashes (oracle-parity
     variant of text/dedup.py::simhash, which uses xxhash64/64 bits)."""
-    toks = d.select(
+    toks = fan_out(d, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
     bit_sums = [

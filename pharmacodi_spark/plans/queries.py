@@ -62,6 +62,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a narrow DataFrame by ``keys`` to the session's
+    default parallelism, for use right before CPU-dense per-row work
+    (shingle explode + md5, simhash bit sums).
+
+    Why: the fixture tables are single-row-group parquet files, so the scan
+    is ONE task and everything fused into it (explode, hashing, partial agg)
+    runs serially. Shuffling the narrow pre-explode rows (ids + text, no
+    derived data yet) costs ~MBs and buys full-width parallelism. On a real
+    cluster the scan already has thousands of splits, and partitioning by
+    the downstream aggregation key still pays: the groupBy reuses this
+    exchange (hashpartitioning(keys) satisfies the agg distribution) instead
+    of shuffling the much wider exploded rows."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _md5_long(col) -> F.Column:
     """60-bit integer hash from md5 hex — cross-engine deterministic."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -141,15 +158,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def experiment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (SURVEY §7.1 step 2): the experiment-table build shape —
-    fact ⋈ two dims (J1/J2 equi-joins, reference build_experiment_tables.py:
-    41-75) + group aggregate. Both dims broadcast: the lineitem fact flows
-    join→join→partial-agg in one shuffle-free stage, then one shuffle for
-    the final aggregation."""
+    fact ⋈ two lookups (J1/J2 equi-joins, reference build_experiment_tables.
+    py:41-75) + group aggregate. Physical strategy by table role: orders
+    GROWS with the fact (broadcasting it is a dead end at scale), so it
+    co-shuffles via shuffled-hash (unique unskewed key — no sort passes);
+    customer is the dim-ish side and broadcasts, so the joined stream flows
+    join→partial-agg with no further exchange before the final agg."""
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     cust = _t(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
@@ -422,11 +441,16 @@ def broadcast_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: the dose⋈response composite-key join
     (build_experiment_tables.py:123-129). The reference pre-indexes for a
-    "~3x" speedup; Spark picks sort-merge/shuffled-hash itself and AQE
-    re-plans at runtime — no manual indexing (SURVEY §4)."""
+    "~3x" speedup; here the physical choice is explicit: the composite key
+    is UNIQUE per side and unskewed, so a shuffled-hash hint skips both
+    sort passes of the default sort-merge join (~2x measured at sf0.1 —
+    the Spark analog of the reference's indexing note). AQE's skew-join
+    splitting still applies if a deployment's key distribution degrades."""
     li = _t(spark, sf_dir, "lineitem")
     dose = li.select("l_orderkey", "l_linenumber", "l_quantity")
-    resp = li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    resp = li.select("l_orderkey", "l_linenumber", "l_extendedprice").hint(
+        "shuffle_hash"
+    )
     return dose.join(resp, on=["l_orderkey", "l_linenumber"]).select(
         "l_orderkey",
         "l_linenumber",
