@@ -396,6 +396,155 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series / interval joins Spark lacks as primitives (SURVEY §2.3 note:
+# "Not present in reference: theta/range/as-of joins" — engine extensions,
+# built as compositions of DataFrame ops per the custom-operator policy)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "asof_join",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type,
+             CASE WHEN event_type = 'purchase' THEN value END AS pval
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT event_id, user_id, us, event_type,
+             last_value(pval IGNORE NULLS) OVER win AS last_purchase_value,
+             last_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
+               OVER win AS last_purchase_us
+      FROM s
+      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(us AS BIGINT) AS click_us,
+           last_purchase_value,
+           CAST(last_purchase_us AS BIGINT) AS last_purchase_us
+    FROM w WHERE event_type = 'click'
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each click ← most recent prior-or-simultaneous purchase
+    per user), via the scalable union-streams + last-ignore-nulls-window
+    plan: interleave both sides in ONE shuffle partitioned by the join key,
+    carry the right side's values forward in event-time order. No per-key
+    loop, no range self-join — cost is a single sort-shuffle of both inputs,
+    the same bound as a merge-based as-of join in kdb/QuestDB. Ordering key
+    (µs, event_id) is total, so the result is deterministic on both
+    engines; clicks with no prior purchase keep nulls."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    s = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        us.alias("us"),
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = s.select(
+        "event_id",
+        "user_id",
+        "us",
+        "event_type",
+        F.last("pval", ignorenulls=True).over(win).alias("last_purchase_value"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("us")), ignorenulls=True
+        )
+        .over(win)
+        .alias("last_purchase_us"),
+    )
+    return w.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("us").cast("long").alias("click_us"),
+        "last_purchase_value",
+        F.col("last_purchase_us").cast("long").alias("last_purchase_us"),
+    )
+
+
+_TIERS = [("t1", 0, 75), ("t2", 75, 180), ("t3", 180, 310), ("t4", 310, 501)]
+
+
+@q(
+    "range_join",
+    f"""
+    SELECT t.tier, count(*) AS n_events,
+           floor(sum(e.value) * 100 + 0.5) / 100 AS sum_value
+    FROM events e
+    JOIN (VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)})
+         t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — events matched to value tiers — via the
+    bucketed-interval pattern: explode each interval into the fixed-width
+    buckets it covers, EQUI-join on the bucket, then apply the residual
+    range predicate. A naive theta join is O(|events|·|tiers|) nested-loop
+    broadcast; the bucket equi-join hash-partitions both sides, turning it
+    into O(|events| + Σ covered buckets) — the standard trick for interval
+    joins at scale (and what AQE cannot derive on its own)."""
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    bucketed_tiers = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(F.expr("lo div 50"), F.expr("(hi - 1) div 50"))
+        ).alias("bucket"),
+    )
+    e = ev.withColumn("bucket", F.floor(F.col("value") / 50))
+    return (
+        e.join(
+            F.broadcast(bucketed_tiers),
+            (e.bucket == bucketed_tiers.bucket)
+            & (e.value >= bucketed_tiers.lo)
+            & (e.value < bucketed_tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            _rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "cube_stats",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_centi
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — the
+    grouping-sets family the reference lacks entirely (SURVEY §2.4 note:
+    Spark provides cube/rollup free). Quantities summed as integer
+    centi-units so every grouping level is exact on both engines. One pass:
+    Spark expands the cube map-side and partial-aggregates all 4 grouping
+    sets before the single shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(_rnd(F.col("l_quantity") * 100).cast("long")).cast("long").alias("qty_centi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §7.3 hard part: dense surrogate keys on a fact table, no global window
 # ---------------------------------------------------------------------------
 
