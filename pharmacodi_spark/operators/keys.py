@@ -28,20 +28,41 @@ def surrogate_key(
 
     - dims (≤10⁵ rows): ``row_number()`` over a global window — exact parity,
       single-task shuffle is fine at dim scale.
-    - facts (set ``dense_global=True`` for 10⁸+-row tables): sort, then
-      ``zipWithIndex`` — computes per-partition counts in one extra job and
-      assigns offsets, never collapsing to one task. Deterministic given a
+    - facts (set ``dense_global=True`` for 10⁸+-row tables): range-repartition
+      on the sort key (partition i's keys all precede partition i+1's), sort
+      within partitions, read each row's local position from
+      ``monotonically_increasing_id``'s low 33 bits (consecutive within a
+      partition, partition id in the high bits — no window over the fact),
+      then add per-partition offsets from an N-row count table joined back by
+      broadcast. Every stage is parallel and JVM-side (the old alternative,
+      RDD ``zipWithIndex``, round-trips every row through Python in PySpark);
+      the only serial step is the N-row offset cumsum. Deterministic given a
       total order (callers must pass a tie-broken ``order_by``).
     """
     if not dense_global:
         w = Window.orderBy(*[F.asc_nulls_last(c) for c in order_by])
         return df.withColumn(id_col, F.row_number().over(w))
 
-    sorted_df = df.orderBy(*[F.asc_nulls_last(c) for c in order_by])
-    schema = sorted_df.schema
-    out_schema = schema.add(id_col, "long", nullable=False)
-    rdd = sorted_df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + 1))
-    return sorted_df.sparkSession.createDataFrame(rdd, out_schema)
+    cols = [F.asc_nulls_last(c) for c in order_by]
+    n = df.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .select("*", F.monotonically_increasing_id().alias("__mid"))
+    )
+    pid = F.shiftrightunsigned("__mid", 33)
+    counts = tagged.groupBy(pid.alias("__pid")).agg(F.count("*").alias("__cnt"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
+    )
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        tagged.withColumn("__pid", pid)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__off") + local + 1).cast("long"))
+        .drop("__pid", "__off", "__mid")
+    )
 
 
 def rename_and_key(dim: DataFrame, fk_name: str, id_col: str = "id", name_col: str = "name") -> DataFrame:

@@ -545,6 +545,51 @@ def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S9: record-oriented flat-text parse (the Cellosaurus source), driver-gated
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "record_text_parse",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS entry_id,
+           'doc' || CAST(doc_id AS VARCHAR) AS "ID",
+           lang AS "LG",
+           source AS "SR"
+    FROM documents
+    """,
+)
+def record_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 end-to-end under the oracle gate: materialize a Cellosaurus-shaped
+    ``//``-delimited record flat file (deterministically derived from the
+    documents table: 3 header lines, then ID/LG/SR code lines + ``//`` per
+    record), parse it with sources/record_text.py::parse_record_text —
+    line cumsum for entry ids, groupBy+pivot record assembly, zero Python
+    in the data path — and verify the reassembled wide records against the
+    source-of-truth SQL. (reference: build_cellosaurus.py:45-63.)"""
+    import os
+
+    from pharmacodi_spark.sources.record_text import parse_record_text
+
+    d = _t(spark, sf_dir, "documents")
+    rows = (
+        d.select("doc_id", "lang", "source").orderBy("doc_id").collect()
+    )  # metadata-scale collect to WRITE the fixture file, not a dataflow step
+    path = f"/tmp/spark_graft_records_{os.path.basename(sf_dir.rstrip('/'))}.txt"
+    with open(path, "w") as f:
+        f.write("header line 1\nheader line 2\nheader line 3\n")
+        for r in rows:
+            f.write(f"ID   doc{r['doc_id']}\n")
+            f.write(f"LG   {r['lang']}\n")
+            f.write(f"SR   {r['source']}\n")
+            f.write("//\n")
+    parsed = parse_record_text(
+        spark, path, header_lines=3, codes=["ID", "LG", "SR"]
+    )
+    return parsed.withColumn("entry_id", F.col("entry_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # §7.3 hard part: dense surrogate keys on a fact table, no global window
 # ---------------------------------------------------------------------------
 
@@ -566,37 +611,11 @@ def surrogate_key_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``row_number`` per partition, then add per-partition offsets computed
     from a 32-row count table (broadcast). Ids are identical to the global
     window's for a unique sort key, but every stage is parallel; the only
-    single-task step touches 32 rows."""
+    single-task step touches N_partitions rows. Library op:
+    operators/keys.py::surrogate_key(dense_global=True)."""
+    from pharmacodi_spark.operators.keys import surrogate_key
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    parts = li.repartitionByRange(32, "l_orderkey", "l_linenumber")
-    pid = F.spark_partition_id()
-    local = parts.withColumn("pid", pid).withColumn(
-        "local_id",
-        F.row_number().over(
-            Window.partitionBy("pid").orderBy("l_orderkey", "l_linenumber")
-        ),
-    )
-    offsets = (
-        local.groupBy("pid")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("cnt").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "offset")
-    )
-    return (
-        local.join(F.broadcast(offsets), "pid")
-        .select(
-            (F.col("offset") + F.col("local_id")).cast("long").alias("id"),
-            "l_orderkey",
-            "l_linenumber",
-        )
-    )
+    return surrogate_key(
+        li, order_by=["l_orderkey", "l_linenumber"], dense_global=True
+    ).select("id", "l_orderkey", "l_linenumber")

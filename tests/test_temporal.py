@@ -1,0 +1,65 @@
+"""Unit tests for the temporal operators (as-of / range join) and the
+fact-scale dense surrogate key path — the parameterized library twins of the
+oracle-checked plans in plans/extensions2.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.operators.keys import surrogate_key
+from pharmacodi_spark.operators.temporal import asof_join, bucketed_range_join
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 20, "t2"), ("B", 15, "t3"), ("A", 5, "t0")],
+        ["sym", "ts", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 100.0), ("A", 10, 101.0), ("A", 19, 102.0), ("B", 99, 9.0)],
+        ["sym", "ts", "px"],
+    )
+    out = asof_join(trades, quotes, on=["sym"], order_col="ts", right_cols=["px"])
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    # t0 @5: no quote yet; t1 @10: simultaneous quote wins (101); t2 @20: 102
+    # t3 @15 on B: B's only quote is later (99) -> null
+    assert got == {"t0": None, "t1": 101.0, "t2": 102.0, "t3": None}
+
+
+def test_asof_join_keeps_left_payload(spark):
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "ts", "payload"])
+    right = spark.createDataFrame([(1, 9, 5.0)], ["k", "ts", "v"])
+    out = asof_join(left, right, on=["k"], order_col="ts", right_cols=["v"])
+    row = out.collect()[0]
+    assert row["payload"] == "x" and row["asof_v"] == 5.0
+
+
+def test_bucketed_range_join_matches_theta(spark):
+    vals = spark.range(0, 500).select((F.col("id") * 1.0).alias("v"))
+    tiers = spark.createDataFrame(
+        [("lo", 0.0, 120.0), ("mid", 120.0, 130.0), ("hi", 130.0, 500.0)],
+        ["tier", "lo", "hi"],
+    )
+    out = bucketed_range_join(vals, tiers, "v", bucket_width=50.0)
+    counts = {r["tier"]: r["n"] for r in out.groupBy("tier").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"lo": 120, "mid": 10, "hi": 370}
+    # theta-join referee
+    ref = vals.join(tiers, (vals.v >= tiers.lo) & (vals.v < tiers.hi))
+    assert out.count() == ref.count()
+
+
+def test_surrogate_key_dense_global_matches_window(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    dense = surrogate_key(
+        li, order_by=["l_orderkey", "l_linenumber"], dense_global=True
+    )
+    ref = surrogate_key(li, order_by=["l_orderkey", "l_linenumber"]).withColumn(
+        "id", F.col("id").cast("long")
+    )
+    n = li.count()
+    assert dense.count() == n
+    # ids are a dense 1..n permutation identical to the global-window ranks
+    diff = dense.join(ref, ["l_orderkey", "l_linenumber", "id"]).count()
+    assert diff == n
