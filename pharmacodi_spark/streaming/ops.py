@@ -110,6 +110,40 @@ def session_window_agg(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY §7.1
+    step 7): per-user running (n_events, sum_value) totals maintained across
+    micro-batches — the arbitrary-state escape hatch for semantics windowed
+    aggs can't express (counters, ML feature state, CUSUM detectors).
+
+    State is one (long, double) pair per user — the store stays
+    O(#distinct keys) regardless of stream length. Emits the updated totals
+    for every user seen in each micro-batch (update semantics); the final
+    emission per user equals the batch groupBy totals, which is what the
+    equivalence test asserts. Arrow moves each group's rows as pandas
+    batches — no row-at-a-time Python."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:

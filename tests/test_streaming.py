@@ -122,3 +122,34 @@ def test_dedup_within_watermark(spark, event_dir, tmp_path):
     n = spark.sql("SELECT count(DISTINCT event_id) c FROM dedup_t").collect()[0].c
     total = spark.sql("SELECT count(*) c FROM dedup_t").collect()[0].c
     assert n == total  # no duplicate event_ids survived
+
+
+def test_stateful_running_totals_matches_batch(spark, event_dir):
+    from pharmacodi_spark.streaming.ops import running_user_totals
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per user (max n_events — totals only grow) == batch totals
+    out = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n_events,
+               max_by(sum_value, n_events) AS sum_value
+        FROM stateful_t GROUP BY user_id
+        """
+    )
+    s = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in out.collect()}
+    batch = (
+        _batch_events(spark, event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    b = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
+    assert s == b and len(s) > 0
