@@ -79,3 +79,37 @@ def clamp(df: DataFrame, col: str, upper: float | None = None, lower: float | No
     if lower is not None:
         c = F.greatest(c, F.lit(lower))
     return df.withColumn(col, c)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant shuffle join: salt the (skewed) left side's key with a
+    random shard in [0, salts), replicate the right side once per shard, and
+    equi-join on (key, salt).
+
+    When to use: a handful of hot keys dominate a shuffle join and AQE's
+    skew-join splitting can't help — e.g. the build side of one hot key
+    still exceeds an executor, or the join below an aggregation pins
+    partitioning. Each hot key's rows spread over ``salts`` tasks; the cost
+    is a ``salts``× replication of the right side, so keep the right side
+    the smaller input (but too big to broadcast outright, else just
+    broadcast it). AQE's runtime skew handling (session default on) covers
+    the milder cases without any replication — reach for this only when the
+    skew is structural and known.
+
+    ``F.rand`` is seeded per-partition deterministically here (seed=42) so
+    results are reproducible run-to-run.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = (F.rand(seed=42) * salts).cast("int")
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    out = l.join(r, on=keys + ["__salt"], how=how)
+    return out.drop("__salt")

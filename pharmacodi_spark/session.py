@@ -52,6 +52,8 @@ def get_spark(
         # on a handful of input files
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # managed-table storage (bucketed tables) out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.ui.enabled", "false")
         # driver fixtures store nanosecond timestamps, which Spark's parquet
         # reader rejects; read them as epoch-nanos longs (exact integer math)
