@@ -1,0 +1,267 @@
+"""Enrichment phase (SURVEY §3 E3): synonym tables, target / compound-target
+/ gene-target tables, clinical-trial tables, and the Cellosaurus join —
+the reference's third pipeline phase re-expressed Spark-first.
+
+External APIs (UniProt, clinicaltrials.gov) enter as *injected fetchers*
+run through the batched ``mapInPandas`` connector (sources/api.py) — tests
+inject fixtures, deployments inject HTTP clients; the dataflow is identical
+(SURVEY §7.3 item 6). Every builder is a pure DataFrame transform.
+
+Determinism note (§7.3 item 4): where the reference assigns ids by
+first-appearance order of API results (nondeterministic), ids here are
+ranked over an explicit sort key — documented per builder.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.operators.joins import broadcast_left_join
+from pharmacodi_spark.operators.keys import surrogate_key
+from pharmacodi_spark.operators.reshape import melt_columns
+from pharmacodi_spark.sources.record_text import parse_record_text
+
+# dataset-name cleanup applied to melted metadata column names
+# (reference build_synonym_tables.py:77-82: `\.cellid$|[_.].*$` strip, then
+# GDSC version recodes)
+_GDSC_RECODE = [("GDSC$", "GDSC_v2"), ("GDSC1.*$", "GDSC_v1")]
+
+
+def build_synonym_table(
+    meta: DataFrame,
+    dim: DataFrame,
+    dataset: DataFrame,
+    id_suffix: str,
+    fk_name: str,
+    dataset_names: list[str] | None = None,
+) -> DataFrame:
+    """Generic synonym-table builder (reference build_synonym_tables.py —
+    build_cell/tissue/compound_synonym_df share this exact shape, 3×
+    duplicated there; one parameterized op here).
+
+    ``meta`` is the wide metadata sheet: one row per canonical entity
+    (``unique.{id_suffix}``) and one column per dataset spelling
+    (``{dataset}_{id_suffix}`` etc.). Steps: regex-select the per-dataset
+    columns (R2) → melt → trim/dedup → inner-join the dim on the canonical
+    name (J8) → clean the dataset column name to a dataset name (F1) →
+    broadcast-join dataset name→id (J11 as a join, not a dict .apply) →
+    dedup → dense ids ranked by ({fk}, dataset_id, synonym).
+
+    Scale: meta sheets are metadata-sized; everything broadcasts — zero
+    wide shuffles.
+    """
+    unique_col = f"unique.{id_suffix}"
+    cols = [
+        c
+        for c in meta.columns
+        if re.match(rf".*{id_suffix}$", c) and c != unique_col
+    ]
+    if dataset_names is not None:
+        pat = re.compile("|".join(dataset_names))
+        cols = [c for c in cols if pat.match(c)]
+    long = (
+        melt_columns(
+            meta, [unique_col], cols, var_name="dataset_col", value_name="synonym"
+        )
+        .where(F.col("synonym").isNotNull() & (F.col("synonym") != ""))
+        .distinct()
+    )
+    ds_name = F.regexp_replace(
+        F.col("dataset_col"), rf"\.{id_suffix}$|[_.].*$", ""
+    )
+    for pat, repl in _GDSC_RECODE:
+        ds_name = F.regexp_replace(ds_name, pat, repl)
+    joined = (
+        long.join(
+            F.broadcast(dim.select("id", "name")),
+            long[f"`{unique_col}`"] == F.col("name"),
+            "inner",
+        )
+        .select(
+            F.col("id").alias(fk_name),
+            ds_name.alias("dataset_name"),
+            "synonym",
+        )
+        .join(
+            F.broadcast(
+                dataset.select(
+                    F.col("id").alias("dataset_id"), F.col("name").alias("dataset_name")
+                )
+            ),
+            "dataset_name",
+            "inner",
+        )
+        .select(fk_name, "dataset_id", "synonym")
+        .distinct()
+    )
+    return surrogate_key(joined, order_by=[fk_name, "dataset_id", "synonym"])
+
+
+def build_target_table(chembl: DataFrame, drugbank: DataFrame) -> DataFrame:
+    """Target dim: union of ChEMBL + DrugBank target names, dedup, dense ids
+    (reference build_target_tables.py:62-79 — U2 + W1). Ids ranked by name
+    (the reference's ids follow frame order; sort-ranked is the
+    deterministic twin, §7.3 item 4)."""
+    names = chembl.select("name").unionByName(drugbank.select("name")).distinct()
+    return surrogate_key(names.where(F.col("name").isNotNull()), order_by=["name"])
+
+
+def build_compound_target_table(
+    chembl: DataFrame,
+    drugbank: DataFrame,
+    target: DataFrame,
+    compound_synonym: DataFrame,
+) -> DataFrame:
+    """compound_target join table (reference build_target_tables.py:83-122):
+    DrugBank rows reach compounds through the synonym table
+    (compound_name → compound_id, J8); ChEMBL rows carry compound_id
+    directly; union → remap target name→id (J4, inner = drop unmatched,
+    reference's ``f.target_id >= 1`` filter) → dedup."""
+    syn = compound_synonym.select("compound_id", "compound_name").distinct()
+    db_pairs = drugbank.select("name", "compound_name").join(
+        syn, "compound_name"
+    ).select("name", "compound_id")
+    ch_pairs = chembl.select("name", "compound_id")
+    pairs = ch_pairs.unionByName(db_pairs).distinct()
+    return (
+        pairs.join(
+            F.broadcast(target.select(F.col("id").alias("target_id"), "name")),
+            "name",
+            "inner",
+        )
+        .select("target_id", "compound_id")
+        .na.drop()
+        .distinct()
+    )
+
+
+def build_gene_target_table(
+    chembl: DataFrame,
+    drugbank: DataFrame,
+    target: DataFrame,
+    gene: DataFrame,
+    uniprot_fetcher: Callable[[list[str]], list[dict]],
+    batch_size: int = 1000,
+) -> DataFrame:
+    """gene_target join table (reference build_target_tables.py:126-171):
+    (target name, uniprot_id) pairs from both sources → UniProt id→gene
+    symbol mapping fetched through the batched ``mapInPandas`` connector
+    (reference fans out with mp.Pool at :143-146; here executors fan out,
+    X4→tasks) → remap gene and target natural keys to ids, drop unmatched,
+    dedup."""
+    from pharmacodi_spark.sources.api import fetch_batched
+
+    pairs = (
+        chembl.select("name", "uniprot_id")
+        .unionByName(drugbank.select("name", "uniprot_id"))
+        .where(F.col("uniprot_id").isNotNull())
+        .distinct()
+    )
+    ids = pairs.select("uniprot_id").distinct()
+    mapping = fetch_batched(
+        ids,
+        fetcher=uniprot_fetcher,
+        out_schema="uniprot_id string, gene_name string",
+        batch_size=batch_size,
+    )
+    return (
+        pairs.join(F.broadcast(mapping), "uniprot_id", "inner")
+        .join(
+            F.broadcast(
+                gene.select(F.col("id").alias("gene_id"), F.col("name").alias("gene_name"))
+            ),
+            "gene_name",
+            "inner",
+        )
+        .join(
+            F.broadcast(target.select(F.col("id").alias("target_id"), "name")),
+            "name",
+            "inner",
+        )
+        .select("gene_id", "target_id")
+        .distinct()
+    )
+
+
+def build_clinical_trial_tables(
+    compound_synonym: DataFrame,
+    trials_fetcher: Callable[[list[str]], list[dict]],
+    batch_size: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """clinical_trial + compound_trial tables (reference
+    build_clinical_trial_tables.py:25-74): query trials per compound name in
+    batches of 50 through the ``mapInPandas`` connector (the reference's
+    mp.Pool+pagination moves into the fetcher), then: trials = first row per
+    nct with dense ids ranked by nct (reference keeps first-in-API-order and
+    ids by position — nondeterministic; nct-ranked is the deterministic
+    twin); compound_trial = distinct (nct, compound) remapped to ids."""
+    from pharmacodi_spark.sources.api import fetch_batched
+
+    names = compound_synonym.select("compound_name").distinct()
+    studies = fetch_batched(
+        names,
+        fetcher=trials_fetcher,
+        out_schema="compound_name string, nct string, link string, status string",
+        batch_size=batch_size,
+    ).where(F.col("nct").isNotNull())
+
+    from pharmacodi_spark.operators.dedup import first_per_group
+
+    trials = surrogate_key(
+        first_per_group(
+            studies.select("nct", "link", "status"), keys=["nct"], order_by=["link", "status"]
+        ),
+        order_by=["nct"],
+        id_col="clinical_trial_id",
+    )
+    compound_trial = (
+        studies.select("nct", "compound_name")
+        .distinct()
+        .join(F.broadcast(trials.select("nct", "clinical_trial_id")), "nct")
+        .join(
+            F.broadcast(
+                compound_synonym.select("compound_id", "compound_name").distinct()
+            ),
+            "compound_name",
+        )
+        .select("clinical_trial_id", "compound_id")
+        .distinct()
+    )
+    return trials, compound_trial
+
+
+_CELLOSAURUS_CODES = ["ID", "AC", "AS", "SY", "DR", "RX", "WW", "CC", "ST", "DI", "OX", "HI", "OI", "SX", "CA", "AG", "DT"]
+_CELLOSAURUS_KEEP = ["accession", "as", "sy", "dr", "rx", "ww", "cc", "st", "di", "ox", "hi", "oi", "sx", "ca"]
+
+
+def build_cellosaurus_table(
+    spark: SparkSession,
+    path: str,
+    cell: DataFrame,
+    header_lines: int = 55,
+) -> DataFrame:
+    """Cellosaurus table (reference build_cellosaurus.py:38-95): parse the
+    ``//``-delimited flat file (S9, sources/record_text.py — the reference's
+    mp.Pool parse becomes the distributed line pipeline), lowercase the code
+    columns, drop AG/DT, rename ID→identifier / AC→accession, inner-join the
+    cell dim on its name (J9: the reference's ``f.id >= 1`` after a keyed
+    join ≡ inner join), keep the reference's column set."""
+    parsed = parse_record_text(
+        spark, path, header_lines=header_lines, codes=_CELLOSAURUS_CODES
+    )
+    renames = {c: c.lower() for c in parsed.columns if c != "entry_id"}
+    renames["ID"] = "identifier"
+    renames["AC"] = "accession"
+    wide = parsed.withColumnsRenamed(renames).drop("ag", "dt", "entry_id")
+    out = wide.join(
+        F.broadcast(
+            cell.select(F.col("id").alias("cell_id"), F.col("name").alias("identifier"))
+        ),
+        "identifier",
+        "inner",
+    )
+    return out.select("identifier", "cell_id", *_CELLOSAURUS_KEEP)
