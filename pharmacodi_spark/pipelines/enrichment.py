@@ -265,3 +265,50 @@ def build_cellosaurus_table(
         "inner",
     )
     return out.select("identifier", "cell_id", *_CELLOSAURUS_KEEP)
+
+
+def map_genes_to_genomic_coordinates(
+    gene: DataFrame, gene_annotation: DataFrame, gencode: DataFrame
+) -> DataFrame:
+    """Assign GENCODE genomic coordinates to gene_annotation rows
+    (reference map_genes_to_genomic_coordinates.py:20-67): strip Ensembl
+    versions from gencode ids (F1 — the reference np.vectorize(re.sub)
+    becomes a native regexp_replace), pull each annotation row's gene name
+    via the gene dim, left-join coordinates by name, emit
+    (gene_id, symbol, gene_seq_start, gene_seq_end, chr, strand).
+
+    The reference's order-integrity ValueError (:57-60) guarded positional
+    datatable joins; Spark joins are by key, so the invariant it protected
+    holds by construction — the check carried over is row-count
+    preservation (no annotation rows lost or duplicated), enforced here.
+    """
+    from pharmacodi_spark.functions.scalar import strip_version_suffix
+
+    gc = gencode.select(
+        strip_version_suffix(F.col("gene_id")).alias("name"),
+        F.col("gene_name").alias("symbol"),
+        "start",
+        "end",
+        "strand",
+        "seqnames",
+    ).dropDuplicates(["name"])
+    named = gene_annotation.join(
+        F.broadcast(gene.select(F.col("id").alias("gene_id"), "name")),
+        "gene_id",
+        "left",
+    )
+    out = named.join(F.broadcast(gc), "name", "left").select(
+        "gene_id",
+        "symbol",
+        F.col("start").alias("gene_seq_start"),
+        F.col("end").alias("gene_seq_end"),
+        F.col("seqnames").alias("chr"),
+        "strand",
+    )
+    n_in, n_out = gene_annotation.count(), out.count()
+    if n_in != n_out:
+        raise ValueError(
+            f"gene_annotation row count changed during coordinate mapping: "
+            f"{n_in} -> {n_out} (non-unique gencode names?)"
+        )
+    return out

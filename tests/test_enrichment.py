@@ -156,3 +156,22 @@ def test_cellosaurus_parse_and_join(spark, dims, tmp_path):
     assert r.accession == "CVCL_1045"
     assert r.sy == "22-Rv1|||22Rv-1"  # group-concat in line order
     assert "ag" not in out.columns  # AG/DT dropped
+
+
+def test_map_genes_to_genomic_coordinates(spark, dims):
+    from pharmacodi_spark.pipelines.enrichment import map_genes_to_genomic_coordinates
+
+    gene = spark.createDataFrame(
+        [(1, "ENSG00000000003"), (2, "ENSG00000000005")], ["id", "name"]
+    )
+    annot = spark.createDataFrame([(1, "x"), (2, "y")], ["gene_id", "extra"])
+    gencode = spark.createDataFrame(
+        [("ENSG00000000003.14", "TSPAN6", 100627109, 100639991, "-", "chrX")],
+        ["gene_id", "gene_name", "start", "end", "strand", "seqnames"],
+    )
+    out = map_genes_to_genomic_coordinates(gene, annot, gencode)
+    rows = {r.gene_id: r for r in out.collect()}
+    assert rows[1].symbol == "TSPAN6" and rows[1].chr == "chrX"
+    assert rows[1].gene_seq_start == 100627109
+    assert rows[2].symbol is None  # unmapped gene keeps its row (left join)
+    assert out.count() == 2
