@@ -590,6 +590,96 @@ def record_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S3/S4: glob-union shard loader + X4/X5 API connector, driver-gated
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "glob_union_shards",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def glob_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 end-to-end under the oracle gate: shard the documents table
+    into a per-PSet-style directory layout ({shard}/{shard}_documents.
+    parquet — reference combine_pset_tables.py:213-234 globs
+    {pset}/{pset}_{name}.jay), write one shard file with a column dropped
+    (exercising missing-column tolerance ≡ rbind(force=True)), then
+    glob-union-dedupe with io.load_table_all_shards and verify the
+    reassembled table equals the source. One scan node covers all shards —
+    at 100 TB the glob is a single partition-parallel read, not N reads."""
+    import os
+
+    from pharmacodi_spark.io import load_table_all_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    base = f"/tmp/spark_graft_shards_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(base, "_written")
+    if not os.path.exists(marker):
+        for s in range(3):
+            shard = d.where(F.col("doc_id") % 3 == s)
+            if s == 2:
+                shard = shard.drop("n_chars")  # missing-column shard
+            shard.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(base, f"p{s}", f"p{s}_documents.parquet")
+            )
+        open(marker, "w").close()
+    loaded = load_table_all_shards(spark, "documents", base)
+    # the dropped shard's n_chars arrives as nulls (the padding under test);
+    # coalesce with the source value so the oracle is the original table
+    return loaded.join(
+        F.broadcast(d.select("doc_id", F.col("n_chars").alias("__src_n"))),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce(F.col("n_chars"), F.col("__src_n")).alias("n_chars"),
+    )
+
+
+@q(
+    "api_connector_enrich",
+    """
+    SELECT n_name,
+           CAST(length(n_name) AS BIGINT) AS name_len,
+           upper(n_name) AS name_upper
+    FROM nation
+    """,
+)
+def api_connector_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5 under the oracle gate: the batched ``mapInPandas`` API
+    connector (sources/api.py::fetch_batched — executor-side fan-out,
+    chunking, retries) run with a deterministic in-process 'API' whose
+    responses are SQL-reproducible (length + upper of the queried id), so
+    the whole connector path — Arrow batch slicing, per-chunk fetch, schema
+    conformance — is value-checked, not just smoke-tested. Deployments swap
+    the fetcher for HTTP (reference mp.Pool fan-outs,
+    get_chembl_compound_targets.py:92-113)."""
+    import pandas as pd
+
+    from pharmacodi_spark.sources.api import fetch_batched
+
+    def fake_api(batch: list) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": batch,
+                "name_len": [len(x) for x in batch],
+                "name_upper": [x.upper() for x in batch],
+            }
+        )
+
+    names = _t(spark, sf_dir, "nation").select("n_name")
+    return fetch_batched(
+        names,
+        fetcher=fake_api,
+        out_schema="n_name string, name_len long, name_upper string",
+        batch_size=7,
+    )
+
+
+# ---------------------------------------------------------------------------
 # §7.3 hard part: dense surrogate keys on a fact table, no global window
 # ---------------------------------------------------------------------------
 
