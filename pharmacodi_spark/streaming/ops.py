@@ -152,3 +152,44 @@ def dedup_within_watermark(
     unbounded state — the streaming twin of exact_dedup)."""
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lookback: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matches right events of
+    the same key that occurred within ``lookback`` BEFORE it (click ←
+    recent purchases — the streaming sibling of the batch as-of join,
+    operators/temporal.py).
+
+    Both sides carry watermarks and the join condition bounds right's
+    event time to [left.ts - lookback, left.ts], so Spark can expire
+    state: buffered rows older than watermark+lookback are dropped —
+    O(in-horizon events) state, the requirement for unbounded streams.
+    Emits one row per (left event, matching right event) in append mode.
+    """
+    l = left.select(
+        F.col("event_id").alias("l_event_id"),
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "l_event_id", "l_key", "l_ts", "r_event_id", "r_ts", "r_value"
+    )

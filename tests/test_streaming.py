@@ -153,3 +153,30 @@ def test_stateful_running_totals_matches_batch(spark, event_dir):
     )
     b = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_interval_stream_join_matches_batch(spark, event_dir):
+    from pharmacodi_spark.streaming.ops import interval_stream_join
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    out = interval_stream_join(*split(stream))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT l_event_id, r_event_id FROM ssjoin_t")
+    batch = interval_stream_join(*split(_batch_events(spark, event_dir)))
+    s = {(r.l_event_id, r.r_event_id) for r in got.collect()}
+    b = {(r.l_event_id, r.r_event_id) for r in batch.collect()}
+    # append-mode stream emits exactly the batch join result
+    assert s == b and len(b) > 0
