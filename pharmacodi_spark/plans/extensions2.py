@@ -679,6 +679,47 @@ def api_connector_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "csv_na_roundtrip",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_name = 'CANADA' THEN NULL ELSE n_name END AS name_or_null,
+           n_regionkey
+    FROM nation
+    """,
+)
+def csv_na_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV path under the oracle gate (S12 sink + S1 csv reader + S5 ``NA``
+    sentinel): null one value, write CSV with nulls encoded as ``NA``
+    (reference writes csv at combine_pset_tables.py:162-163 and reads with
+    ``null_values="NA"``, build_synonym_tables.py:37 — its polars tissue
+    reader read NA as the STRING 'NA', the :97 pitfall), read it back with
+    io.load's NA-sentinel default, and verify values — proving the null
+    survives the round-trip as a real null, not the string."""
+    import os
+
+    from pharmacodi_spark.io import load
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_name") == "CANADA", None)
+        .otherwise(F.col("n_name"))
+        .alias("name_or_null"),
+        "n_regionkey",
+    )
+    path = f"/tmp/spark_graft_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    n.coalesce(1).write.mode("overwrite").option("header", "true").option(
+        "nullValue", "NA"
+    ).csv(path)
+    back = load(
+        spark,
+        path,
+        fmt="csv",
+        schema="n_nationkey long, name_or_null string, n_regionkey long",
+    )
+    return back
+
+
 # ---------------------------------------------------------------------------
 # §7.3 hard part: dense surrogate keys on a fact table, no global window
 # ---------------------------------------------------------------------------
