@@ -124,28 +124,41 @@ def simhash(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(content_col), r"\s+")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    # 1<<j as a Python literal overflows signed-long at j=63; shiftleft on a
+    # long yields the correct mask (bit 63 → Long.MIN_VALUE, still a valid
+    # single-bit mask for bitwiseAND / bitwiseOR).
+    masks = [F.shiftleft(F.lit(1).cast("long"), j) for j in range(bits)]
     bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.when(F.col("h").bitwiseAND(masks[j]) != 0, 1).otherwise(-1)).alias(
+            f"b{j}"
+        )
         for j in range(bits)
     ]
     sums = toks.groupBy(id_col).agg(*bit_sums)
     fingerprint = None
     for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"b{j}") > 0, masks[j]).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return sums.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(
-    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    bits: int = 64,
 ) -> DataFrame:
     """Candidate pairs from SimHash fingerprints: bucket by the top
     ``prefix_bits`` (near-dups usually share the prefix), then exact Hamming
-    filter with bit_count(xor) within buckets."""
+    filter with bit_count(xor) within buckets.
+
+    ``bits`` must match the fingerprint width used in :func:`simhash` — the
+    bucket is the top ``prefix_bits`` of that width; a mismatched width
+    silently degrades bucketing (everything lands in bucket 0)."""
+    assert 0 < prefix_bits < bits, "prefix_bits must be in (0, bits)"
     bucketed = sim.withColumn(
-        "bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+        "bucket", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits)
     )
     buckets = (
         bucketed.groupBy("bucket")

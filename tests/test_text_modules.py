@@ -65,11 +65,33 @@ def test_simhash_pairs(spark):
     d = _docs(spark)
     sim = simhash(d, bits=32)
     assert sim.count() == d.count()
-    pairs = simhash_near_pairs(sim, max_hamming=0, prefix_bits=8)
+    pairs = simhash_near_pairs(sim, max_hamming=0, prefix_bits=8, bits=32)
     # exact duplicate texts → identical simhash → hamming 0 pairs exist
     n_dup_groups = d.groupBy("text").count().where("count > 1").count()
     if n_dup_groups:
         assert pairs.count() >= n_dup_groups
+
+
+def test_simhash_default_64_bits(spark):
+    """The production default (bits=64) must run — bit 63 is the signed-long
+    sign bit, which the mask construction has to handle (VERDICT r1 item 2)."""
+    d = _docs(spark)
+    sim = simhash(d)  # bits=64 default
+    rows = sim.limit(5).collect()
+    assert len(rows) == 5
+    # fingerprints use the full width: some row in the corpus should have the
+    # high bit set (statistically certain for 500 docs of random-ish text)
+    n_hi = sim.where(F.col("simhash") < 0).count()
+    assert n_hi > 0, "no fingerprint uses bit 63 — mask construction suspect"
+    pairs = simhash_near_pairs(sim, max_hamming=0, prefix_bits=12)  # bits=64 default
+    n_dup_groups = d.groupBy("text").count().where("count > 1").count()
+    if n_dup_groups:
+        assert pairs.count() >= n_dup_groups
+    # mismatched width must be rejected loudly, not silently degrade
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        simhash_near_pairs(sim, prefix_bits=64, bits=64)
 
 
 def test_cosine_topk_and_lsh(spark):
