@@ -557,6 +557,7 @@ def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            lang AS "LG",
            source AS "SR"
     FROM documents
+    WHERE doc_id < 2000
     """,
 )
 def record_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,17 +565,21 @@ def record_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``//``-delimited record flat file (deterministically derived from the
     documents table: 3 header lines, then ID/LG/SR code lines + ``//`` per
     record), parse it with sources/record_text.py::parse_record_text —
-    line cumsum for entry ids, groupBy+pivot record assembly, zero Python
-    in the data path — and verify the reassembled wide records against the
-    source-of-truth SQL. (reference: build_cellosaurus.py:45-63.)"""
+    wholetext → array split per file, groupBy+pivot record assembly, zero
+    Python in the data path — and verify the reassembled wide records
+    against the source-of-truth SQL. (reference: build_cellosaurus.py:45-63.)
+
+    The fixture write collects at most 2000 rows (doc_id < 2000, mirrored in
+    the oracle predicate) so driver memory is bounded regardless of the sf
+    the driver passes."""
     import os
 
     from pharmacodi_spark.sources.record_text import parse_record_text
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
     rows = (
         d.select("doc_id", "lang", "source").orderBy("doc_id").collect()
-    )  # metadata-scale collect to WRITE the fixture file, not a dataflow step
+    )  # bounded (≤2000 rows) collect to WRITE the fixture file, not a dataflow step
     path = f"/tmp/spark_graft_records_{os.path.basename(sf_dir.rstrip('/'))}.txt"
     with open(path, "w") as f:
         f.write("header line 1\nheader line 2\nheader line 3\n")

@@ -47,6 +47,31 @@ def test_parse_record_text_pinned_codes(spark, tmp_path):
     assert df.where(df.ZZ.isNotNull()).count() == 0
 
 
+def test_parse_record_text_multi_file(spark, tmp_path):
+    """A directory of record files parses with per-file parallelism: entry
+    ids are per-file, include_file disambiguates, and the physical plan has
+    no single-partition global Exchange (the round-1 scale hazard — windows
+    ordered globally would funnel every line through one task)."""
+    d = tmp_path / "recs"
+    d.mkdir()
+    (d / "part0.txt").write_text(CELLO)
+    cello2 = CELLO.replace("CELL-A", "CELL-C").replace("CELL-B", "CELL-D")
+    (d / "part1.txt").write_text(cello2)
+    df = parse_record_text(spark, str(d), header_lines=5, include_file=True)
+    rows = {(r.file.rsplit("/", 1)[-1], r.ID): r.entry_id for r in df.collect()}
+    assert set(rows) == {
+        ("part0.txt", "CELL-A"),
+        ("part0.txt", "CELL-B"),
+        ("part1.txt", "CELL-C"),
+        ("part1.txt", "CELL-D"),
+    }
+    # per-file 0-based entry ids, not a global sequence
+    assert rows[("part0.txt", "CELL-A")] == 0 and rows[("part1.txt", "CELL-C")] == 0
+    assert rows[("part0.txt", "CELL-B")] == 1 and rows[("part1.txt", "CELL-D")] == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_fetch_batched_injected(spark):
     ids = spark.createDataFrame([(f"id{i}",) for i in range(10)], ["uniprot_id"])
     calls = []
