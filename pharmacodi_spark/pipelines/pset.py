@@ -142,8 +142,6 @@ def build_profile_df(profiles: DataFrame, pset_name: str) -> DataFrame:
         ".rownames": "experiment_id",
         "aac_recomputed": "AAC",
         "ic50_recomputed": "IC50",
-        "HS": "HS",
-        "slope_recomputed": "HS",
         "einf": "Einf",
         "ec50": "EC50",
     }
@@ -151,6 +149,14 @@ def build_profile_df(profiles: DataFrame, pset_name: str) -> DataFrame:
     for old, new in renames.items():
         if old in out.columns and old != new:
             out = out.withColumnRenamed(old, new)
+    # HS variant (build_experiment_tables.py:168-171): rename
+    # slope_recomputed→HS only when HS is absent — renaming unconditionally
+    # would create a duplicate HS column and break the harmonize reference
+    if "slope_recomputed" in out.columns:
+        if "HS" in out.columns:
+            out = out.drop("slope_recomputed")
+        else:
+            out = out.withColumnRenamed("slope_recomputed", "HS")
     out = out.withColumn("dataset_id", F.lit(pset_name))
     return harmonize(
         out,

@@ -145,6 +145,22 @@ def test_profile_harmonized(built):
     assert "DSS1" in b["profile"].columns
 
 
+def test_profile_both_hs_and_slope_recomputed(spark):
+    """A PSet carrying BOTH HS and slope_recomputed must not produce a
+    duplicate HS column (reference build_experiment_tables.py:168-171
+    renames only when HS is absent): HS wins, slope_recomputed dropped."""
+    from pharmacodi_spark.pipelines.pset import build_profile_df
+
+    profiles = spark.createDataFrame(
+        [("e1", 0.5, 1.0, 1.1, 7.7, 0.2, 0.3)],
+        [".rownames", "aac_recomputed", "ic50_recomputed", "HS",
+         "slope_recomputed", "einf", "ec50"],
+    )
+    out = build_profile_df(profiles, "PSET_X")
+    assert out.columns.count("HS") == 1
+    assert out.first().HS == 1.1  # the pre-existing HS, not slope_recomputed
+
+
 def test_experiment_left_join_keeps_unmatched_cell(built):
     a, _ = built
     exp = {r.experiment_id: r for r in a["experiment"].collect()}
