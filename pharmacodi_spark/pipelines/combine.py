@@ -57,10 +57,17 @@ def combine_experiment(
     compound_dim: DataFrame,
     tissue_dim: DataFrame,
     dataset_dim: DataFrame,
+    dense_global: bool = False,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """combine_experiment_tables part 1 (combine_pset_tables.py:147-168):
     remap experiment on its 4 FKs, then key it on the composite
-    (dataset_id, experiment_id) for the fact remaps."""
+    (dataset_id, experiment_id) for the fact remaps.
+
+    ``dense_global=True`` switches the surrogate assignment to the
+    fact-scale strategy (range-repartition + per-partition offsets, no
+    global window — operators/keys.py) — use it when the experiment table
+    itself is fact-sized (10⁷+ rows across hundreds of PSets); the ids are
+    identical either way."""
     # keep the natural dataset name alongside the surrogate: downstream fact
     # tables (dose_response, profile) still carry natural keys and join on
     # the composite (dataset natural, experiment natural) —
@@ -77,7 +84,7 @@ def combine_experiment(
         on_miss="drop",
     )
     remapped = surrogate_key(
-        remapped, order_by=["dataset_id_id", "experiment_id"]
+        remapped, order_by=["dataset_id_id", "experiment_id"], dense_global=dense_global
     ).withColumnsRenamed(
         {f"{c}_id": c for c in ["cell_id", "compound_id", "tissue_id", "dataset_id"]}
     )

@@ -1,6 +1,7 @@
 from pharmacodi_spark.plans.queries import QUERIES, spark_queries, oracle_queries
 import pharmacodi_spark.plans.extensions  # noqa: F401  (registers extension queries)
 import pharmacodi_spark.plans.extensions2  # noqa: F401  (registers second batch)
+import pharmacodi_spark.plans.pipeline_q  # noqa: F401  (registers pipeline composition)
 
 from pyspark.sql import DataFrame, SparkSession
 

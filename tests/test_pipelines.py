@@ -161,6 +161,39 @@ def test_profile_both_hs_and_slope_recomputed(spark):
     assert out.first().HS == 1.1  # the pre-existing HS, not slope_recomputed
 
 
+def test_combine_experiment_dense_global_matches_window(spark):
+    """The fact-scale surrogate strategy must assign the same composite-key
+    ids as the window path (operators/keys.py contract)."""
+    from pharmacodi_spark.pipelines.combine import combine_experiment
+
+    exp = spark.createDataFrame(
+        [(f"e{i}", f"c{i % 3}", f"d{i % 2}", f"t{i % 2}", f"DS{i % 2}")
+         for i in range(40)],
+        ["experiment_id", "cell_id", "compound_id", "tissue_id", "dataset_id"],
+    )
+    dims = {
+        name: spark.createDataFrame(
+            [(j + 1, v) for j, v in enumerate(vals)], ["id", "name"]
+        )
+        for name, vals in {
+            "cell": ["c0", "c1", "c2"],
+            "compound": ["d0", "d1"],
+            "tissue": ["t0", "t1"],
+            "dataset": ["DS0", "DS1"],
+        }.items()
+    }
+    a, _ = combine_experiment(
+        exp, dims["cell"], dims["compound"], dims["tissue"], dims["dataset"]
+    )
+    b, _ = combine_experiment(
+        exp, dims["cell"], dims["compound"], dims["tissue"], dims["dataset"],
+        dense_global=True,
+    )
+    rows_a = {r.experiment_id: r.id for r in a.collect()}
+    rows_b = {r.experiment_id: r.id for r in b.collect()}
+    assert rows_a == rows_b
+
+
 def test_experiment_left_join_keeps_unmatched_cell(built):
     a, _ = built
     exp = {r.experiment_id: r for r in a["experiment"].collect()}
