@@ -755,3 +755,53 @@ def surrogate_key_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surrogate_key(
         li, order_by=["l_orderkey", "l_linenumber"], dense_global=True
     ).select("id", "l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters → keeper drop-list (VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "near_dup_droplist",
+    """
+    WITH RECURSIVE edges0 AS (
+      SELECT d.doc_id AS u, d.doc_id + 1 AS v
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE (d.doc_id + 1) % 5 != 0
+        AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 != 0
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component, component = node AS keep FROM comp
+    """,
+)
+def near_dup_droplist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → connected components → keeper drop-list
+    (text/clusters.py): iterative hash-min label propagation over a
+    deterministic fixture graph (chain edges within groups of 5 doc_ids,
+    ~25% knocked out by an md5 predicate → varied component shapes:
+    chains, split chains, singletons). The DuckDB oracle re-derives the
+    components with a recursive CTE (min reachable label), so the Spark
+    loop's convergence — not just its output shape — is value-checked.
+    In production the edge list is minhash_near_dup_pairs/simhash output."""
+    from pharmacodi_spark.text.clusters import near_dup_droplist
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    nxt = (F.col("doc_id") + 1).alias("v")
+    knock = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 4 != 0
+    )
+    pairs = (
+        ids.select("doc_id", nxt)
+        .where((F.col("v") % 5 != 0) & knock)
+        .join(ids.select(F.col("doc_id").alias("v")), "v")
+        .select(F.col("doc_id").alias("doc_a"), F.col("v").alias("doc_b"))
+    )
+    return near_dup_droplist(ids, pairs)

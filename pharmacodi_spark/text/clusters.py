@@ -1,0 +1,96 @@
+"""Near-dup candidate pairs → clusters → keeper drop-list (VERDICT r1 item 5).
+
+LSH banding (text/dedup.py::minhash_near_dup_pairs, simhash_near_pairs)
+stops at candidate PAIRS; a production corpus dedup needs to go from pairs
+to one keeper per duplicate *cluster* and a drop list for everything else.
+The cluster step is connected components over the pair graph.
+
+Spark-first CC without GraphFrames: iterative hash-min label propagation —
+every node starts labeled with itself; each round a node takes the min of
+its own label and its neighbors' labels; converge when no label changes.
+Rounds = O(max component diameter), which for near-dup clusters is tiny
+(they are dense almost-cliques). Each round is two broadcast-free shuffle
+joins on (node) plus a metadata-scale count; ``localCheckpoint`` truncates
+the lineage every round so the plan does not grow with iterations (the
+classic iterative-DataFrame hazard at scale).
+
+At 100 TB: the edge list is the LSH output (|pairs| ≪ |docs|), labels are
+(node, long) tuples — the shuffles never carry document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component is
+    the min node id reachable — deterministic, engine-independent labels.
+
+    Raises if not converged after ``max_iter`` rounds (a pathological
+    diameter; near-dup graphs converge in <10)."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint()
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("lab").alias("component"))
+    raise RuntimeError(f"connected_components: not converged after {max_iter} rounds")
+
+
+def near_dup_droplist(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(id, component, keep) for EVERY id in ``ids``: cluster the candidate
+    pairs, keep the min id of each cluster (the reference-style
+    deterministic keeper policy — cf. exact_dedup), mark everything else
+    drop. Singletons (no pair) keep themselves. Filter ``keep = false`` for
+    the drop list; semi-join ``keep = true`` against the corpus for the
+    surviving documents."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = (
+        ids.select(F.col(id_col))
+        .join(comp, ids[id_col] == comp.node, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    return out.withColumn("keep", F.col("component") == F.col(id_col))

@@ -94,6 +94,25 @@ def test_simhash_default_64_bits(spark):
         simhash_near_pairs(sim, prefix_bits=64, bits=64)
 
 
+def test_connected_components_and_droplist(spark):
+    from pharmacodi_spark.text.clusters import connected_components, near_dup_droplist
+
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}; 30 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 30]],
+                                ["doc_id"])
+    dl = {r.doc_id: (r.component, r.keep) for r in near_dup_droplist(ids, pairs).collect()}
+    assert dl[30] == (30, True)  # singleton keeps itself
+    assert dl[1] == (1, True) and dl[4] == (1, False)
+    assert sum(1 for c, k in dl.values() if k) == 4  # one keeper per cluster + singleton
+
+
 def test_cosine_topk_and_lsh(spark):
     e = _emb(spark)
     rng = random.Random(7)
