@@ -805,3 +805,70 @@ def near_dup_droplist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), F.col("v").alias("doc_b"))
     )
     return near_dup_droplist(ids, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal native plans (frame sampling + resize geometry), driver-gated
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_plans",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(100 + doc_id % 1820 AS INTEGER) AS width,
+             CAST(80 + doc_id % 1000 AS INTEGER) AS height,
+             n_chars * 7 AS duration_ms
+      FROM documents
+    ),
+    frames AS (
+      SELECT media_id, 'frame' AS item,
+             CAST(unnest(generate_series(0, GREATEST(duration_ms - 1, 0), 1000)) AS BIGINT) AS a,
+             CAST(NULL AS BIGINT) AS b
+      FROM m WHERE kind = 'video'
+    ),
+    resized AS (
+      SELECT media_id, 'resize' AS item,
+             CAST(CEIL(width * LEAST(1.0, 256.0 / GREATEST(width, height))) AS BIGINT) AS a,
+             CAST(CEIL(height * LEAST(1.0, 256.0 / GREATEST(width, height))) AS BIGINT) AS b
+      FROM m
+    )
+    SELECT * FROM frames UNION ALL SELECT * FROM resized
+    """,
+)
+def multimodal_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two native multimodal *plan* stages (multimodal.py::
+    frame_sample_plan, resize_plan) under the oracle gate: the frame-ts
+    grid (sequence+explode over duration metadata — decode fans out over
+    frames, not videos) and the aspect-preserving resize geometry
+    (computed in the plan so Catalyst prunes before any Python decode).
+    Both are pure sequence/float arithmetic, exactly expressible in DuckDB;
+    unioned into one (media_id, item, a, b) frame for a single hash."""
+    from pharmacodi_spark.multimodal import frame_sample_plan, resize_plan
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        (F.lit(100) + F.col("doc_id") % 1820).cast("int").alias("width"),
+        (F.lit(80) + F.col("doc_id") % 1000).cast("int").alias("height"),
+        (F.col("n_chars") * 7).alias("duration_ms"),
+    )
+    frames = frame_sample_plan(media, every_ms=1000).select(
+        "media_id",
+        F.lit("frame").alias("item"),
+        F.col("frame_ts_ms").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    resized = resize_plan(media, max_side=256).select(
+        "media_id",
+        F.lit("resize").alias("item"),
+        F.col("target_w").cast("long").alias("a"),
+        F.col("target_h").cast("long").alias("b"),
+    )
+    return frames.unionAll(resized)
