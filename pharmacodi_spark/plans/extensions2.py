@@ -872,3 +872,116 @@ def multimodal_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_h").cast("long").alias("b"),
     )
     return frames.unionAll(resized)
+
+
+# ---------------------------------------------------------------------------
+# R2 / S2 / A8: melt-by-list, directory catalog scan, FK unmatched audit
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "melt_columns",
+    """
+    SELECT c_custkey, 'c_name' AS variable, c_name AS value FROM customer
+    UNION ALL SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM customer
+    """,
+)
+def melt_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 under the oracle gate: generic melt over an explicit column list
+    (operators/reshape.py::melt_columns — Spark ``unpivot``, single
+    projection, no shuffle; the synonym-sheet melt of regex-selected
+    ``*.cellid`` columns, reference build_synonym_tables.py:45-63)."""
+    from pharmacodi_spark.operators.reshape import melt_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    return melt_columns(
+        cust,
+        id_vars=["c_custkey"],
+        value_vars=["c_name", "c_mktsegment"],
+    )
+
+
+@q(
+    "catalog_scan",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/R5 under the oracle gate: materialize a PSet-export-shaped
+    directory (``meta$nation.csv`` with the NA sentinel convention,
+    ``region.parquet`` — mixed formats, ``$``-split slot names, reference
+    read_pset.py:40-74), scan it with io.read_pset_catalog (lazy DataFrames,
+    extension dispatch), and join the two catalog slots back into a
+    SQL-verifiable result."""
+    import os
+
+    from pharmacodi_spark.io import read_pset_catalog
+
+    base = f"/tmp/spark_graft_catalog_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(base, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        nation = _t(spark, sf_dir, "nation")
+        nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+            os.path.join(base, "stage")
+        )
+        part = [
+            f for f in os.listdir(os.path.join(base, "stage")) if f.endswith(".csv")
+        ][0]
+        os.replace(
+            os.path.join(base, "stage", part), os.path.join(base, "meta$nation.csv")
+        )
+        _t(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "stage2")
+        )
+        part = [
+            f
+            for f in os.listdir(os.path.join(base, "stage2"))
+            if f.endswith(".parquet")
+        ][0]
+        os.replace(
+            os.path.join(base, "stage2", part), os.path.join(base, "region.parquet")
+        )
+        import shutil
+
+        shutil.rmtree(os.path.join(base, "stage"))
+        shutil.rmtree(os.path.join(base, "stage2"))
+        open(marker, "w").close()
+    cat = read_pset_catalog(spark, base)
+    nation, region = cat["meta$nation"], cat["region"]
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_nationkey").cast("long"),
+            "n_name",
+            "r_name",
+        )
+    )
+
+
+@q(
+    "fk_unmatched_audit",
+    """
+    SELECT DISTINCT l_suppkey
+    FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 != 0)
+    """,
+)
+def fk_unmatched_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/J4 audit surface under the oracle gate: remap lineitem's supplier
+    FK against a dim with every 10th supplier removed; the query returns the
+    AUDIT table (distinct unmatched natural keys) that remap_fk surfaces
+    instead of log-and-swallowing (reference combine_pset_tables.py:318-326).
+    The remapped main output is already gated via fk_remap_dense."""
+    from pharmacodi_spark.operators.keys import remap_fk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 10 != 0)
+        .select(F.col("s_suppkey").alias("id"), F.col("s_suppkey").alias("l_suppkey"))
+    )
+    _remapped, unmatched = remap_fk(li, dim, "l_suppkey", on_miss="drop")
+    return unmatched
