@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pharmacodi_spark.plans import QUERIES  # noqa: E402
 from pharmacodi_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# the round-1 headline set (BENCH_r01 comparability: these 12 summed were
+# 5.319 s at sf0.1 local[32] steady-state)
+HEADLINE_R1 = [
     "pricing_summary",
     "experiment_join",
     "composite_key_join",
@@ -35,6 +37,19 @@ HEADLINE = [
     "minhash_band_pairs",
     "explode_tokens",
     "ann_dot_topk",
+]
+
+# round-2 widening (VERDICT r1 item 6): cover the rest of the work surface —
+# text dedup referees, temporal joins, fact-scale surrogate ids, and the full
+# combine-phase pipeline composition
+HEADLINE = HEADLINE_R1 + [
+    "simhash_near_pairs",
+    "jaccard_pairs",
+    "token_count_bpe",
+    "asof_join",
+    "range_join",
+    "surrogate_key_fact",
+    "combine_pipeline",
 ]
 
 
@@ -76,6 +91,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # BENCH_r01-comparable subtotal (same 12 queries as round 1)
+                "headline_r1_sec": round(
+                    sum(timings[n] for n in HEADLINE_R1), 3
+                ),
             }
         )
     )
