@@ -99,23 +99,33 @@ def keyed_or_self(dim: DataFrame, fk: str) -> DataFrame:
 
 
 def remap_fact_to_experiment(
-    fact: DataFrame, experiment: DataFrame, clamp_ic50: bool = False
+    fact: DataFrame,
+    experiment: DataFrame,
+    clamp_ic50: bool = False,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """combine_experiment_tables part 2 (combine_pset_tables.py:170-178):
     rewrite (dataset natural key, experiment natural key) on the fact to the
     experiment surrogate id via a composite-key broadcast join; clamp IC50
     for the profile table (:173); drop the natural keys.
 
-    The experiment map is projected to 3 columns before broadcast — at 1e8
-    fact rows this is the only operator touching every row and it is
-    shuffle-free."""
+    The experiment map is projected to 3 columns (+ ``carry``) before
+    broadcast — at 1e8 fact rows this is the only operator touching every
+    row and it is shuffle-free. ``carry`` names extra experiment columns
+    (e.g. the remapped dim ids) to attach to the fact in the SAME broadcast
+    join — denormalizing here costs a few broadcast bytes per row and saves
+    a second pass over the fact later."""
     exp_map = experiment.select(
         F.col("id").alias("experiment_fk"),
         F.col("experiment_id"),
         F.col("dataset_name").alias("__ds_id"),
+        *(carry or []),
     )
     if clamp_ic50:
         fact = clamp(fact, "IC50", upper=IC50_CLAMP)
+    # drops are by column REFERENCE, not name: a carried experiment column
+    # may legitimately be named dataset_id, and a name-based drop would
+    # silently remove it along with the fact's natural key
     out = (
         fact.join(
             F.broadcast(exp_map),
@@ -124,7 +134,9 @@ def remap_fact_to_experiment(
             how="inner",
         )
         .drop(exp_map.experiment_id)
-        .drop("experiment_id", "dataset_id", "__ds_id")
+        .drop(fact.experiment_id)
+        .drop(fact.dataset_id)
+        .drop("__ds_id")
         .withColumnRenamed("experiment_fk", "experiment_id")
     )
     return out

@@ -149,16 +149,14 @@ def combine_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("IC50"),
     )
-    remapped = remap_fact_to_experiment(fact, exp, clamp_ic50=True)
-
-    exp_ids = exp.select(
-        F.col("id").alias("experiment_id"),
-        "cell_id",
-        "compound_id",
-        "tissue_id",
-        "dataset_id",
+    # carry the remapped dim ids through the one broadcast join instead of
+    # re-joining the experiment subtree afterwards — one pass over the fact,
+    # and the dim/experiment plan forest is traversed once
+    remapped = remap_fact_to_experiment(
+        fact, exp, clamp_ic50=True,
+        carry=["cell_id", "compound_id", "tissue_id", "dataset_id"],
     )
-    return remapped.join(F.broadcast(exp_ids), "experiment_id").select(
+    return remapped.select(
         F.col("experiment_id").cast("long"),
         F.col("cell_id").cast("long"),
         F.col("compound_id").cast("long"),

@@ -86,6 +86,19 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"TakeOrderedAndProject", True,
          "global top-k as partial top-k + merge, never a full sort"),
     ],
+    "combine_pipeline": [
+        (r"BroadcastHashJoin", True,
+         "every dim/exp-map join broadcasts — the fact never shuffles"),
+        (r"SortMergeJoin", False, "no sort-merge anywhere in the cascade"),
+        (r"hashpartitioning\(o_orderkey", False,
+         "no fact-wide hash exchange (the only exchanges are dim windows "
+         "and the experiment-table composite re-key, all metadata-scale)"),
+    ],
+    "multimodal_plans": [
+        (r"explode\(sequence", True, "frame grid is a native explode over sequence()"),
+        (r"Exchange", False,
+         "pure per-row projection family — zero shuffles end to end"),
+    ],
 }
 
 
