@@ -985,3 +985,86 @@ def fk_unmatched_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _remapped, unmatched = remap_fk(li, dim, "l_suppkey", on_miss="drop")
     return unmatched
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file index: assign → probe → score), driver-gated
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ann_ivf_topk",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, qe AS cqe FROM q WHERE vec_id < 8),
+    dists AS (
+      SELECT q.vec_id, c.cid,
+             list_sum(list_transform(list_zip(q.qe, c.cqe),
+                                     s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid
+      FROM (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    qvec AS (SELECT qe AS qq FROM q WHERE vec_id = 42),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               list_sum(list_transform(list_zip(c.cqe, v.qq),
+                                       s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+        FROM cents c CROSS JOIN qvec v
+      ) ORDER BY d2, cid LIMIT 2
+    )
+    SELECT a.vec_id,
+           CAST(list_sum(list_transform(list_zip(q.qe, v.qq), s -> s[1]*s[2]))
+                AS BIGINT) AS dot,
+           CAST(a.cid AS BIGINT) AS centroid_id
+    FROM assign a
+    JOIN q ON a.vec_id = q.vec_id
+    CROSS JOIN qvec v
+    WHERE a.cid IN (SELECT cid FROM probe)
+    ORDER BY dot DESC, a.vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end under the oracle gate (text/similarity.py::
+    ivf_assign + ivf_topk): quantize embeddings to integer-valued doubles
+    (exact in both engines regardless of accumulation order, since every
+    intermediate stays < 2^53), build a deterministic coarse quantizer from
+    the first 8 corpus vectors (the SQL-reproducible stand-in for the
+    k-means|| production path, train_ivf_centroids — pytest-covered), assign
+    via native argmin (array_min over (d2, idx) structs), probe the 2
+    centroids nearest the fixed query vector (vec_id 42), and return the
+    exact dot-product top-10 within the probed cells. The centroid filter is
+    a pushable predicate — partitioned-by-centroid storage prunes cells."""
+    from pharmacodi_spark.text.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: _rnd(x.cast("double") * 10000)
+        ).alias("qe"),
+    )
+    # index metadata: 8 seed-doc centroids + the probe vector (driver-side
+    # by design — an ANN coarse quantizer is a few KB, not dataflow)
+    seed_rows = qe.where(F.col("vec_id") < 8).collect()
+    centroids = [list(r.qe) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
+    query = list(qe.where(F.col("vec_id") == 42).collect()[0].qe)
+    out = ivf_topk(
+        qe, centroids, query, k=10, nprobe=2, vec_col="qe", metric="dot"
+    )
+    return out.select(
+        "vec_id",
+        F.col("dot").cast("long").alias("dot"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )

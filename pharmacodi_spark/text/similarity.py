@@ -71,6 +71,98 @@ def hyperplane_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """IVF index build: train coarse centroids with k-means|| (pyspark.ml's
+    distributed init — the production path for corpus-scale embeddings).
+    Returns the centroid list (index metadata: n_centroids × dim floats —
+    driver-resident by design, like any ANN index's coarse quantizer).
+
+    At 100 TB: the training itself is distributed; only the centroid matrix
+    (a few MB) comes back to the driver, then ships to executors as plan
+    literals in ``ivf_assign``."""
+    from pyspark.ml.clustering import KMeans  # ships with pyspark
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, ties → lower
+    centroid index): ``array_min`` over an array of (distance, index)
+    structs — native argmin, no UDF, fully codegen'd. At scale, write the
+    table partitioned by ``out_col``: probes then prune partitions.
+
+    Exactness note: with integer-valued inputs (e.g. quantized embeddings)
+    every distance is an exact integer-valued double (< 2⁵³), so the argmin
+    is engine-deterministic — the property the oracle query relies on."""
+    v = _as_double(F.col(vec_col))
+    pairs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.lit(c).cast("array<double>"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d2"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return df.withColumn(out_col, F.array_min(F.array(*pairs))["i"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """IVF probe: score only vectors assigned to the ``nprobe`` centroids
+    nearest the query (picked driver-side from the index metadata — exact
+    integer/float math over n_centroids rows). The centroid filter is a
+    pushable predicate → partition pruning when the corpus is stored
+    partitioned by centroid_id. ``metric``: "cosine" (float) or "dot"
+    (exact for integer-valued vectors)."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    ranked = sorted(
+        (sum((x - y) ** 2 for x, y in zip(c, query)), i)
+        for i, c in enumerate(centroids)
+    )
+    probes = [i for _, i in ranked[:nprobe]]
+    cand = assigned.where(F.col("centroid_id").isin(probes))
+    if metric == "dot":
+        v = _as_double(F.col(vec_col))
+        q = F.lit(query).cast("array<double>")
+        return (
+            cand.select(F.col(id_col), _dot(v, q).alias("dot"), "centroid_id")
+            .orderBy(F.col("dot").desc(), F.col(id_col))
+            .limit(k)
+        )
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],

@@ -136,6 +136,36 @@ def test_cosine_topk_and_lsh(spark):
     assert hit >= 1
 
 
+def test_ivf_train_assign_probe(spark):
+    """IVF production path: k-means|| centroids (pyspark.ml), native argmin
+    assignment, nprobe probe — recall vs exact brute force must be positive
+    and assignment must be total + in-range."""
+    from pharmacodi_spark.text.similarity import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    e = _emb(spark)
+    cents = train_ivf_centroids(e, n_centroids=8, max_iter=5)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assigned = ivf_assign(e, cents)
+    assert assigned.where(F.col("centroid_id").isNull()).count() == 0
+    assert assigned.where(
+        (F.col("centroid_id") < 0) | (F.col("centroid_id") >= 8)
+    ).count() == 0
+    # every centroid cell is non-trivially populated on the kmeans it trained
+    assert assigned.select("centroid_id").distinct().count() >= 4
+
+    rng = random.Random(11)
+    query = [rng.uniform(-1, 1) for _ in range(64)]
+    exact_ids = {r.vec_id for r in cosine_topk(e, query, k=10).collect()}
+    approx = ivf_topk(e, cents, query, k=10, nprobe=3)
+    arows = approx.collect()
+    assert 0 < len(arows) <= 10
+    assert sum(1 for r in arows if r.vec_id in exact_ids) >= 1  # recall > 0
+
+
 def test_text_features_and_lang(spark):
     d = _docs(spark)
     feats = text_features(d)
