@@ -1068,3 +1068,101 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dot").cast("long").alias("dot"),
         F.col("centroid_id").cast("long").alias("centroid_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level text stats (text/corpus.py): IDF, TF-IDF top terms, n-grams
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = """
+      SELECT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+            FROM documents)
+      WHERE token != ''
+"""
+
+
+@q(
+    "corpus_idf",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df_count FROM tf GROUP BY token)
+    SELECT token, df_count,
+           CAST((SELECT count(*) FROM documents) AS DOUBLE) / df_count AS idf_ratio
+    FROM dfreq
+    """,
+)
+def corpus_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency table (text/corpus.py::doc_frequency) with
+    the exact N/df ratio (integer division is correctly rounded IEEE — the
+    ln() form lives in idf_table and is pytest-covered; libm ln is not
+    bit-portable across engines, ratios are). Shuffles carry (token, count)
+    pairs collapsed map-side, never bodies."""
+    from pharmacodi_spark.text.corpus import doc_frequency
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    return doc_frequency(fan_out(d, "doc_id")).withColumn(
+        "idf_ratio", F.lit(float(n)) / F.col("df_count")
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df_count FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             t.tf * (((SELECT count(*) FROM documents) * 1000000) // d.df_count)
+               AS score
+      FROM tf t JOIN dfreq d ON t.token = d.token
+    )
+    SELECT doc_id, token, tf, CAST(score AS BIGINT) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (text/corpus.py::tfidf_top_terms)
+    with an integer-quantized idf (N·10⁶ div df — exact in both engines;
+    the ln() production formula is injected via idf_fn and pytest-covered).
+    Broadcast idf join + per-doc window: no global single-task stage."""
+    from pharmacodi_spark.text.corpus import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+
+    def int_idf(n_docs, df_count):
+        return F.expr(f"CAST({n_docs} * 1000000 AS BIGINT) div df_count")
+
+    out = tfidf_top_terms(fan_out(d, "doc_id"), k=3, idf_fn=int_idf)
+    return out.select(
+        "doc_id", "token", "tf", F.col("score").cast("long").alias("score")
+    )
+
+
+@q(
+    "ngram_topk",
+    """
+    WITH toks AS (SELECT string_split_regex(text, '\\s+') AS t FROM documents),
+    idx AS (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+            FROM toks),
+    grams AS (SELECT array_to_string(t[i:i+1], ' ') AS ngram FROM idx),
+    counts AS (SELECT ngram, count(*) AS n_occurrences FROM grams GROUP BY ngram)
+    SELECT ngram, n_occurrences FROM counts
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams (text/corpus.py::top_ngrams): native
+    transform/slice n-gram expansion, map-side partial counts, and a
+    TakeOrderedAndProject top-k — the n-gram frequency/contamination-check
+    primitive. Ties broken lexicographically so the cut is deterministic."""
+    from pharmacodi_spark.text.corpus import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(fan_out(d, "doc_id"), n=2, k=20)

@@ -1,0 +1,117 @@
+"""Corpus-level text statistics (north star): document frequency / IDF,
+per-document TF-IDF top terms, and corpus top-k n-grams.
+
+These are the corpus-wide companions to the per-document ops in
+text/analysis.py — the building blocks of quality filtering (drop documents
+dominated by boilerplate terms), keyword extraction, and n-gram-based
+contamination checks in a training-data pipeline.
+
+Scale design: everything is explode → groupBy — two shuffles carrying
+(token, count) pairs, never document bodies. The doc-frequency aggregation
+partial-aggregates map-side (a token appearing 10⁶ times in a partition
+contributes one row to the shuffle). Top-k shapes compile to
+TakeOrderedAndProject (per-partition heaps), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(F.split(F.col(content_col), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+
+
+def term_frequencies(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token, tf): whitespace-token counts per document."""
+    return (
+        _tokens(df, content_col, id_col)
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_frequency(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, df_count): number of documents containing each token. Built
+    from the per-doc term table so the corpus-wide shuffle carries one row
+    per (doc, token), already collapsed map-side."""
+    return (
+        term_frequencies(df, content_col, id_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("df_count"))
+    )
+
+
+def idf_table(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, df_count, idf) with idf = ln(N / df). N is a driver-side
+    count — one metadata action, then a plan literal (broadcastable to any
+    cluster size)."""
+    n_docs = df.count()
+    return doc_frequency(df, content_col, id_col).withColumn(
+        "idf", F.log(F.lit(float(n_docs)) / F.col("df_count"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    idf_fn=None,
+) -> DataFrame:
+    """(id, token, tf, score) — each document's top-``k`` terms by
+    tf·idf, ties broken lexicographically for determinism. The idf join is
+    a broadcast (vocabulary ≪ corpus); the per-doc top-k is a window over
+    (doc, score) — partitioned by doc, so no global single-task window.
+
+    ``idf_fn(n_docs, df_count_col) -> Column`` overrides the idf formula —
+    e.g. an integer-quantized variant for engine-exact comparison; default
+    is ln(N / df)."""
+    n_docs = df.count()
+    tf = term_frequencies(df, content_col, id_col)
+    dfreq = doc_frequency(df, content_col, id_col)
+    idf_col = (
+        idf_fn(n_docs, F.col("df_count"))
+        if idf_fn
+        else F.log(F.lit(float(n_docs)) / F.col("df_count"))
+    )
+    idf = dfreq.select("token", idf_col.alias("idf"))
+    scored = tf.join(F.broadcast(idf), "token").withColumn(
+        "score", F.col("tf") * F.col("idf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def ngram_col(content_col: str, n: int) -> Column:
+    """Array of word n-grams (space-joined) — native transform/slice."""
+    toks = F.split(F.col(content_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus top-``k`` n-grams by occurrence count (ties broken
+    lexicographically). Compiles to explode → partial-count → shuffle of
+    (ngram, partial) pairs → TakeOrderedAndProject."""
+    grams = df.select(F.explode(ngram_col(content_col, n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
+    return counts.orderBy(F.col("n_occurrences").desc(), F.col("ngram")).limit(k)

@@ -177,6 +177,36 @@ def test_text_features_and_lang(spark):
     assert langs.where(F.col("pred_lang") == "unknown").count() < d.count()
 
 
+def test_corpus_idf_tfidf_ngrams(spark):
+    import math
+
+    from pharmacodi_spark.text.corpus import (
+        doc_frequency,
+        idf_table,
+        tfidf_top_terms,
+        top_ngrams,
+    )
+
+    d = _docs(spark)
+    n = d.count()
+    idf = idf_table(d)
+    row = idf.orderBy(F.col("df_count").desc()).first()
+    # most frequent token appears in ≤ N docs, idf = ln(N/df)
+    assert row.df_count <= n
+    assert abs(row.idf - math.log(n / row.df_count)) < 1e-9
+    # df_count is a per-doc count, not an occurrence count
+    assert doc_frequency(d).agg(F.max("df_count")).first()[0] <= n
+
+    top = tfidf_top_terms(d, k=3)
+    per_doc = top.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert per_doc <= 3 and top.count() > 0
+
+    grams = top_ngrams(d, n=2, k=5).collect()
+    assert len(grams) == 5
+    assert grams[0].n_occurrences >= grams[-1].n_occurrences
+    assert all(" " in g.ngram or g.n_occurrences >= 1 for g in grams)
+
+
 def test_multimodal_stub_plumbing(spark):
     rows = [
         (1, "image", b"\x01\x02\x03\x04", "image/png", 640, 480, None),
