@@ -46,6 +46,7 @@ def load(
     fmt: str | None = None,
     schema: T.StructType | str | None = None,
     na_value: str = "NA",
+    infer_sampling: float | None = None,
     **options,
 ) -> DataFrame:
     """Lazy multi-format reader (S1).
@@ -55,16 +56,34 @@ def load(
     — and the NA-as-string pitfall noted at :97), schema inference only when
     no contract is given (read_pset.py:78-90 infers; our engine prefers
     explicit schemas so scans skip the inference pass at scale).
+
+    Scale note: schemaless CSV/JSON inference reads the data TWICE (one
+    inference pass, one real scan) — fine for metadata-scale sheets, wrong
+    for corpus-scale inputs. Pass ``schema`` for anything large; as a
+    middle ground, ``infer_sampling=0.01`` caps the inference pass to a
+    sample (Spark's ``samplingRatio``). A schemaless large read emits a
+    warning rather than silently paying the double scan.
     """
     first = path if isinstance(path, str) else path[0]
     fmt = fmt or infer_format(first)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    elif fmt in ("csv", "json") and infer_sampling is None:
+        import warnings
+
+        warnings.warn(
+            f"io.load({first!r}): schemaless {fmt} read infers types with a "
+            "full extra pass over the data; pass schema=... (preferred) or "
+            "infer_sampling=... for large inputs",
+            stacklevel=2,
+        )
     if fmt == "csv":
         opts = {"header": "true", "nullValue": na_value}
         if schema is None:
             opts["inferSchema"] = "true"
+            if infer_sampling is not None:
+                opts["samplingRatio"] = str(infer_sampling)
         opts.update({k: str(v) for k, v in options.items()})
         reader = reader.options(**opts)
     elif options:
