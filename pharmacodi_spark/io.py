@@ -157,6 +157,56 @@ def save(
     writer.format(fmt).save(path)
 
 
+# Canonical physical layouts for the combine-phase output tables
+# (write_pset_table.py:20-39 writes flat .jay files; at 100 TB each table
+# gets a layout matched to its access pattern):
+# - partition_by: the per-dataset access path (reads prune partitions)
+# - bucket_by:    the hot join key (co-located joins, no shuffle)
+# - sort_by:      within-bucket clustering (row-group stat pruning)
+CANONICAL_LAYOUTS: dict[str, dict] = {
+    "experiment": {
+        "partition_by": ["dataset_id"],
+        "bucket_by": (["cell_id"], 16),
+        "sort_by": ["cell_id", "compound_id"],
+    },
+    "dose_response": {"bucket_by": (["experiment_id"], 16), "sort_by": ["experiment_id"]},
+    "profile": {"bucket_by": (["experiment_id"], 16), "sort_by": ["experiment_id"]},
+    "mol_cell": {"partition_by": ["dataset_id"], "sort_by": ["cell_id"]},
+    "dataset_statistics": {"sort_by": ["dataset_id"]},
+}
+
+
+def save_canonical(
+    df: DataFrame,
+    table: str,
+    base_dir: str,
+    layout: dict | None = None,
+) -> None:
+    """Write a combine-phase output table in its canonical layout
+    (CANONICAL_LAYOUTS, overridable). Bucketed layouts go through
+    ``saveAsTable`` (bucket metadata lives in the catalog — Spark's
+    requirement for shuffle-free bucketed joins); plain layouts are
+    path-based parquet. Unknown tables default to a flat sorted write."""
+    spec = layout if layout is not None else CANONICAL_LAYOUTS.get(table, {})
+    sort_by = spec.get("sort_by")
+    if spec.get("bucket_by"):
+        writer = df.write.mode("overwrite").format("parquet")
+        if spec.get("partition_by"):
+            writer = writer.partitionBy(*spec["partition_by"])
+        cols, n = spec["bucket_by"]
+        writer = writer.bucketBy(n, *cols)
+        if sort_by:
+            writer = writer.sortBy(*sort_by)  # in-bucket clustering
+        writer.option("path", os.path.join(base_dir, table)).saveAsTable(table)
+    else:
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        writer = df.write.mode("overwrite").format("parquet")
+        if spec.get("partition_by"):
+            writer = writer.partitionBy(*spec["partition_by"])
+        writer.save(os.path.join(base_dir, table))
+
+
 def read_pset_catalog(spark: SparkSession, pset_dir: str) -> dict[str, DataFrame]:
     """Directory→catalog scan (S2): list a PSet export directory, split each
     filename on ``$`` into its slot path, strip ``.*@|.csv(.gz)?$|.parquet$|

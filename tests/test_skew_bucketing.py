@@ -77,3 +77,87 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_zorder_clusters_both_dims(spark):
+    """Morton-key range clustering: each output partition must cover a
+    narrow range of BOTH dimensions (the property that lets parquet row-
+    group stats prune 2-D filters), unlike a 1-D sort which clusters only
+    its leading column."""
+    from pharmacodi_spark.operators.clustering import zorder_repartition
+
+    n, parts = 40_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    )
+
+    def avg_spread(clustered):
+        stats = (
+            clustered.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+            .collect()[0]
+        )
+        return stats.ax, stats.ay
+
+    zx, zy = avg_spread(zorder_repartition(df, ["x", "y"], parts))
+    # 1-D sort baseline: x clusters tightly, y spans the full range
+    sx, sy = avg_spread(df.repartitionByRange(parts, "x").sortWithinPartitions("x"))
+    assert zx < 200 * 0.6 and zy < 200 * 0.6, (zx, zy)   # both dims clustered
+    assert sy > 200 * 0.75, sy                           # baseline: y unclustered
+    assert zy < sy * 0.7, (zy, sy)                       # z-order beats 1-D on y
+    # and it is a pure reorder: same rows
+    assert zorder_repartition(df, ["x", "y"], parts).count() == n
+
+
+def test_save_canonical_bucketed_join_and_pruning(spark, tmp_path):
+    """Canonical experiment/dose_response layouts: bucketed co-located join
+    plans with no Exchange; the partitioned table prunes on dataset_id."""
+    from pharmacodi_spark.io import save_canonical
+
+    exp = spark.range(0, 2000).select(
+        F.col("id").alias("experiment_id"),
+        (F.col("id") % 50).alias("cell_id"),
+        (F.col("id") % 7).alias("compound_id"),
+        F.concat(F.lit("DS"), (F.col("id") % 3)).alias("dataset_id"),
+    )
+    dr = spark.range(0, 6000).select(
+        (F.col("id") % 2000).alias("experiment_id"),
+        (F.col("id") % 10).alias("dose_id"),
+        (F.col("id") * 1.5).alias("response"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_canonical(
+            exp, "experiment", str(tmp_path),
+            layout={"partition_by": ["dataset_id"],
+                    "bucket_by": (["experiment_id"], 8),
+                    "sort_by": ["experiment_id"]},
+        )
+        save_canonical(dr, "dose_response", str(tmp_path))
+        e = spark.table("experiment")
+        # partition pruning on the per-dataset access path
+        pruned = e.where(F.col("dataset_id") == "DS1")
+        plan = _explain(pruned)
+        assert "PartitionFilters: [isnotnull(dataset_id" in plan, plan
+        assert pruned.count() == exp.where(F.col("dataset_id") == "DS1").count()
+
+        # co-located bucketed join on the hot key: bucketed side needs no
+        # exchange; only the unbucketed dose_response shuffles
+        d = spark.read.parquet(str(tmp_path / "dose_response"))
+        joined = e.join(d.hint("shuffle_hash"), "experiment_id")
+        plan = _explain(joined)
+        import re
+
+        n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, plan  # dose_response only; bucketed side reused
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 6000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS experiment")
