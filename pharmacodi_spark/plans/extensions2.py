@@ -1166,3 +1166,98 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return top_ngrams(fan_out(d, "doc_id"), n=2, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning (text/cleaning.py): repeated-span stats, PII redaction
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "repeated_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+            FROM toks),
+    spans AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span FROM idx),
+    dfreq AS (SELECT span, count(DISTINCT doc_id) AS span_df FROM spans GROUP BY span),
+    shared AS (SELECT span FROM dfreq WHERE span_df >= 2)
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(sum(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS shared_frac
+    FROM spans s LEFT JOIN shared sh ON s.span = sh.span
+    GROUP BY s.doc_id
+    """,
+)
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span stats (text/cleaning.py::
+    repeated_span_stats, span_len=5): the exact-substring duplication signal
+    for contamination checks / boilerplate scoring. Counting runs on md5
+    span hashes (the shuffle never carries span text); the oracle re-derives
+    by span string — identical grouping, value-checked. Integer counts and
+    one exact long/long division."""
+    from pharmacodi_spark.text.cleaning import repeated_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_span_stats(fan_out(d, "doc_id"), span_len=5, min_df=2)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d{3}[- .]\d{3}[- .]\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@q(
+    "pii_redact",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             'contact doc' || CAST(doc_id AS VARCHAR) || '@example.com or 555-000-'
+               || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' ip 10.0.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || ' ' || text AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(s, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_IP}', '[IP]', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(s, '{_PII_EMAIL}'))
+                + len(regexp_extract_all(s, '{_PII_PHONE}'))
+                + len(regexp_extract_all(s, '{_PII_IP}')) AS BIGINT)
+             AS n_redactions
+    FROM synth
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (text/cleaning.py::redact_pii): deterministic
+    email/phone/IP strings synthesized per doc (the fixture corpus carries
+    none), redacted with the shared Java-regex/RE2-subset patterns; match
+    counts tallied against the original text as the library does. Pure
+    regexp_replace/regexp_count codegen — no UDF."""
+    from pharmacodi_spark.text.cleaning import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-000-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = redact_pii(synth)
+    return out.select(
+        "doc_id",
+        F.col("text_redacted"),
+        F.col("n_redactions"),
+    )

@@ -1,0 +1,132 @@
+"""Corpus cleaning ops (north star): boilerplate removal and PII redaction.
+
+The C4/RefinedWeb-family cleanup steps a training-data pipeline runs before
+dedup: strip lines that repeat across many documents (nav bars, cookie
+banners), detect repeated spans, and redact PII patterns (emails, phones,
+IPs) — all as native expressions; hashing for the cross-document frequency
+counts stays JVM-side (md5), shuffles carry (hash, count) pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.text.corpus import ngram_col
+
+# pattern, replacement — the common Java-regex/RE2 subset so the same
+# pattern strings run under Spark (Java) and any RE2-based engine
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+?\d{3}[- .]\d{3}[- .]\d{4}", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    content_col: str = "text",
+    out_col: str | None = None,
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Replace PII matches with typed placeholders; adds ``{out_col}`` and a
+    ``n_redactions`` count (pre/post length is not a reliable count, so the
+    count comes from tallying matches before replacement). Pure
+    ``regexp_replace``/``regexp_count`` chain — codegen, no UDF."""
+    out_col = out_col or f"{content_col}_redacted"
+    pats = patterns if patterns is not None else PII_PATTERNS
+    redacted = F.col(content_col)
+    n = F.lit(0).cast("long")
+    for pat, repl in pats:
+        n = n + F.regexp_count(F.col(content_col), F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.withColumn(out_col, redacted).withColumn("n_redactions", n)
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Remove lines that appear (identically) in ≥ ``min_df`` documents —
+    the line-level boilerplate filter. Returns (id, cleaned, n_removed).
+
+    Shape: explode lines with position → md5 line-hash → cross-doc distinct
+    count (the shuffle carries 32-byte hashes) → keep lines under the
+    threshold → reassemble in original order with a per-doc sort inside one
+    aggregation. No global window, no Python."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(content_col), line_sep)).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    # only the FREQUENT lines (the boilerplate set — tiny relative to the
+    # corpus) are broadcast; broadcasting the full line vocabulary would not
+    # survive corpus scale
+    boiler = (
+        lines.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+    )
+    tagged = lines.join(F.broadcast(boiler), "h", "left")
+    kept = tagged.where(F.col("line_df").isNull())
+    removed = tagged.where(F.col("line_df").isNotNull())
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("cleaned")
+    )
+    n_removed = removed.groupBy(id_col).agg(F.count("*").alias("n_removed"))
+    base = df.select(id_col)
+    return (
+        base.join(reassembled, id_col, "left")
+        .join(n_removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    span_len: int = 5,
+    min_df: int = 2,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document count/fraction of token spans (``span_len``-grams) that
+    also occur in ≥ ``min_df`` documents — the exact-substring duplication
+    signal used for contamination checks and boilerplate scoring when the
+    corpus has no line structure. All counting on md5 span hashes."""
+    spans = df.select(
+        F.col(id_col), F.explode(ngram_col(content_col, span_len)).alias("span")
+    ).withColumn("h", F.md5("span"))
+    # shared spans only (df ≥ min_df); joined by shuffle, not broadcast —
+    # unlike line boilerplate, the shared-span set of a web corpus can be
+    # a large fraction of the span vocabulary
+    shared = (
+        spans.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("span_df"))
+        .where(F.col("span_df") >= min_df)
+        .select("h")
+    )
+    tagged = spans.join(shared.withColumn("__shared", F.lit(1)), "h", "left")
+    return tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.coalesce("__shared", F.lit(0)).cast("long")).alias("n_shared"),
+        (
+            F.sum(F.coalesce("__shared", F.lit(0)).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("shared_frac"),
+    )

@@ -207,6 +207,33 @@ def test_corpus_idf_tfidf_ngrams(spark):
     assert all(" " in g.ngram or g.n_occurrences >= 1 for g in grams)
 
 
+def test_strip_repeated_lines_and_redact(spark):
+    from pharmacodi_spark.text.cleaning import redact_pii, strip_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nCOOKIE BANNER\nunique beta"),
+            (2, "COOKIE BANNER\nother text"),
+            (3, "COOKIE BANNER"),
+            (4, "all mine\nentirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in strip_repeated_lines(docs, min_df=2).collect()}
+    assert out[1].cleaned == "unique alpha\nunique beta" and out[1].n_removed == 1
+    assert out[2].cleaned == "other text"
+    assert out[3].cleaned == "" and out[3].n_removed == 1  # fully boilerplate
+    assert out[4].cleaned == "all mine\nentirely" and out[4].n_removed == 0
+
+    pii = spark.createDataFrame(
+        [(1, "mail a.b@x.io and 555-123-4567 from 192.168.0.1 twice a.b@x.io")],
+        ["doc_id", "text"],
+    )
+    r = redact_pii(pii).first()
+    assert r.text_redacted == "mail [EMAIL] and [PHONE] from [IP] twice [EMAIL]"
+    assert r.n_redactions == 4
+
+
 def test_multimodal_stub_plumbing(spark):
     rows = [
         (1, "image", b"\x01\x02\x03\x04", "image/png", 640, 480, None),
