@@ -164,3 +164,74 @@ def combine_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dataset_id").cast("long"),
         "IC50",
     )
+
+
+_SYN_SQL = """
+WITH dim AS (
+  SELECT c_name AS name, CAST(row_number() OVER (ORDER BY c_name) AS BIGINT) AS id
+  FROM (SELECT DISTINCT c_name FROM customer)
+),
+ds AS (
+  SELECT r_name AS name, CAST(row_number() OVER (ORDER BY r_name) AS BIGINT) AS id
+  FROM (SELECT DISTINCT r_name FROM region)
+),
+long AS (
+  SELECT c_name AS uniq, 'AFRICA' AS dataset_name, c_name || '@AF' AS synonym
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION
+  SELECT c_name, 'AMERICA', c_name || '@AM' FROM customer WHERE c_custkey % 3 = 0
+  UNION
+  SELECT c_name, 'ASIA', c_name || '@AS' FROM customer WHERE c_custkey % 5 = 0
+),
+joined AS (
+  SELECT DISTINCT d.id AS cell_id, s.id AS dataset_id, l.synonym
+  FROM long l
+  JOIN dim d ON l.uniq = d.name
+  JOIN ds s ON l.dataset_name = s.name
+)
+SELECT cell_id, dataset_id, synonym,
+       CAST(row_number() OVER (ORDER BY cell_id, dataset_id, synonym) AS BIGINT) AS id
+FROM joined
+"""
+
+
+@q("synonym_pipeline", _SYN_SQL)
+def synonym_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 composition under the oracle gate: the parameterized synonym-table
+    builder (pipelines/enrichment.py::build_synonym_table — the op the
+    reference duplicates 3× in build_synonym_tables.py) run end-to-end on a
+    metadata sheet derived from TPC-H: one wide row per canonical name
+    ("unique.cellid") with per-dataset spelling columns (AFRICA_cellid, ...),
+    melted (R2), dataset-column names regex-cleaned (F1), dim and dataset
+    ids attached via broadcast joins, deduped, dense ids ranked by
+    (cell_id, dataset_id, synonym). The oracle re-derives the whole cascade."""
+    from pharmacodi_spark.operators.keys import surrogate_key
+    from pharmacodi_spark.pipelines.enrichment import build_synonym_table
+
+    cust = _t(spark, sf_dir, "customer")
+    region = _t(spark, sf_dir, "region")
+    dim = surrogate_key(
+        cust.select(F.col("c_name").alias("name")).distinct(), order_by=["name"]
+    )
+    dataset = surrogate_key(
+        region.select(F.col("r_name").alias("name")).distinct(), order_by=["name"]
+    )
+    meta = cust.select(
+        F.col("c_name").alias("unique.cellid"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.concat(F.col("c_name"), F.lit("@AF"))
+        ).alias("AFRICA_cellid"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("@AM"))
+        ).alias("AMERICA_cellid"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.concat(F.col("c_name"), F.lit("@AS"))
+        ).alias("ASIA_cellid"),
+    )
+    out = build_synonym_table(meta, dim, dataset, "cellid", "cell_id")
+    return out.select(
+        F.col("cell_id").cast("long"),
+        F.col("dataset_id").cast("long"),
+        "synonym",
+        F.col("id").cast("long"),
+    )
