@@ -33,17 +33,26 @@ EVENT_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 10,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source event stream with the driver's events schema (json or
     parquet directory being appended to). For parquet fixtures with
     nanosecond timestamps use ``events_ns_to_ts`` after reading with
-    nanosAsLong."""
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .json(path)
+    nanosAsLong.
+
+    Rate limiting: ``max_files_per_trigger`` bounds ingest per micro-batch
+    by file count, ``max_bytes_per_trigger`` by soft byte budget — the
+    admission control that keeps micro-batch state/shuffle sizes flat when
+    a backlog (or bulk backfill) lands in the source directory."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    return reader.json(path)
 
 
 def events_ns_to_ts(df: DataFrame, ns_col: str = "ts") -> DataFrame:
@@ -141,6 +150,76 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType="n long, s double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def session_totals_with_timeout(events: DataFrame, gap_secs: int = 1800) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` with
+    EVENT-TIME TIMEOUT: per-user state accumulates (start, last_ts, count);
+    when the watermark passes last_ts + gap the state times out and the
+    CLOSED session is emitted — the arbitrary-state twin of
+    ``session_window`` for semantics the built-in can't express (e.g.
+    emit-once-on-close, session-scoped counters, abandonment triggers).
+
+    State is one small tuple per in-horizon user — O(active keys); closed
+    sessions leave the store via the timeout, so state does not grow with
+    stream length. Emits only on close (timeout), never per-batch."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_secs * 1000
+
+    def emit(user, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user] * len(sessions),
+                "session_start_ms": [s[0] for s in sessions],
+                "session_end_ms": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield emit(key[0], [(start_ms, last_ms, n)])
+            return
+        ts_ms = []
+        for pdf in pdfs:
+            ts_ms.extend(int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"]))
+        if not ts_ms:
+            return
+        ts_ms.sort()
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        closed = []
+        for t in ts_ms:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_ms:
+                closed.append((start, last, n))  # gap inside the batch
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        # close the open session when the event-time watermark passes
+        # last + gap; the timestamp must stay ahead of the current watermark
+        state.setTimeoutTimestamp(max(last + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield emit(key[0], closed)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, session_start_ms long, session_end_ms long, "
+            "n_events long"
+        ),
+        stateStructType="start_ms long, last_ms long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -187,3 +187,64 @@ def test_interval_stream_join_matches_batch(spark, event_dir):
     b = {(r.l_event_id, r.r_event_id) for r in batch.collect()}
     # append-mode stream emits exactly the batch join result
     assert s == b and len(b) > 0
+
+
+def test_session_timeout_matches_session_window(spark, event_dir):
+    """Custom stateful sessionization (EventTimeTimeout) vs the built-in
+    session_window: every session the stateful operator CLOSES (via gap
+    split or watermark timeout) must exactly match a built-in session row;
+    only trailing sessions still open at end-of-stream may be missing."""
+    from pharmacodi_spark.streaming.ops import session_totals_with_timeout
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    out = session_totals_with_timeout(
+        stream.withWatermark("ts", "10 minutes"), gap_secs=1800
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_timeout_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_ms, r.session_end_ms): r.n_events
+        for r in spark.sql("SELECT * FROM sess_timeout_t").collect()
+    }
+    batch = session_window_agg(_batch_events(spark, event_dir), gap="30 minutes")
+    want = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp() * 1000),
+            # built-in session end = last_ts + gap; ours = last event ts
+            int(r.session_end.timestamp() * 1000) - 1800 * 1000,
+        ): r.n_events
+        for r in batch.collect()
+    }
+    assert len(got) > 0
+    for k, n in got.items():
+        assert k in want and want[k] == n, (k, n)
+    # closed sessions dominate: only per-user trailing sessions may be open
+    n_users = len({u for u, _, _ in want})
+    assert len(got) >= len(want) - n_users
+
+
+def test_rate_limited_source_batches(spark, event_dir):
+    """maxFilesPerTrigger=1 over 3 files must produce 3 input micro-batches
+    (admission control caps per-batch ingest)."""
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_data_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_data_batches == 3, [p["numInputRows"] for p in q.recentProgress]
+    total = spark.sql("SELECT count(*) c FROM rate_t").collect()[0].c
+    assert total == _batch_events(spark, event_dir).count()
