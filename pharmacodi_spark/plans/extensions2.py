@@ -1261,3 +1261,62 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text_redacted"),
         F.col("n_redactions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup end-to-end: minhash → LSH pairs → clusters → keeper drop-list
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fuzzy_dedup_pipeline",
+    """
+    WITH RECURSIVE sig AS (
+      SELECT doc_id,
+             min(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)) AS h0,
+             min(CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)) AS h1,
+             min(CAST(('0x' || substr(md5(shingle), 17, 8)) AS BIGINT)) AS h2,
+             min(CAST(('0x' || substr(md5(shingle), 25, 8)) AS BIGINT)) AS h3
+      FROM (
+        SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks)-4, 1))) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      )
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS v1, h1 AS v2 FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 AS v1, h3 AS v2 FROM sig
+    ),
+    pairs0 AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT u, v FROM pairs0 UNION SELECT v, u FROM pairs0),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component, component = node AS keep FROM comp
+    """,
+)
+def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete fuzzy-dedup path a training-data pipeline runs, in one
+    oracle-gated composition: 5-gram shingles → md5-sliced MinHash (k=4) →
+    LSH banding → bucket-local candidate pairs (plans/extensions.py::
+    minhash_band_pairs) → iterative connected components → min-id keeper
+    per cluster, singletons keeping themselves (text/clusters.py::
+    near_dup_droplist). Filter keep=false for the drop list; the DuckDB
+    oracle re-derives every stage including the transitive closure."""
+    from pharmacodi_spark.plans.extensions import minhash_band_pairs
+    from pharmacodi_spark.text.clusters import near_dup_droplist
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_band_pairs(spark, sf_dir)
+    return near_dup_droplist(ids, pairs)
