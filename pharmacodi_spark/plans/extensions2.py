@@ -1320,3 +1320,106 @@ def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _t(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_band_pairs(spark, sf_dir)
     return near_dup_droplist(ids, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Core OLAP widening: exact quantiles, dispersion from integer sums, cumsum
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "quantiles",
+    """
+    SELECT l_returnflag,
+           floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5) / 10000 AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — both linear interpolation at p·(n-1)). l_quantity is
+    integer-valued, so interpolated values carry ≤1 true decimal and the
+    4-dp floor rounding absorbs the engines' last-ulp differences. At scale
+    use ``percentile_approx`` (t-digest, mergeable map-side) — the exact
+    form here is its referee."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _rnd(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        _rnd(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+    )
+
+
+@q(
+    "dispersion_stats",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(qc) AS BIGINT) AS sum_centi,
+           CAST(sum(qc * qc) AS BIGINT) AS sumsq_centi,
+           floor((CAST(count(*) * sum(qc * qc) - sum(qc) * sum(qc) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * (count(*) - 1)))
+                 / 10000 * 100 + 0.5) / 100 AS variance
+    FROM q GROUP BY l_returnflag
+    """,
+)
+def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev family computed from integer centi-unit power sums
+    (n·Σx² − (Σx)²)/(n(n−1)) — the numerically-explicit form both engines
+    evaluate identically because every sum is an exact integer; the final
+    division is one correctly-rounded double op. Built-in ``stddev_samp``
+    accumulates doubles in partition order and is NOT cross-engine
+    reproducible — this is the portable formulation (and the map-side-
+    mergeable one: power sums combine associatively, exactly the partial-agg
+    shape Spark runs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qc = _rnd(F.col("l_quantity") * 100).cast("long")
+    q = li.select("l_returnflag", qc.alias("qc"))
+    n = F.count("*")
+    s1 = F.sum("qc")
+    s2 = F.sum(F.col("qc") * F.col("qc"))
+    var_centi2 = (n * s2 - s1 * s1).cast("double") / (
+        n.cast("double") * (n - 1)
+    )
+    return q.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.cast("long").alias("sum_centi"),
+        s2.cast("long").alias("sumsq_centi"),
+        _rnd(var_centi2 / 10000, 2).alias("variance"),
+    )
+
+
+@q(
+    "running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_centi
+    FROM orders
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total (W2 cumsum family): centi-quantized
+    long sums over a (customer, date, key) window — exact in both engines.
+    Partitioned by customer: thousands of independent window partitions, no
+    global single-task window (the record_text round-1 hazard class)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    centi = _rnd(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(centi).over(w).cast("long").alias("run_centi"),
+    )
