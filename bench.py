@@ -50,6 +50,10 @@ HEADLINE = HEADLINE_R1 + [
     "range_join",
     "surrogate_key_fact",
     "combine_pipeline",
+    "tfidf_top_terms",
+    "ngram_topk",
+    "ann_ivf_topk",
+    "fuzzy_dedup_pipeline",
 ]
 
 

@@ -1137,7 +1137,9 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
 
     def int_idf(n_docs, df_count):
-        return F.expr(f"CAST({n_docs} * 1000000 AS BIGINT) div df_count")
+        # cast BEFORE multiplying: n_docs * 10^6 overflows 32-bit int at
+        # corpus sizes ≥ ~2150 docs under ANSI arithmetic
+        return F.expr(f"(CAST({n_docs} AS BIGINT) * 1000000) div df_count")
 
     out = tfidf_top_terms(fan_out(d, "doc_id"), k=3, idf_fn=int_idf)
     return out.select(
