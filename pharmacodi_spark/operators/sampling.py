@@ -1,0 +1,64 @@
+"""Deterministic sampling (north star): reproducible corpus subsets.
+
+``DataFrame.sample`` is seeded per-partition and changes with partitioning,
+Spark version, and row order — unusable for reproducible train/eval splits
+or cross-engine verification. Hash-based sampling keys the decision on the
+ROW (md5 of a stable key), so the same row lands in the same split on any
+engine, any partitioning, any day — and the filter is a pure expression
+Catalyst can push toward the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose md5(salt || key) mod 10000 < fraction·10000 —
+    deterministic, engine-portable row selection (~``fraction`` of rows for
+    a hash-uniform key). Different ``salt`` values draw independent
+    samples; disjoint fraction bands of the same salt give disjoint splits
+    (see :func:`hash_split`)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    return df.where(bucket < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: list[float],
+    salt: str = "",
+) -> list[DataFrame]:
+    """Disjoint deterministic splits (e.g. train/val/test = [0.9, 0.05,
+    0.05]): consecutive bucket bands of the same hash, so membership is
+    exclusive and exhaustive up to rounding."""
+    assert abs(sum(fractions) - 1.0) < 1e-9, "fractions must sum to 1"
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    out, lo = [], 0
+    for i, frac in enumerate(fractions):
+        hi = _BUCKETS if i == len(fractions) - 1 else lo + int(frac * _BUCKETS)
+        out.append(df.where((bucket >= lo) & (bucket < hi)))
+        lo = hi
+    return out

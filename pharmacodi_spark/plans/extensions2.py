@@ -1425,3 +1425,63 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(centi).over(w).cast("long").alias("run_centi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F11 date/time kit + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "date_kit",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                AS BIGINT) AS days_to_1999,
+           strftime(o_orderdate, '%Y-%m-%d') AS ymd
+    FROM orders
+    """,
+)
+def date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 date/time breadth: component extraction, month truncation (as
+    epoch micros — timestamps never leave a query raw), day arithmetic, and
+    formatting, with the session pinned to UTC so both engines see the same
+    wall-clock fields."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate")).alias("month_us"),
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_1999"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+    )
+
+
+@q(
+    "hash_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 10000 < 1000
+    """,
+)
+def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample keyed on md5(salt||doc_id)
+    (operators/sampling.py::hash_sample): reproducible on any engine, any
+    partitioning — what DataFrame.sample (partition-seeded RNG) cannot
+    give. The same mechanism yields disjoint train/val/test splits
+    (hash_split, pytest-covered)."""
+    from pharmacodi_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(d, "doc_id", 0.10, salt="s1")

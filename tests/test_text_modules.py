@@ -234,6 +234,26 @@ def test_strip_repeated_lines_and_redact(spark):
     assert r.n_redactions == 4
 
 
+def test_hash_split_disjoint_exhaustive(spark):
+    from pharmacodi_spark.operators.sampling import hash_sample, hash_split
+
+    d = _docs(spark).select("doc_id")
+    n = d.count()
+    train, val, test = hash_split(d, "doc_id", [0.8, 0.1, 0.1])
+    counts = [s.count() for s in (train, val, test)]
+    assert sum(counts) == n  # exhaustive
+    ids = [set(r.doc_id for r in s.collect()) for s in (train, val, test)]
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    assert 0.6 * n < counts[0] < 0.95 * n  # roughly proportional
+    # deterministic: same call → identical membership
+    again = hash_split(d, "doc_id", [0.8, 0.1, 0.1])[1]
+    assert set(r.doc_id for r in again.collect()) == ids[1]
+    # different salt → different draw
+    s_a = set(r.doc_id for r in hash_sample(d, "doc_id", 0.5, "a").collect())
+    s_b = set(r.doc_id for r in hash_sample(d, "doc_id", 0.5, "b").collect())
+    assert s_a != s_b
+
+
 def test_multimodal_stub_plumbing(spark):
     rows = [
         (1, "image", b"\x01\x02\x03\x04", "image/png", 640, 480, None),
