@@ -207,6 +207,45 @@ def save_canonical(
         writer.save(os.path.join(base_dir, table))
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_by: str | None = None,
+) -> None:
+    """Upsert (MERGE) into a parquet path without a table format: rows of
+    ``updates`` replace target rows with the same ``key_cols``; new keys
+    append. The reference's write path is overwrite-whole-table
+    (write_pset_table.py) — this is its incremental counterpart.
+
+    Scale path: with ``partition_by`` + dynamic partition overwrite, ONLY
+    partitions containing updated keys are read, merged, and rewritten —
+    touch 1 of 10 000 partitions and 9 999 stay as-is. Without
+    ``partition_by`` the whole target rewrites (documented cost).
+    The merged frame is ``localCheckpoint``-materialized before the write
+    because Spark cannot overwrite files that are still an input of the
+    running plan."""
+    target = spark.read.parquet(path)
+    if partition_by:
+        affected_parts = updates.select(partition_by).distinct()
+        affected = target.join(F.broadcast(affected_parts), partition_by, "left_semi")
+        keep = affected.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = keep.unionByName(updates).localCheckpoint()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        keep = target.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = keep.unionByName(updates).localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+
+
 def read_pset_catalog(spark: SparkSession, pset_dir: str) -> dict[str, DataFrame]:
     """Directory→catalog scan (S2): list a PSet export directory, split each
     filename on ``$`` into its slot path, strip ``.*@|.csv(.gz)?$|.parquet$|

@@ -102,3 +102,59 @@ def test_fetch_batched_retry(spark):
 
     out = fetch_batched(ids, flaky, "k string", batch_size=10)
     assert out.count() == 1
+
+
+def test_merge_upsert_partitioned(spark, tmp_path):
+    """Dynamic-partition upsert: updated keys replaced, new keys inserted,
+    untouched partitions' files physically untouched."""
+    import os
+    import time as _time
+
+    from pharmacodi_spark.io import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "DS0", 10.0), (2, "DS0", 20.0), (3, "DS1", 30.0), (4, "DS2", 40.0)],
+        ["k", "ds", "v"],
+    )
+    base.write.partitionBy("ds").parquet(path)
+
+    def files(part):
+        d = os.path.join(path, f"ds={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    ds1_before = files("DS1")
+    _time.sleep(1.1)  # mtime resolution guard
+    updates = spark.createDataFrame(
+        [(2, "DS0", 99.0), (5, "DS0", 50.0)], ["k", "ds", "v"]
+    )
+    merge_upsert(spark, path, updates, key_cols=["k"], partition_by="ds")
+
+    rows = {r.k: (r.ds, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {
+        1: ("DS0", 10.0),
+        2: ("DS0", 99.0),   # replaced
+        3: ("DS1", 30.0),   # untouched
+        4: ("DS2", 40.0),   # untouched
+        5: ("DS0", 50.0),   # inserted
+    }
+    assert files("DS1") == ds1_before  # partition not rewritten
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from pharmacodi_spark.io import merge_upsert
+
+    path = str(tmp_path / "flat")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"]).write.parquet(path)
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (3, "c")], ["k", "s"]),
+        key_cols=["k"],
+    )
+    rows = {r.k: r.s for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}

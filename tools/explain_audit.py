@@ -99,6 +99,30 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"Exchange", False,
          "pure per-row projection family — zero shuffles end to end"),
     ],
+    "tfidf_top_terms": [
+        (r"partial_count", True, "term counts partial-aggregate map-side"),
+        (r"BroadcastHashJoin", True, "idf (vocabulary) joins broadcast"),
+        (r"windowspecdefinition\(doc_id", True,
+         "top-k window partitioned per doc — no global window"),
+        (r"SinglePartition", False, "no single-partition stage anywhere"),
+    ],
+    "corpus_idf": [
+        (r"partial_count", True, "doc-frequency partial-aggregates map-side"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>",
+         True, "only (doc_id, text) read — corpus scan is pruned"),
+    ],
+    "running_totals": [
+        (r"windowspecdefinition\(o_custkey", True,
+         "cumsum window partitioned by customer"),
+        (r"SinglePartition", False, "no global single-task window"),
+    ],
+    "quantiles": [
+        (r"partial_percentile", True,
+         "exact percentile still partial-aggregates map-side"),
+    ],
+    "hash_sample": [
+        (r"Exchange", False, "sampling is a pure pushable filter — no shuffle"),
+    ],
 }
 
 
