@@ -233,6 +233,58 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def upsert_sink(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+    order_col: str | None = None,
+):
+    """Streaming keyed sink: maintain a parquet table as the LATEST row per
+    key (CDC-style materialized upsert) via ``foreachBatch`` + the batch
+    merge (io.py::merge_upsert). Each micro-batch is first collapsed to one
+    row per key (max ``order_col`` wins — arrival order inside an
+    unordered batch is not a merge policy), then merged; with
+    ``partition_by`` only affected partitions rewrite.
+
+    Checkpointing gives effectively-once table maintenance: replayed
+    batches re-merge the same keys idempotently. Returns the started
+    StreamingQuery."""
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.io import merge_upsert
+
+    def do_merge(batch: DataFrame, batch_id: int) -> None:
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch = batch.dropDuplicates(key_cols)
+        import os
+
+        if not os.path.exists(path):
+            writer = batch.write
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(path)
+            return
+        merge_upsert(
+            batch.sparkSession, path, batch, key_cols, partition_by=partition_by
+        )
+
+    return (
+        stream.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def interval_stream_join(
     left: DataFrame,
     right: DataFrame,

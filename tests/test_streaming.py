@@ -248,3 +248,31 @@ def test_rate_limited_source_batches(spark, event_dir):
     assert n_data_batches == 3, [p["numInputRows"] for p in q.recentProgress]
     total = spark.sql("SELECT count(*) c FROM rate_t").collect()[0].c
     assert total == _batch_events(spark, event_dir).count()
+
+
+def test_upsert_sink_latest_per_key(spark, event_dir, tmp_path):
+    """foreachBatch keyed sink: the maintained table holds exactly the
+    latest row per user (by event time) after streaming all micro-batches —
+    equal to the batch greatest-ts-per-user query."""
+    from pharmacodi_spark.streaming.ops import upsert_sink
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    table = str(tmp_path / "user_latest")
+    q = upsert_sink(
+        stream.select("user_id", "ts", "event_type", "value"),
+        table,
+        key_cols=["user_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        order_col="ts",
+    )
+    q.awaitTermination(120)
+
+    got = {r.user_id: (r.ts, r.event_type) for r in spark.read.parquet(table).collect()}
+    batch = _batch_events(spark, event_dir)
+    w_latest = (
+        batch.groupBy("user_id")
+        .agg(F.max_by(F.struct("ts", "event_type"), "ts").alias("s"))
+        .select("user_id", "s.ts", "s.event_type")
+    )
+    want = {r.user_id: (r.ts, r.event_type) for r in w_latest.collect()}
+    assert got == want and len(got) > 0
