@@ -1359,35 +1359,40 @@ def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag,
              CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
       FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(qc) AS BIGINT) AS sum_centi,
+             CAST(sum(qc * qc) AS BIGINT) AS sumsq_centi,
+             CAST(sum(qc) AS DOUBLE) / count(*) AS m1,
+             CAST(sum(qc * qc) AS DOUBLE) / count(*) AS m2
+      FROM q GROUP BY l_returnflag
     )
-    SELECT l_returnflag,
-           count(*) AS n,
-           CAST(sum(qc) AS BIGINT) AS sum_centi,
-           CAST(sum(qc * qc) AS BIGINT) AS sumsq_centi,
-           floor((CAST(count(*) * sum(qc * qc) - sum(qc) * sum(qc) AS DOUBLE)
-                  / (CAST(count(*) AS DOUBLE) * (count(*) - 1)))
+    SELECT l_returnflag, n, sum_centi, sumsq_centi,
+           floor(((m2 - m1 * m1) * (CAST(n AS DOUBLE) / (n - 1)))
                  / 10000 * 100 + 0.5) / 100 AS variance
-    FROM q GROUP BY l_returnflag
+    FROM s
     """,
 )
 def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variance/stddev family computed from integer centi-unit power sums
-    (n·Σx² − (Σx)²)/(n(n−1)) — the numerically-explicit form both engines
-    evaluate identically because every sum is an exact integer; the final
-    division is one correctly-rounded double op. Built-in ``stddev_samp``
-    accumulates doubles in partition order and is NOT cross-engine
-    reproducible — this is the portable formulation (and the map-side-
-    mergeable one: power sums combine associatively, exactly the partial-agg
-    shape Spark runs)."""
+    """Variance/stddev family from integer centi-unit power sums, in the
+    MEAN form (Σx²/n − x̄²)·n/(n−1): every integer stays < 2⁶³ at any sf
+    (the n·Σx² − (Σx)² product form overflows signed long around sf1) and
+    both engines run the identical IEEE op sequence on identical integers.
+    Built-in ``stddev_samp`` accumulates doubles in partition order and is
+    NOT cross-engine reproducible — this is the portable formulation (and
+    the map-side-mergeable one: power sums combine associatively, exactly
+    the partial-agg shape Spark runs)."""
     li = _t(spark, sf_dir, "lineitem")
     qc = _rnd(F.col("l_quantity") * 100).cast("long")
     q = li.select("l_returnflag", qc.alias("qc"))
     n = F.count("*")
     s1 = F.sum("qc")
     s2 = F.sum(F.col("qc") * F.col("qc"))
-    var_centi2 = (n * s2 - s1 * s1).cast("double") / (
-        n.cast("double") * (n - 1)
-    )
+    m1 = s1.cast("double") / n
+    m2 = s2.cast("double") / n
+    var_centi2 = (m2 - m1 * m1) * (n.cast("double") / (n - 1))
     return q.groupBy("l_returnflag").agg(
         n.alias("n"),
         s1.cast("long").alias("sum_centi"),
@@ -1485,3 +1490,56 @@ def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return hash_sample(d, "doc_id", 0.10, salt="s1")
+
+
+@q(
+    "ols_slope",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mx,
+             CAST(sum(y) AS DOUBLE) / count(*) AS my,
+             CAST(sum(x * y) AS DOUBLE) / count(*) AS mxy,
+             CAST(sum(x * x) AS DOUBLE) / count(*) AS mxx
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           floor(((mxy - mx * my) / (mxx - mx * mx)) * 10000 + 0.5) / 10000
+             AS slope,
+           floor((my - ((mxy - mx * my) / (mxx - mx * mx)) * mx) * 100 + 0.5) / 100
+             AS intercept_centi
+    FROM s
+    """,
+)
+def ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS from integer centi-unit power sums — the
+    regression/curve-fit family (the reference's AAC/IC50 recomputations
+    are this shape) as ONE aggregation pass: no per-group applyInPandas, no
+    iterative solver; power sums are exact integers that combine
+    associatively map-side. Slope uses the MEAN form
+    (Σxy/n − x̄ȳ)/(Σx²/n − x̄²), not n·Σxy − Σx·Σy: the product form
+    overflows signed long once n·Σxy passes 2⁶³ (≈ sf0.1 here), while the
+    mean form keeps every integer < 2⁶³ and mirrors the identical IEEE
+    division/multiply sequence in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = _rnd(F.col("l_quantity") * 100).cast("long")
+    y = _rnd(F.col("l_extendedprice") * 100).cast("long")
+    q_df = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    n = F.count("*")
+    mx = F.sum("x").cast("double") / n
+    my = F.sum("y").cast("double") / n
+    mxy = F.sum(F.col("x") * F.col("y")).cast("double") / n
+    mxx = F.sum(F.col("x") * F.col("x")).cast("double") / n
+    slope = (mxy - mx * my) / (mxx - mx * mx)
+    return q_df.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        _rnd(slope, 4).alias("slope"),
+        _rnd(my - slope * mx, 2).alias("intercept_centi"),
+    )
