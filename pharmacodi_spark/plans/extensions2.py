@@ -1543,3 +1543,68 @@ def ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd(slope, 4).alias("slope"),
         _rnd(my - slope * mx, 2).alias("intercept_centi"),
     )
+
+
+@q(
+    "window_kit",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_key,
+           CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_key,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_key,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(rank() OVER w AS BIGINT) AS rnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family breadth: lag/lead/first_value/ntile/rank over one per-
+    customer window — one Exchange + one sort serves all five functions
+    (same window spec ⇒ Spark evaluates them in a single Window operator).
+    Partitioned windows only; no global ordering anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).cast("long").alias("prev_key"),
+        F.lead("o_orderkey").over(w).cast("long").alias("next_key"),
+        F.first("o_orderkey").over(w).cast("long").alias("first_key"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )
+
+
+@q(
+    "fuzzy_name_match",
+    """
+    WITH probes AS (
+      SELECT n_name AS probe FROM nation WHERE n_nationkey % 5 = 0
+    ),
+    cand AS (
+      SELECT n.n_name, p.probe, levenshtein(n.n_name, p.probe) AS dist
+      FROM nation n CROSS JOIN probes p
+    )
+    SELECT n_name, probe, CAST(dist AS BIGINT) AS dist
+    FROM cand WHERE dist <= 4 AND n_name != probe
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (Spark ``levenshtein`` ≡ DuckDB
+    ``levenshtein``) — the approximate synonym/name-reconciliation op the
+    reference's synonym tables imply but never had (exact-string joins
+    only). Probe set broadcasts; at corpus scale prefilter with a cheap
+    blocking key (length band or first-letter bucket) before the distance,
+    exactly as the LSH families do for documents."""
+    n = _t(spark, sf_dir, "nation")
+    probes = n.where(F.col("n_nationkey") % 5 == 0).select(
+        F.col("n_name").alias("probe")
+    )
+    cand = n.select("n_name").crossJoin(F.broadcast(probes))
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("n_name"), F.col("probe")).cast("long")
+        )
+        .where((F.col("dist") <= 4) & (F.col("n_name") != F.col("probe")))
+    )
