@@ -45,10 +45,18 @@ def surrogate_key(
 
     cols = [F.asc_nulls_last(c) for c in order_by]
     n = df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint is REQUIRED for correctness, not an optimization: the
+    # tagged frame is consumed twice (offset counts + final join), and
+    # repartitionByRange samples its boundaries per physical evaluation —
+    # if the exchange is not reused (e.g. under a composed plan AQE
+    # re-plans), two evaluations see different boundaries and the
+    # mid-derived ids collide. Freezing one materialized instance makes the
+    # (partition, ordinal) assignment single-valued.
     tagged = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .select("*", F.monotonically_increasing_id().alias("__mid"))
+        .localCheckpoint()
     )
     pid = F.shiftrightunsigned("__mid", 33)
     counts = tagged.groupBy(pid.alias("__pid")).agg(F.count("*").alias("__cnt"))

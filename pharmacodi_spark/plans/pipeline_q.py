@@ -38,7 +38,7 @@ from pharmacodi_spark.pipelines.combine import (
     combine_experiment,
     remap_fact_to_experiment,
 )
-from pharmacodi_spark.plans.queries import q, _t
+from pharmacodi_spark.plans.queries import q, _rnd, _t
 
 _COMBINE_SQL = """
 WITH cell_dim AS (
@@ -234,4 +234,110 @@ def synonym_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dataset_id").cast("long"),
         "synonym",
         F.col("id").cast("long"),
+    )
+
+
+_META_SQL = """
+WITH cust_dim AS (
+  SELECT c_name AS name, CAST(row_number() OVER (ORDER BY c_name) AS BIGINT) AS id
+  FROM (SELECT DISTINCT c_name FROM customer)
+),
+nat_dim AS (
+  SELECT n_name AS name, CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS id
+  FROM (SELECT DISTINCT n_name FROM nation WHERE n_nationkey % 4 != 3)
+),
+fact AS (
+  SELECT o_orderkey, c_name, n_name, o_orderpriority AS mdt,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS centi
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+mapped AS (
+  SELECT f.o_orderkey, cd.id AS cust_id, nd.id AS nat_id, f.mdt, f.centi
+  FROM fact f
+  JOIN cust_dim cd ON f.c_name = cd.name
+  JOIN nat_dim nd ON f.n_name = nd.name
+)
+SELECT CAST(row_number() OVER (ORDER BY cust_id, nat_id, mdt, o_orderkey)
+            AS BIGINT) AS id,
+       cust_id, nat_id, mdt, o_orderkey, centi
+FROM mapped
+"""
+
+
+@q("meta_pipeline", _META_SQL)
+def meta_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The meta-table builder (pipelines/meta.py::build_meta_table — the
+    10⁷–10⁸-row gene_compound_* family) end-to-end: broadcast FK remap of
+    each natural key with required-raise vs warn-drop audit semantics (the
+    nat dim is missing every 4th nation → drop path exercised), then the
+    FACT-SCALE dense primary key (range-repartition surrogate, no global
+    window — dense_global inside build_meta_table) over a tie-broken sort.
+    The oracle re-derives the cascade with a row_number over the same total
+    order, value-checking that the parallel surrogate strategy assigns
+    EXACTLY the rank-in-sort-order ids."""
+    from pharmacodi_spark.pipelines.meta import build_meta_table
+    from pharmacodi_spark.operators.keys import surrogate_key
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    cust_dim = surrogate_key(
+        cust.select(F.col("c_name").alias("name")).distinct(), order_by=["name"]
+    )
+    nat_dim = surrogate_key(
+        nation.where(F.col("n_nationkey") % 4 != 3)
+        .select(F.col("n_name").alias("name"))
+        .distinct(),
+        order_by=["name"],
+    )
+    fact = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "o_orderkey",
+            F.col("c_name").alias("cust_id"),
+            F.col("n_name").alias("nat_id"),
+            F.col("o_orderpriority").alias("mdt"),
+            _rnd(F.col("o_totalprice") * 100).cast("long").alias("centi"),
+        )
+    )
+    table, _audit = build_meta_table(
+        fact,
+        {"cust": cust_dim, "nat": nat_dim},
+        required_fks=["cust"],
+        id_order=["cust_id", "nat_id", "mdt", "o_orderkey"],
+    )
+    return table.select(
+        F.col("id").cast("long"),
+        F.col("cust_id").cast("long"),
+        F.col("nat_id").cast("long"),
+        "mdt",
+        "o_orderkey",
+        "centi",
+    )
+
+
+@q(
+    "salted_join_equiv",
+    """
+    SELECT o_orderkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def salted_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-skew tool under the oracle gate: salted_join (random
+    shard on the skewed side, ``salts``× replication of the other, equi-join
+    on (key, salt)) must produce EXACTLY the plain join's rows — the salt
+    is an execution-topology detail invisible in the result, which is what
+    the hash compare certifies."""
+    from pharmacodi_spark.operators.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return salted_join(orders, cust, on="o_custkey", salts=8).select(
+        "o_orderkey", "c_name"
     )

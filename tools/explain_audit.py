@@ -57,11 +57,17 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "signature self-join)"),
     ],
     "surrogate_key_fact": [
-        (r"rangepartitioning\(l_orderkey", True,
-         "range repartition on the sort key"),
+        (r"Scan ExistingRDD", True,
+         "tagged frame materialized ONCE via localCheckpoint (the range "
+         "exchange + sort + mid assignment live inside it — required so "
+         "offset counts and output see identical partition boundaries; "
+         "re-evaluating a sampled repartitionByRange can shift them)"),
         (r"row_number", False,
          "no row_number window anywhere — local ids from "
          "monotonically_increasing_id's low bits"),
+        (r"windowspecdefinition\((?!__pid)", False,
+         "the only window is the N_partitions-row offset cumsum over "
+         "__pid — never over fact columns"),
         (r"BroadcastHashJoin", True, "partition offsets join back broadcast"),
     ],
     "asof_join": [
