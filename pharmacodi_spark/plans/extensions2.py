@@ -1608,3 +1608,48 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("dist") <= 4) & (F.col("n_name") != F.col("probe")))
     )
+
+
+@q(
+    "regional_revenue",
+    """
+    SELECT r_name, n_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_centi
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join rollup: lineitem⋈orders⋈customer⋈nation⋈
+    region with a pushed order-status filter and per-(region, nation)
+    revenue. The join DAG is the showcase for Catalyst's join planning: the
+    three dims broadcast, lineitem⋈orders co-shuffles on the unique order
+    key, the o_orderstatus predicate pushes into the orders scan, and the
+    revenue expression is quantized per-row BEFORE the sum so both engines
+    aggregate exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = _rnd(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents).cast("long").alias("revenue_centi"),
+        )
+    )

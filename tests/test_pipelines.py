@@ -251,3 +251,33 @@ def test_remap_fk_error_mode(spark, built):
     tbl = a["experiment"].select("experiment_id", "tissue_id")
     with pytest.raises(ValueError, match="unmatched"):
         remap_fk(tbl, dim, "tissue_id", on_miss="error")[0].collect()
+
+
+def test_dense_global_ids_stable_under_composed_plans(spark):
+    """Regression (round 2): dense_global surrogate ids must be a permutation
+    of 1..n equal to the global rank even when the input is a composed plan
+    (joins) whose range exchange Spark may re-evaluate — the tagged frame is
+    checkpoint-frozen precisely so both consumers see one boundary sample."""
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.operators.keys import surrogate_key
+
+    left = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("g")
+    )
+    right = spark.range(0, 97).select(
+        F.col("id").alias("g"), F.concat(F.lit("s"), F.col("id") % 7).alias("tag")
+    )
+    composed = left.join(right, "g")  # join → no trivially-reusable exchange
+    out = surrogate_key(composed, order_by=["tag", "k"], dense_global=True)
+    n = out.count()
+    assert out.select("id").distinct().count() == n
+    lo, hi = out.agg(F.min("id"), F.max("id")).first()
+    assert (lo, hi) == (1, n)
+    w = Window.orderBy(F.asc_nulls_last("tag"), F.asc_nulls_last("k"))
+    bad = (
+        out.withColumn("expect", F.row_number().over(w).cast("long"))
+        .where(F.col("id") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
