@@ -54,6 +54,7 @@ HEADLINE = HEADLINE_R1 + [
     "ngram_topk",
     "ann_ivf_topk",
     "fuzzy_dedup_pipeline",
+    "regional_revenue",
 ]
 
 

@@ -1653,3 +1653,35 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).cast("long").alias("revenue_centi"),
         )
     )
+
+
+@q(
+    "array_kit",
+    """
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_vocab,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                   ['the', 'a', 'of', 'and'])) AS BIGINT)
+             AS n_stop_vocab
+    FROM documents
+    """,
+)
+def array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function kit (the collection algebra reshape/dedup lean on):
+    distinct, sort, membership, intersection — all native higher-order
+    array expressions evaluated per-row with zero shuffles. Distinct output
+    is order-unspecified in both engines, so compared sorted."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    vocab = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.array_sort(vocab).alias("vocab"),
+        F.size(vocab).cast("long").alias("n_vocab"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_intersect(vocab, F.array(*[F.lit(s) for s in ["the", "a", "of", "and"]])))
+        .cast("long")
+        .alias("n_stop_vocab"),
+    )
