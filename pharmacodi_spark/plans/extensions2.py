@@ -1685,3 +1685,45 @@ def array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_stop_vocab"),
     )
+
+
+@q(
+    "interval_join_batch",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type, value
+      FROM events
+    ),
+    c AS (SELECT * FROM e WHERE event_type = 'click'),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id AS l_event_id, c.user_id AS l_key,
+           CAST(c.us AS BIGINT) AS l_us,
+           p.event_id AS r_event_id, CAST(p.us AS BIGINT) AS r_us,
+           p.value AS r_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.us <= c.us
+     AND p.us >= c.us - 1800000000
+    """,
+)
+def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (streaming/ops.py::
+    interval_stream_join — each click matched to same-user purchases within
+    the 30-minute lookback): the SAME function run on batch frames, under
+    the oracle gate. With this, every streaming operator has either an
+    oracle-anchored batch twin or a batch/stream equivalence test, and the
+    interval join now has both (equivalence in tests/test_streaming.py)."""
+    from pharmacodi_spark.streaming.ops import events_ns_to_ts, interval_stream_join
+
+    e = events_ns_to_ts(_t(spark, sf_dir, "events"))
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    out = interval_stream_join(clicks, purchases, lookback="30 minutes")
+    return out.select(
+        "l_event_id",
+        "l_key",
+        F.unix_micros("l_ts").alias("l_us"),
+        "r_event_id",
+        F.unix_micros("r_ts").alias("r_us"),
+        "r_value",
+    )
