@@ -1727,3 +1727,39 @@ def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("r_ts").alias("r_us"),
         "r_value",
     )
+
+
+@q(
+    "incremental_dedup",
+    """
+    WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+    new AS (SELECT * FROM documents WHERE doc_id >= 250),
+    self_dedup AS (
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+               md5(text) AS h
+        FROM new
+      ) WHERE rn = 1 AND h NOT IN (SELECT h FROM corpus)
+    )
+    SELECT doc_id, lang, source FROM self_dedup
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (text/incremental.py): the daily-ingest path —
+    corpus keeps only its content-hash index (doc_id < 250 here); the new
+    batch (doc_id ≥ 250) self-dedupes (min id per content wins) then
+    anti-joins the index. Corpus text is never re-read; shuffles carry
+    32-byte hashes. The LSH-bucket incremental variant
+    (incremental_near_dup_flags) is pytest-covered — xxhash64 band cells
+    have no DuckDB twin."""
+    from pharmacodi_spark.text.incremental import (
+        content_hashes,
+        incremental_exact_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 250)
+    new = d.where(F.col("doc_id") >= 250)
+    out = incremental_exact_dedup(new, content_hashes(corpus))
+    return out.select("doc_id", "lang", "source")

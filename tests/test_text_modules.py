@@ -254,6 +254,33 @@ def test_hash_split_disjoint_exhaustive(spark):
     assert s_a != s_b
 
 
+def test_incremental_near_dup_flags(spark):
+    """LSH incremental path: docs duplicated from the corpus flag as
+    candidates via band-bucket hits; unrelated docs don't."""
+    from pharmacodi_spark.text.incremental import (
+        band_buckets,
+        incremental_near_dup_flags,
+    )
+
+    d = _docs(spark)
+    corpus = d.where(F.col("doc_id") < 250)
+    # new batch: 10 exact copies of corpus docs (ids shifted) + 10 fresh docs
+    dup = corpus.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    fresh = d.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 260)).select(
+        "doc_id", "text"
+    )
+    new = dup.unionByName(fresh)
+    idx = band_buckets(corpus)
+    flags = {
+        r.doc_id: r.near_dup_candidate
+        for r in incremental_near_dup_flags(new, idx).collect()
+    }
+    assert all(flags[10_000 + i] for i in range(10))  # copies must flag
+    assert len(flags) == 20
+
+
 def test_multimodal_stub_plumbing(spark):
     rows = [
         (1, "image", b"\x01\x02\x03\x04", "image/png", 640, 480, None),
