@@ -124,3 +124,63 @@ def test_salted_join_keyset_invariant(spark, salts):
         salted_join(left, right, "k", salts=salts).count()
         == left.join(right, "k").count()
     )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Label-propagation CC over arbitrary small graphs ≡ a driver-side
+    union-find referee (min label per component)."""
+    from pharmacodi_spark.text.clusters import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expect
+
+
+@given(
+    cut=st.integers(1, 99),
+    n=st.integers(20, 120),
+)
+@SETTINGS
+def test_hash_split_partition_property(spark, cut, n):
+    """For ANY two-way fraction split and ANY id set: disjoint, exhaustive,
+    and deterministic across invocations."""
+    from pharmacodi_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i * 7 + 1,) for i in range(n)], ["k"])
+    f = cut / 100.0
+    a, b = hash_split(df, "k", [f, 1.0 - f])
+    ids_a = {r.k for r in a.collect()}
+    ids_b = {r.k for r in b.collect()}
+    assert not (ids_a & ids_b)
+    assert len(ids_a) + len(ids_b) == n
+    a2, _ = hash_split(df, "k", [f, 1.0 - f])
+    assert {r.k for r in a2.collect()} == ids_a
