@@ -1763,3 +1763,57 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.where(F.col("doc_id") >= 250)
     out = incremental_exact_dedup(new, content_hashes(corpus))
     return out.select("doc_id", "lang", "source")
+
+
+@q(
+    "conversion_funnel",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type
+      FROM events
+    ),
+    clickers AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'click'),
+    converted AS (
+      SELECT DISTINCT c.user_id
+      FROM e c JOIN e p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.us >= c.us AND p.us <= c.us + 1800000000
+    )
+    SELECT CAST((SELECT count(*) FROM clickers) AS BIGINT) AS n_clickers,
+           CAST((SELECT count(*) FROM converted) AS BIGINT) AS n_converted,
+           CAST((SELECT count(*) FROM converted) AS DOUBLE)
+             / (SELECT count(*) FROM clickers) AS conversion_rate
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics: distinct users with a click, the subset purchasing
+    within 30 minutes AFTER some click, and the exact conversion ratio
+    (long/long division — IEEE-identical both engines). The interval
+    condition is the same bounded shape as the stream-stream join, so at
+    scale the state/bucketing arguments carry over; here the distinct-user
+    rollup keeps the shuffle at (user_id) width."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "us")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("us").alias("p_us")
+    )
+    clickers = clicks.select("user_id").distinct()
+    converted = (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user)
+            & (purchases.p_us >= clicks.us)
+            & (purchases.p_us <= clicks.us + 1_800_000_000),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_c = clickers.count()
+    n_v = converted.count()
+    return spark.createDataFrame(
+        [(n_c, n_v, float(n_v) / n_c)],
+        "n_clickers long, n_converted long, conversion_rate double",
+    )
