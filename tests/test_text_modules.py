@@ -299,3 +299,27 @@ def test_multimodal_stub_plumbing(spark):
     assert frames.count() == 4  # video only: ts 0,1000,2000,3000
     resized = resize_plan(media, max_side=256).where(F.col("media_id") == 2).first()
     assert max(resized.target_w, resized.target_h) == 256
+
+
+def test_hll_sketch_merge_and_accuracy(spark):
+    """HLL distinct sketches: per-slice sketches merged give (a) the same
+    estimate as one global sketch (merge associativity) and (b) an estimate
+    within 5% of the exact distinct count."""
+    from pharmacodi_spark.operators.sketches import (
+        distinct_sketch,
+        merge_sketches,
+        sketch_estimate,
+    )
+
+    df = spark.range(0, 50_000).select(
+        (F.col("id") % 7919).alias("v"), (F.col("id") % 4).alias("slice")
+    )
+    exact = df.select("v").distinct().count()
+
+    per_slice = distinct_sketch(df, "v", by=["slice"])
+    merged_est = merge_sketches(per_slice).select(sketch_estimate()).first()[0]
+    global_est = (
+        distinct_sketch(df, "v").select(sketch_estimate()).first()[0]
+    )
+    assert merged_est == global_est  # merge ≡ one-pass build
+    assert abs(merged_est - exact) / exact < 0.05
