@@ -129,6 +129,13 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
     "hash_sample": [
         (r"Exchange", False, "sampling is a pure pushable filter — no shuffle"),
     ],
+    "regional_revenue": [
+        (r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)", True,
+         "status predicate pushed into the orders scan"),
+        (r"ShuffledHashJoin", True, "lineitem⋈orders co-shuffles, no sort"),
+        (r"SortMergeJoin", False, "no sort-merge in the 5-table DAG"),
+        (r"BroadcastHashJoin", True, "customer/nation/region broadcast"),
+    ],
 }
 
 
