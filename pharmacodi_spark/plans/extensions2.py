@@ -1577,6 +1577,43 @@ def window_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (the grouped sibling of ``top_k_orders``'s global
+    TakeOrderedAndProject): row_number over a per-priority window with a
+    deterministic key tiebreak, filtered to k=3. Scale shape: column pruning
+    leaves a (group, sort-key, id) shuffle — no payload columns ride the
+    Exchange; AQE splits skewed groups across the sort. For tiny k over
+    huge groups the next step is a threshold prefilter (estimate the k-th
+    value per group with a sketch, filter, exact window on survivors) —
+    documented, not needed at this cardinality."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@q(
     "fuzzy_name_match",
     """
     WITH probes AS (
@@ -1816,4 +1853,65 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_c, n_v, float(n_v) / n_c)],
         "n_clickers long, n_converted long, conversion_rate double",
+    )
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_ns(ts) // 1000 // 604800000000 AS BIGINT) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+    sz AS (SELECT cohort_wk, count(*) AS cohort_size
+           FROM cohort GROUP BY cohort_wk),
+    act AS (
+      SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+             count(*) AS n_active
+      FROM uw JOIN cohort c ON uw.user_id = c.user_id
+      GROUP BY c.cohort_wk, uw.wk - c.cohort_wk
+    )
+    SELECT a.cohort_wk, a.week_offset,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM act a JOIN sz s ON a.cohort_wk = s.cohort_wk
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analytics (the classic triangle): users are cohorted
+    by the epoch-week of their first purchase; each later purchase-active
+    week counts
+    toward (cohort, offset) with retention = active / cohort size as an exact
+    long/long IEEE division. Scale shape: the only wide shuffle carries
+    (user_id, week) pairs — events collapse to user-weeks FIRST, so the
+    cohort-assignment join and min-week agg run on |users|·|weeks| rows, not
+    |events|; the cohort-size table is O(weeks) and broadcast. Week index is
+    pure integer division of the event-time microseconds, identical in both
+    engines (timestamps are positive)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("ts div 1000 div 604800000000").alias("wk"))
+    )
+    uw = ev.distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    sz = cohort.groupBy("cohort_wk").agg(F.count("*").alias("cohort_size"))
+    return act.join(F.broadcast(sz), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
     )
