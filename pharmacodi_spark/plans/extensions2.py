@@ -1207,6 +1207,55 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_stats(fan_out(d, "doc_id"), span_len=5, min_df=2)
 
 
+@q(
+    "span_scrub",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS s
+            FROM toks),
+    spans AS (SELECT doc_id, s, array_to_string(t[s:s+4], ' ') AS span FROM idx),
+    shared AS (
+      SELECT span FROM (
+        SELECT span, count(DISTINCT doc_id) AS span_df FROM spans GROUP BY span
+      ) WHERE span_df >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT sp.doc_id, sp.s + u.o AS pos
+      FROM spans sp JOIN shared USING (span),
+           UNNEST(generate_series(0, 4)) AS u(o)
+    ),
+    tok AS (SELECT doc_id, s AS pos, t[s] AS tok
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS s
+                  FROM toks)),
+    kept AS (SELECT doc_id, pos, tok FROM tok ANTI JOIN covered USING (doc_id, pos)),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.scrubbed, '') AS scrubbed,
+           CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+             AS n_masked
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN tot t USING (doc_id)
+    """,
+)
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrubbing (text/cleaning.py::scrub_shared_spans,
+    span_len=5, min_df=2): every token covered by a cross-document repeated
+    5-gram is removed, the rest of the document survives in order — the
+    span-mask edit built on the ``repeated_spans`` signal. Spark side masks
+    by md5 span hash (shuffles carry hashes and (id, pos, token) rows, never
+    bodies); the oracle re-derives by span string — identical grouping,
+    value-checked including the reassembled text."""
+    from pharmacodi_spark.text.cleaning import scrub_shared_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_shared_spans(fan_out(d, "doc_id"), span_len=5, min_df=2)
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?\d{3}[- .]\d{3}[- .]\d{4}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

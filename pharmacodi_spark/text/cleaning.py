@@ -96,6 +96,86 @@ def strip_repeated_lines(
     )
 
 
+def scrub_shared_spans(
+    df: DataFrame,
+    span_len: int = 5,
+    min_df: int = 2,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring scrubbing: remove every token covered by a span
+    (``span_len``-gram) that also occurs in ≥ ``min_df`` documents, keeping
+    the rest of the document intact — the suffix-automaton-free substring
+    dedup (the ``repeated_span_stats`` signal turned into an edit). Returns
+    (id, scrubbed, n_tokens, n_masked).
+
+    Shape: spans with start positions → md5 hash → cross-doc distinct count
+    (shuffle carries 32-byte hashes) → shared-span occurrences expand to a
+    covered-position set → tokens anti-join the mask → reassemble in order
+    inside one aggregation. No global window, no Python, and document text
+    never rides a shuffle — only (id, pos, token) rows do."""
+    toks_expr = F.split(F.col(content_col), r"\s+")
+    docs = df.select(F.col(id_col), toks_expr.alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("toks")) - (span_len - 1), F.lit(1))
+    )
+    spans = docs.select(
+        F.col(id_col), F.explode(starts).alias("s"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("s"), span_len), " ")
+        ).alias("h"),
+    )
+    shared = (
+        spans.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("span_df"))
+        .where(F.col("span_df") >= min_df)
+        .select("h")
+    )
+    covered = (
+        spans.join(shared, "h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (span_len - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        F.col(id_col), F.posexplode(toks_expr).alias("pos0", "tok")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokens.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias("scrubbed"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = tokens.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("scrubbed", F.lit("")).alias("scrubbed"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_masked"),
+        )
+    )
+
+
 def repeated_span_stats(
     df: DataFrame,
     span_len: int = 5,

@@ -234,6 +234,32 @@ def test_strip_repeated_lines_and_redact(spark):
     assert r.n_redactions == 4
 
 
+def test_scrub_shared_spans(spark):
+    from pharmacodi_spark.text.cleaning import scrub_shared_spans
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon"),
+            (3, "entirely original text with no repeats anywhere at all"),
+            (4, "tiny doc"),  # shorter than span_len
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub_shared_spans(docs, span_len=5, min_df=2).collect()
+    }
+    # the shared 5-gram is masked wherever it occurs; the rest survives in order
+    assert out[1].scrubbed == "alpha beta gamma" and out[1].n_masked == 5
+    assert out[2].scrubbed == "delta epsilon" and out[2].n_masked == 5
+    assert out[1].n_tokens == 8 and out[2].n_tokens == 7
+    # untouched docs come back verbatim, including the sub-span-length one
+    assert out[3].n_masked == 0 and out[3].scrubbed.startswith("entirely")
+    assert out[4].scrubbed == "tiny doc" and out[4].n_masked == 0
+
+
 def test_hash_split_disjoint_exhaustive(spark):
     from pharmacodi_spark.operators.sampling import hash_sample, hash_split
 
