@@ -1070,6 +1070,80 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ann_pq_topk",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, u.m, qe[u.m*16+1:(u.m+1)*16] AS sv
+      FROM q, UNNEST(generate_series(0, 3)) AS u(m)
+    ),
+    cb AS (SELECT m, vec_id AS k, sv AS csv FROM sub WHERE vec_id < 8),
+    enc AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(list_zip(s.sv, c.csv),
+                                                 z -> (z[1]-z[2])*(z[1]-z[2]))),
+                          c.k) AS rn
+        FROM sub s JOIN cb c ON s.m = c.m
+      ) WHERE rn = 1
+    ),
+    qsub AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 42),
+    tab AS (
+      SELECT c.m, c.k,
+             list_sum(list_transform(list_zip(v.qsv, c.csv),
+                                     z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2q
+      FROM cb c JOIN qsub v ON c.m = v.m
+    ),
+    adc AS (
+      SELECT e.vec_id, sum(t.d2q) AS d2_adc
+      FROM enc e JOIN tab t ON e.m = t.m AND e.k = t.k
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, CAST(d2_adc AS BIGINT) AS d2_adc
+    FROM adc ORDER BY d2_adc, vec_id LIMIT 10
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the oracle gate (text/similarity.py::
+    pq_encode + pq_adc_topk, M=4 subspaces × K=8 codes over 64-dim
+    integer-quantized embeddings): codes = per-subspace squared-L2 argmin
+    against a deterministic codebook built from the first 8 corpus vectors
+    (SQL-reproducible stand-in for the per-subspace k-means|| production
+    path, train_pq_codebooks — pytest-covered); the probe sums M
+    driver-precomputed table lookups per row (asymmetric distance), never
+    touching the original vectors. Every distance is an exact integer-valued
+    double < 2^53, so ranking matches DuckDB bit-for-bit."""
+    from pharmacodi_spark.text.similarity import pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: _rnd(x.cast("double") * 10000)
+        ).alias("qe"),
+    )
+    seed_rows = qe.where(F.col("vec_id") < 8).collect()
+    dsub = 64 // 4
+    codebooks = [
+        [
+            list(r.qe[m * dsub : (m + 1) * dsub])
+            for r in sorted(seed_rows, key=lambda r: r.vec_id)
+        ]
+        for m in range(4)
+    ]
+    query = list(qe.where(F.col("vec_id") == 42).collect()[0].qe)
+    out = pq_adc_topk(qe, codebooks, query, k=10, vec_col="qe")
+    return out.select("vec_id", F.col("d2_adc").cast("long").alias("d2_adc"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level text stats (text/corpus.py): IDF, TF-IDF top terms, n-grams
 # ---------------------------------------------------------------------------

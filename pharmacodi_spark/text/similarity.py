@@ -163,6 +163,119 @@ def ivf_topk(
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m_subspaces: int = 4,
+    k_codes: int = 32,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Product-quantization index build: split the vector into ``m_subspaces``
+    contiguous subvectors and train one k-means|| codebook per subspace.
+    Returns codebooks[m][k] = centroid subvector — driver-resident index
+    metadata (m·k·(dim/m) floats, a few KB), exactly like the IVF coarse
+    quantizer. Training is distributed; only centroids come back."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    v = _as_double(F.col(vec_col))
+    books: list[list[list[float]]] = []
+    for m in range(m_subspaces):
+        feats = df.select(
+            array_to_vector(F.slice(v, m * dsub + 1, dsub)).alias("features")
+        )
+        model = KMeans(
+            k=k_codes, seed=seed + m, maxIter=max_iter, initMode="k-means||"
+        ).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as M codebook indices (squared-L2 argmin per
+    subspace, ties → lower code). The 100 TB memory story: M small ints
+    replace 4·dim bytes per vector — a 64-dim float corpus compresses 64×
+    at M=4, and the scan side of a probe reads only the code column.
+    Native slice + array_min argmin; no UDF, no shuffle."""
+    v = _as_double(F.col(vec_col))
+    codes = []
+    for m, book in enumerate(codebooks):
+        dsub = len(book[0])
+        sub = F.slice(v, m * dsub + 1, dsub)
+        pairs = [
+            F.struct(
+                _sq_l2(sub, F.lit(entry).cast("array<double>")).alias("d2"),
+                F.lit(kk).alias("i"),
+            )
+            for kk, entry in enumerate(book)
+        ]
+        codes.append(F.array_min(F.array(*pairs))["i"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays un-quantized; the driver
+    precomputes the M×K table of (query subvector ↔ codebook entry) squared
+    distances, ships it as a plan literal, and each row's approximate
+    distance is M table lookups summed — no per-row vector math at probe
+    time. Pass ``code_col`` to scan a pre-encoded corpus (the production
+    path: encode once at ingest, probe from codes alone); otherwise encodes
+    on the fly. Exact-integer note: with integer-valued inputs every table
+    cell and sum stays < 2^53, so ranking is engine-deterministic."""
+    m_subspaces = len(codebooks)
+    dsub = len(codebooks[0][0])
+    tables = [
+        [
+            sum(
+                (x - y) ** 2
+                for x, y in zip(query[m * dsub : (m + 1) * dsub], entry)
+            )
+            for entry in book
+        ]
+        for m, book in enumerate(codebooks)
+    ]
+    if code_col is None:
+        df = pq_encode(df, codebooks, vec_col, "pq_code")
+        code_col = "pq_code"
+    d2 = None
+    for m in range(m_subspaces):
+        term = F.get(
+            F.lit(tables[m]).cast("array<double>"), F.col(code_col)[m]
+        )
+        d2 = term if d2 is None else d2 + term
+    return (
+        df.select(F.col(id_col), d2.alias("d2_adc"))
+        .orderBy(F.col("d2_adc").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],

@@ -234,6 +234,47 @@ def test_strip_repeated_lines_and_redact(spark):
     assert r.n_redactions == 4
 
 
+def test_pq_encode_adc(spark):
+    from pharmacodi_spark.text.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    # 4-dim vectors, M=2 subspaces; explicit codebooks → hand-checkable codes
+    books = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 5.0], [5.0, 0.0]],
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0, 4.0]),
+            (2, [9.0, 10.0, 5.0, 1.0]),
+            (3, [10.0, 10.0, 0.0, 5.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    enc = {r.vec_id: list(r.pq_code) for r in pq_encode(df, books).collect()}
+    assert enc == {1: [0, 0], 2: [1, 1], 3: [1, 0]}
+    # ADC: query equal to a codebook-pure vector ranks its encoding at d2=0
+    out = pq_adc_topk(df, books, [10.0, 10.0, 0.0, 5.0], k=3).collect()
+    assert [r.vec_id for r in out] == [3, 2, 1]
+    assert out[0].d2_adc == 0.0 and out[1].d2_adc == 50.0
+    # pre-encoded corpus path (probe never touches the vectors)
+    pre = pq_encode(df, books)
+    out2 = pq_adc_topk(
+        pre, books, [10.0, 10.0, 0.0, 5.0], k=3, code_col="pq_code"
+    ).collect()
+    assert [(r.vec_id, r.d2_adc) for r in out2] == [
+        (r.vec_id, r.d2_adc) for r in out
+    ]
+    # production index build: per-subspace k-means|| codebooks, right shape
+    books2 = train_pq_codebooks(df, m_subspaces=2, k_codes=2)
+    assert len(books2) == 2 and all(
+        len(b) == 2 and len(b[0]) == 2 for b in books2
+    )
+
+
 def test_scrub_shared_spans(spark):
     from pharmacodi_spark.text.cleaning import scrub_shared_spans
 

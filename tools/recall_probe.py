@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""ANN recall@k probe: regenerate RECALL.md.
+
+The oracle gate proves each ANN variant computes exactly what it claims;
+this probe measures the thing an ANN user actually cares about — how much
+of the TRUE top-k each approximate method recovers, and what the probe
+costs relative to brute force. Runs at $SPARK_GRAFT_SF_DIR (default sf0.1,
+5k × 64-dim embeddings): ground truth = exact cosine top-10 per query;
+methods = hyperplane-LSH bucket probe (multi-probe Hamming radius 1/2),
+IVF with k-means|| centroids (nprobe 1/2/4), and PQ asymmetric-distance
+scan (M=4 × K=32 per-subspace k-means|| codebooks).
+
+Absolute times are local[32] and only relative cost matters; recall is the
+fraction of the exact top-10 ids recovered, averaged over the query set.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.session import get_spark
+from pharmacodi_spark.text.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+    pq_adc_topk,
+    train_ivf_centroids,
+    train_pq_codebooks,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+N_QUERIES = 8
+
+
+def main() -> None:
+    spark = get_spark(app_name="recall_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    emb = emb.repartition(32).localCheckpoint()  # freeze: one scan, reused by every probe
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    qids = [int(i * n / N_QUERIES) + 7 for i in range(N_QUERIES)]
+    queries = {
+        r.vec_id: list(r.embedding)
+        for r in emb.where(F.col("vec_id").isin(qids)).collect()
+    }
+
+    # ---- index builds (timed separately: amortized once per corpus) ----
+    t0 = time.perf_counter()
+    centroids = train_ivf_centroids(emb, n_centroids=64)
+    t_ivf_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    books = train_pq_codebooks(emb, m_subspaces=4, k_codes=32)
+    t_pq_build = time.perf_counter() - t0
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(12)]
+
+    truth: dict[int, set[int]] = {}
+    t0 = time.perf_counter()
+    for qid, qv in queries.items():
+        truth[qid] = {r.vec_id for r in cosine_topk(emb, qv, K).collect()}
+    t_exact = time.perf_counter() - t0
+
+    methods = {
+        "lsh_h1": lambda qv: lsh_bucket_topk(emb, qv, planes, K, probe_hamming=1),
+        "lsh_h2": lambda qv: lsh_bucket_topk(emb, qv, planes, K, probe_hamming=2),
+        "ivf_np1": lambda qv: ivf_topk(emb, centroids, qv, K, nprobe=1),
+        "ivf_np2": lambda qv: ivf_topk(emb, centroids, qv, K, nprobe=2),
+        "ivf_np4": lambda qv: ivf_topk(emb, centroids, qv, K, nprobe=4),
+        "pq_adc": lambda qv: pq_adc_topk(emb, books, qv, K),
+        # the standard production shape: wide approximate candidate set from
+        # codes alone, then exact re-rank of just those rows
+        "pq_adc_rerank": lambda qv: cosine_topk(
+            emb.join(
+                pq_adc_topk(emb, books, qv, 10 * K).select("vec_id"), "vec_id"
+            ),
+            qv,
+            K,
+        ),
+    }
+    rows = []
+    for name, fn in methods.items():
+        t0 = time.perf_counter()
+        hits = 0
+        for qid, qv in queries.items():
+            got = {r.vec_id for r in fn(qv).collect()}
+            hits += len(got & truth[qid])
+        dt = time.perf_counter() - t0
+        rows.append((name, hits / (K * len(queries)), dt))
+
+    lines = [
+        "# RECALL — ANN recall@10 vs exact cosine (tools/recall_probe.py)",
+        "",
+        f"Corpus: {n} × {dim}-dim embeddings ({SF_DIR}), {len(queries)} probe",
+        f"queries, k={K}. Ground truth = brute-force cosine "
+        f"({t_exact / len(queries):.2f} s/query). Index builds: IVF k-means|| "
+        f"64 centroids {t_ivf_build:.1f} s; PQ 4×32 codebooks {t_pq_build:.1f} s "
+        "(amortized once per corpus, not per probe).",
+        "",
+        "| method | recall@10 | s/query | notes |",
+        "|---|---|---|---|",
+    ]
+    notes = {
+        "lsh_h1": "12 hyperplanes, probe Hamming ≤1 (13/4096 buckets)",
+        "lsh_h2": "probe Hamming ≤2 (79/4096 buckets)",
+        "ivf_np1": "scan 1/64 cells",
+        "ivf_np2": "scan 2/64 cells",
+        "ivf_np4": "scan 4/64 cells",
+        "pq_adc": "full scan of 4-byte codes, table lookups only",
+        "pq_adc_rerank": f"PQ top-{10 * K} candidates → exact cosine re-rank",
+    }
+    for name, rec, dt in rows:
+        lines.append(
+            f"| {name} | {rec:.2f} | {dt / len(queries):.2f} | {notes[name]} |"
+        )
+    lines += [
+        "",
+        "Reading: recall rises with probe width (Hamming radius / nprobe) at",
+        "proportional scan cost — the knob a 100 TB deployment tunes; the",
+        "PQ→exact-re-rank row shows the standard recovery pipeline (codes",
+        "prune, exact math only on the candidate set). Absolute recall is",
+        "structurally depressed here: the fixture embeddings are synthetic",
+        "i.i.d. draws, so pairwise distances concentrate (no cluster",
+        "structure) — the adversarial case for any space-partitioning index.",
+        "On real embedding corpora (which cluster), the same knobs sit far",
+        "higher on the recall/cost curve. Exact brute force is the",
+        "recall=1.00 / full-scan reference point.",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
