@@ -223,6 +223,48 @@ def session_totals_with_timeout(events: DataFrame, gap_secs: int = 1800) -> Data
     )
 
 
+def counters_with_ttl(events: DataFrame, ttl_secs: int = 3600) -> DataFrame:
+    """Per-user running totals with PROCESSING-TIME TTL eviction
+    (``applyInPandasWithState`` + ProcessingTimeTimeout — the timeout family
+    sibling of ``session_totals_with_timeout``'s EventTimeTimeout): a key
+    idle for ``ttl_secs`` of wall-clock time is dropped from the state
+    store; if it returns later, its totals restart — cache semantics.
+
+    This is the bounded-state knob for workloads where event-time
+    watermarks don't apply (no usable event-time column, keys with no
+    session structure) but cold keys must not accumulate forever: state
+    stays O(keys active within the TTL horizon) instead of O(all keys
+    ever). With ``ttl_secs`` far beyond the stream's duration nothing
+    evicts and emissions equal ``running_user_totals`` exactly — the
+    equivalence the test asserts; eviction is exercised separately."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        # Spark requires a strictly positive duration; ttl 0 ⇒ 1 ms (evict
+        # at the first timeout sweep after this micro-batch)
+        state.setTimeoutDuration(max(ttl_secs * 1000, 1))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -162,6 +162,135 @@ def test_stateful_running_totals_matches_batch(spark, event_dir):
     assert s == b and len(s) > 0
 
 
+def test_stateful_ttl_counters_matches_batch(spark, event_dir, tmp_path):
+    """ProcessingTimeTimeout stateful op: with a TTL far beyond the run's
+    wall-clock nothing evicts, so the final emission per user must equal the
+    batch totals exactly (same contract as the NoTimeout running totals);
+    the eviction branch is exercised with a 0-second TTL, where every key
+    times out between micro-batches and per-batch emissions reset — totals
+    never exceed the batch value and every user still appears."""
+    from pharmacodi_spark.streaming.ops import counters_with_ttl
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = (
+        counters_with_ttl(stream, ttl_secs=3600)
+        .writeStream.format("memory")
+        .queryName("ttl_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n_events,
+               max_by(sum_value, n_events) AS sum_value
+        FROM ttl_t GROUP BY user_id
+        """
+    )
+    s = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in out.collect()}
+    batch = (
+        _batch_events(spark, event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    b = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+    # eviction branch needs a key that goes idle for a whole micro-batch
+    # (keys receiving data are never timed out): user 1 skips the middle
+    # file, so its timer fires during batch 1 and its totals restart in
+    # batch 2 — max emission 2, not the lifetime 4. user 2 never idles and
+    # keeps its full running total.
+    import json as _json
+    import os
+
+    ttl_dir = str(tmp_path / "ttl_evict_fixture")
+    os.makedirs(ttl_dir, exist_ok=True)
+    files = {
+        0: [(1, "2024-01-01T00:00:00.000000"), (1, "2024-01-01T00:01:00.000000"),
+            (2, "2024-01-01T00:02:00.000000")],
+        1: [(2, "2024-01-01T01:00:00.000000")],
+        2: [(1, "2024-01-01T02:00:00.000000"), (1, "2024-01-01T02:01:00.000000"),
+            (2, "2024-01-01T02:02:00.000000")],
+    }
+    for i, rows in files.items():
+        with open(f"{ttl_dir}/part-{i}.json", "w") as f:
+            for j, (uid, ts) in enumerate(rows):
+                f.write(_json.dumps({
+                    "event_id": i * 10 + j, "ts": ts, "user_id": uid,
+                    "event_type": "click", "value": 1.0, "props": "{}",
+                }) + "\n")
+    stream0 = read_event_stream(spark, ttl_dir, max_files_per_trigger=1)
+    q2 = (
+        counters_with_ttl(stream0, ttl_secs=0)
+        .writeStream.format("memory")
+        .queryName("ttl0_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    out0 = spark.sql("SELECT user_id, max(n_events) AS n FROM ttl0_t GROUP BY user_id")
+    s0 = {r.user_id: r.n for r in out0.collect()}
+    assert s0[1] == 2  # evicted while idle in batch 1, restarted in batch 2
+    assert s0[2] == 3  # never idle, full running total
+
+
+def test_upsert_sink_exactly_once_replay(spark, event_dir, tmp_path):
+    """Forced micro-batch replay (ROADMAP r2 item 4): delete the LAST commit
+    marker from the sink's checkpoint after a completed run — on restart
+    Structured Streaming re-executes that micro-batch through foreachBatch
+    with the same batch data. The merge must be idempotent: the maintained
+    table still equals the batch latest-per-key result, with no duplicated
+    keys."""
+    import os
+
+    from pharmacodi_spark.streaming.ops import upsert_sink
+
+    table = str(tmp_path / "user_latest")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+        q = upsert_sink(
+            stream.select("user_id", "ts", "event_type", "value"),
+            table,
+            key_cols=["user_id"],
+            checkpoint_dir=ckpt,
+            order_col="ts",
+        )
+        # block until the availableNow run fully terminates — a timed wait
+        # can return early and leave the query holding the checkpoint, which
+        # the restart would then see as a concurrent user
+        q.awaitTermination()
+
+    run()
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    assert len(commits) >= 3  # one per micro-batch file
+    os.remove(f"{ckpt}/commits/{commits[-1]}")  # simulate crash pre-commit
+    # also drop Hadoop's checksum sidecar: a stale .crc makes the replayed
+    # commit's atomic rename look like a concurrent writer
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # replays the uncommitted batch through foreachBatch
+
+    got = spark.read.parquet(table)
+    assert got.count() == got.select("user_id").distinct().count()
+    batch = _batch_events(spark, event_dir)
+    w_latest = (
+        batch.groupBy("user_id")
+        .agg(F.max_by(F.struct("ts", "event_type"), "ts").alias("s"))
+        .select("user_id", "s.ts", "s.event_type")
+    )
+    want = {r.user_id: (r.ts, r.event_type) for r in w_latest.collect()}
+    have = {r.user_id: (r.ts, r.event_type) for r in got.collect()}
+    assert have == want and len(have) > 0
+
+
 def test_interval_stream_join_matches_batch(spark, event_dir):
     from pharmacodi_spark.streaming.ops import interval_stream_join
 
