@@ -176,19 +176,85 @@ CANONICAL_LAYOUTS: dict[str, dict] = {
 }
 
 
+# Table formats the canonical sinks can target. "parquet" is the OSS-only
+# default implemented here; "delta" / "iceberg" are the transactional
+# formats a production deployment slots in — the write/merge call shapes
+# are wired, and the format libraries are detected at call time (this
+# container ships neither, so the paths raise a clear setup error rather
+# than import at module load).
+SUPPORTED_TABLE_FORMATS = ("parquet", "delta", "iceberg")
+
+
+def _require_table_format(spark: SparkSession, table_format: str) -> None:
+    """Fail fast with setup instructions when a transactional format is
+    requested but its library/extension isn't on this session."""
+    if table_format == "parquet":
+        return
+    if table_format == "delta":
+        try:
+            import delta  # noqa: F401  (delta-spark, OSS)
+        except ImportError as ex:
+            raise NotImplementedError(
+                "table_format='delta' needs the OSS delta-spark package and a "
+                "session built with spark.sql.extensions="
+                "io.delta.sql.DeltaSparkSessionExtension and "
+                "spark.sql.catalog.spark_catalog="
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+            ) from ex
+        return
+    if table_format == "iceberg":
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+        if "IcebergSparkSessionExtensions" not in exts:
+            raise NotImplementedError(
+                "table_format='iceberg' needs the OSS iceberg-spark-runtime "
+                "jar and a session built with spark.sql.extensions="
+                "org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions plus an Iceberg catalog "
+                "(spark.sql.catalog.<name>=org.apache.iceberg.spark."
+                "SparkCatalog)"
+            )
+        return
+    raise ValueError(
+        f"unknown table_format {table_format!r}; "
+        f"supported: {SUPPORTED_TABLE_FORMATS}"
+    )
+
+
 def save_canonical(
     df: DataFrame,
     table: str,
     base_dir: str,
     layout: dict | None = None,
+    table_format: str = "parquet",
 ) -> None:
     """Write a combine-phase output table in its canonical layout
     (CANONICAL_LAYOUTS, overridable). Bucketed layouts go through
     ``saveAsTable`` (bucket metadata lives in the catalog — Spark's
     requirement for shuffle-free bucketed joins); plain layouts are
-    path-based parquet. Unknown tables default to a flat sorted write."""
+    path-based parquet. Unknown tables default to a flat sorted write.
+
+    ``table_format`` switches the sink to a transactional format ("delta" /
+    "iceberg" — detected at call time, see SUPPORTED_TABLE_FORMATS). Those
+    formats manage file layout themselves and don't support Spark-side
+    ``bucketBy``, so a bucketed layout degrades to partition + in-file sort
+    there (their native clustering — OPTIMIZE ZORDER / rewrite_data_files —
+    is the analog of operators/clustering.py::zorder-style interleaving)."""
+    if table_format not in SUPPORTED_TABLE_FORMATS:
+        raise ValueError(
+            f"unknown table_format {table_format!r}; "
+            f"supported: {SUPPORTED_TABLE_FORMATS}"
+        )
+    _require_table_format(df.sparkSession, table_format)
     spec = layout if layout is not None else CANONICAL_LAYOUTS.get(table, {})
     sort_by = spec.get("sort_by")
+    if table_format != "parquet":
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        writer = df.write.mode("overwrite").format(table_format)
+        if spec.get("partition_by"):
+            writer = writer.partitionBy(*spec["partition_by"])
+        writer.save(os.path.join(base_dir, table))
+        return
     if spec.get("bucket_by"):
         writer = df.write.mode("overwrite").format("parquet")
         if spec.get("partition_by"):
@@ -213,19 +279,47 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     partition_by: str | None = None,
+    table_format: str = "parquet",
 ) -> None:
-    """Upsert (MERGE) into a parquet path without a table format: rows of
-    ``updates`` replace target rows with the same ``key_cols``; new keys
-    append. The reference's write path is overwrite-whole-table
-    (write_pset_table.py) — this is its incremental counterpart.
+    """Upsert (MERGE) into a keyed table: rows of ``updates`` replace target
+    rows with the same ``key_cols``; new keys append. The reference's write
+    path is overwrite-whole-table (write_pset_table.py) — this is its
+    incremental counterpart.
+
+    ``table_format="parquet"`` (default) is the OSS-only stand-in
+    implemented below; ``"delta"`` routes to the real transactional MERGE
+    (DeltaTable.merge — ACID, no read-modify-write race), detected at call
+    time. Iceberg's MERGE INTO needs a catalog table identifier rather than
+    a path, so it is out of this path-based helper's scope (use
+    ``spark.sql("MERGE INTO cat.tbl ...")`` directly there).
 
     Scale path: with ``partition_by`` + dynamic partition overwrite, ONLY
     partitions containing updated keys are read, merged, and rewritten —
     touch 1 of 10 000 partitions and 9 999 stay as-is. Without
-    ``partition_by`` the whole target rewrites (documented cost).
+    ``partition_by`` the whole target rewrites (documented cost); the
+    transactional formats additionally prune by file-level key stats.
     The merged frame is ``localCheckpoint``-materialized before the write
     because Spark cannot overwrite files that are still an input of the
     running plan."""
+    if table_format == "delta":
+        _require_table_format(spark, "delta")
+        from delta.tables import DeltaTable  # gated: delta-spark optional
+
+        cond = " AND ".join(f"t.{k} <=> u.{k}" for k in key_cols)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(updates.alias("u"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    if table_format != "parquet":
+        raise ValueError(
+            f"merge_upsert supports table_format 'parquet' or 'delta', "
+            f"got {table_format!r}"
+        )
     target = spark.read.parquet(path)
     if partition_by:
         affected_parts = updates.select(partition_by).distinct()

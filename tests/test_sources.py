@@ -158,3 +158,43 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
     )
     rows = {r.k: r.s for r in spark.read.parquet(path).collect()}
     assert rows == {1: "a", 2: "B", 3: "c"}
+
+
+def test_table_format_backend_dispatch(spark, tmp_path):
+    """The canonical sinks accept a table-format switch: parquet is the
+    implemented OSS default; delta/iceberg are recognized and fail fast
+    with setup instructions when their libraries aren't on the session
+    (this container ships neither); anything else is rejected outright."""
+    import pytest
+
+    from pharmacodi_spark.io import merge_upsert, save_canonical
+
+    df = spark.createDataFrame([(1, "a")], ["k", "s"])
+    # parquet default writes through the existing path
+    save_canonical(df, "misc", str(tmp_path), table_format="parquet")
+    assert spark.read.parquet(str(tmp_path / "misc")).count() == 1
+
+    with pytest.raises(ValueError, match="unknown table_format"):
+        save_canonical(df, "misc", str(tmp_path), table_format="orc2000")
+    # delta-spark isn't installed here: the delta branch must name the
+    # missing setup, not fall back to a silent parquet write
+    try:
+        import delta  # noqa: F401
+
+        have_delta = True
+    except ImportError:
+        have_delta = False
+    if not have_delta:
+        with pytest.raises(NotImplementedError, match="delta-spark"):
+            save_canonical(df, "misc", str(tmp_path), table_format="delta")
+        with pytest.raises(NotImplementedError, match="delta-spark"):
+            merge_upsert(
+                spark, str(tmp_path / "misc"), df, ["k"], table_format="delta"
+            )
+    # iceberg needs its session extension; this session doesn't carry it
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        save_canonical(df, "misc", str(tmp_path), table_format="iceberg")
+    with pytest.raises(ValueError, match="parquet' or 'delta"):
+        merge_upsert(
+            spark, str(tmp_path / "misc"), df, ["k"], table_format="iceberg"
+        )
