@@ -1700,6 +1700,79 @@ def window_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "gap_fill_resample",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 // 21600000000 AS b,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, b, count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_centi
+      FROM e GROUP BY user_id, b
+    ),
+    bounds AS (SELECT user_id, min(b) AS b0, max(b) AS b1
+               FROM obs GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b
+             FROM bounds),
+    joined AS (
+      SELECT g.user_id, g.b, o.n_events, o.sum_centi
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+    )
+    SELECT user_id, CAST(b AS BIGINT) AS bucket,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(sum_centi, 0) AS BIGINT) AS sum_centi,
+           CAST(last_value(sum_centi IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS level_centi
+    FROM joined
+    """,
+)
+def gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): events
+    resampled to a 6-hour grid per user (count + cent-quantized value sum),
+    then densified over each user's [min, max] bucket span — missing
+    buckets appear with zero-filled counts and a last-observation-carried-
+    forward level column (running last-ignore-nulls window per user).
+    Scale shape: one (user, bucket) partial-agg shuffle, native
+    sequence/explode grid generation, one keyed window — no global sort,
+    no driver loop. Cent quantization keeps every compared sum an exact
+    integer in both engines."""
+    from pharmacodi_spark.operators.timeseries import fill_gaps, resample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        _rnd(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    res = resample(
+        ev,
+        bucket_width=21_600_000_000,
+        time_col="us",
+        key_cols=["user_id"],
+        aggs={
+            "n_events": F.count("*"),
+            "sum_centi": F.sum("cents").cast("long"),
+        },
+    )
+    out = fill_gaps(
+        res,
+        key_cols=["user_id"],
+        zero_fill={"n_events": 0, "sum_centi": 0},
+        carry_forward=["sum_centi"],
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_centi").cast("long").alias("sum_centi"),
+        F.col("sum_centi_filled").cast("long").alias("level_centi"),
+    )
+
+
+@q(
     "topk_per_group",
     """
     SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn

@@ -48,6 +48,29 @@ def test_bucketed_range_join_matches_theta(spark):
     assert out.count() == ref.count()
 
 
+def test_resample_fill_gaps(spark):
+    from pharmacodi_spark.operators.timeseries import fill_gaps, resample
+
+    df = spark.createDataFrame(
+        [(1, 5, 10.0), (1, 12, 20.0), (1, 33, 30.0), (2, 7, 5.0)],
+        ["k", "t", "v"],
+    )
+    res = resample(
+        df, 10, "t", ["k"], {"n": F.count("*"), "s": F.sum("v")}
+    )
+    # buckets: k1 → 0 (t5), 1 (t12), 3 (t33); k2 → 0 only
+    out = fill_gaps(res, ["k"], zero_fill={"n": 0}, carry_forward=["s"])
+    rows = {(r.k, r.bucket): (r.n, r.s, r.s_filled) for r in out.collect()}
+    assert rows[(1, 0)] == (1, 10.0, 10.0)
+    assert rows[(1, 1)] == (1, 20.0, 20.0)
+    # the gap bucket: zero-filled count, observed value stays null, LOCF
+    # carries the last real observation (not the fill constant)
+    assert rows[(1, 2)] == (0, None, 20.0)
+    assert rows[(1, 3)] == (1, 30.0, 30.0)
+    assert rows[(2, 0)] == (1, 5.0, 5.0)
+    assert len(rows) == 5  # grid spans each key's own [min, max] only
+
+
 def test_surrogate_key_dense_global_matches_window(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber"
