@@ -1773,6 +1773,61 @@ def gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "scd2_history",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, us, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS prev_type
+      FROM c
+    ),
+    v AS (
+      SELECT user_id, event_id, us, event_type FROM m
+      WHERE prev_type IS NULL OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type,
+           CAST(us AS BIGINT) AS valid_from_us,
+           CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                AS BIGINT) AS valid_to_us,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+             AS is_current
+    FROM v
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (operators/scd.py): each user's event_type
+    treated as a slowly-changing attribute — consecutive repeats collapse
+    into one version (null-safe struct compare against lag), versions get
+    [valid_from, valid_to) microsecond intervals via lead, open versions
+    flag is_current. One keyed shuffle serves both windows (the sort
+    survives the collapse filter). Event-id tiebreak makes simultaneous
+    changes deterministically ordered in both engines."""
+    from pharmacodi_spark.operators.scd import scd2_history as build
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "event_type"
+    )
+    out = build(
+        ev,
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="us",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("long").alias("valid_from_us"),
+        F.col("valid_to").cast("long").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@q(
     "topk_per_group",
     """
     SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn

@@ -48,6 +48,39 @@ def test_bucketed_range_join_matches_theta(spark):
     assert out.count() == ref.count()
 
 
+def test_scd2_history(spark):
+    from pharmacodi_spark.operators.scd import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (1, 100, "gold", 1),
+            (1, 200, "gold", 2),   # unchanged → collapses into the 100 row
+            (1, 300, "silver", 3),
+            (1, 400, None, 4),     # change TO null is a real version
+            (1, 500, None, 5),     # null → null collapses (null-safe)
+            (2, 150, "bronze", 6),
+        ],
+        ["k", "t", "tier", "eid"],
+    )
+    out = scd2_history(
+        changes, key_cols=["k"], attr_cols=["tier"], ts_col="t",
+        tiebreak_cols=["eid"],
+    ).collect()
+    rows = {(r.k, r.valid_from): (r.tier, r.valid_to, r.is_current) for r in out}
+    assert rows == {
+        (1, 100): ("gold", 300, False),
+        (1, 300): ("silver", 400, False),
+        (1, 400): (None, None, True),
+        (2, 150): ("bronze", None, True),
+    }
+    # without collapsing, every change row becomes a version
+    full = scd2_history(
+        changes, key_cols=["k"], attr_cols=["tier"], ts_col="t",
+        tiebreak_cols=["eid"], collapse_unchanged=False,
+    )
+    assert full.count() == 6
+
+
 def test_resample_fill_gaps(spark):
     from pharmacodi_spark.operators.timeseries import fill_gaps, resample
 
