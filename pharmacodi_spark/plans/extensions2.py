@@ -1773,6 +1773,32 @@ def gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "bloom_semi_equiv",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+    """,
+)
+def bloom_semi_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join ≡ plain semi join (operators/bloom.py —
+    same certification pattern as ``salted_join_equiv``): the fact scan
+    drops guaranteed non-matches via 3 xxhash64 bit tests against a
+    driver-built bitmap literal (pure codegen, no shuffle), and the exact
+    left-semi finish on the survivors makes the result provably identical
+    to the oracle's IN-subquery. The bitmap build cost is one tiny dim
+    aggregation; the fact side never shuffles before the prefilter."""
+    from pharmacodi_spark.operators.bloom import bloom_prefilter_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_suppkey") % 7 == 0)
+    out = bloom_prefilter_semi_join(
+        li, supp, "l_suppkey", "s_suppkey", n_bits=1 << 14
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
+@q(
     "scd2_history",
     """
     WITH c AS (

@@ -48,6 +48,38 @@ def test_bucketed_range_join_matches_theta(spark):
     assert out.count() == ref.count()
 
 
+def test_bloom_prefilter_properties(spark):
+    from pharmacodi_spark.operators.bloom import (
+        bloom_prefilter_semi_join,
+        build_bloom_bitmap,
+    )
+
+    fact = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 20_000).where("id % 100 = 0").withColumnRenamed(
+        "id", "dk"
+    )  # 200 true keys
+    # approximate mode: superset of true matches (no false negatives), and
+    # the false-positive rate stays in the ballpark of the sizing math
+    cand = bloom_prefilter_semi_join(
+        fact, dim, "k", "dk", n_bits=1 << 12, exact=False
+    )
+    got = {r.k for r in cand.collect()}
+    true = set(range(0, 20_000, 100))
+    assert true <= got
+    fp_rate = (len(got) - len(true)) / (20_000 - len(true))
+    assert fp_rate < 0.10, fp_rate  # 4096 bits / 200 keys ≈ 20 b/key, k=3
+    # exact mode ≡ plain semi join
+    exact = bloom_prefilter_semi_join(fact, dim, "k", "dk", n_bits=1 << 12)
+    assert {r.k for r in exact.collect()} == true
+    # bitmap is the documented driver-resident size
+    words = build_bloom_bitmap(dim, "dk", n_bits=1 << 12)
+    assert len(words) == (1 << 12) // 64
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        build_bloom_bitmap(dim, "dk", n_bits=1000)
+
+
 def test_scd2_history(spark):
     from pharmacodi_spark.operators.scd import scd2_history
 
