@@ -55,6 +55,13 @@ HEADLINE = HEADLINE_R1 + [
     "ann_ivf_topk",
     "fuzzy_dedup_pipeline",
     "regional_revenue",
+    # round-2 late additions: analytics, scrubbing, PQ ANN, time series
+    "retention_cohorts",
+    "span_scrub",
+    "ann_pq_topk",
+    "gap_fill_resample",
+    "scd2_history",
+    "bloom_semi_equiv",
 ]
 
 

@@ -129,6 +129,44 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
     "hash_sample": [
         (r"Exchange", False, "sampling is a pure pushable filter — no shuffle"),
     ],
+    "retention_cohorts": [
+        (r"PushedFilters: \[.*EqualTo\(event_type,purchase\)", True,
+         "cohort filter pushed to the events scan"),
+        (r"BroadcastHashJoin", True, "cohort sizes broadcast"),
+        (r"SortMergeJoin", False, "no sort-merge; user-week collapse first"),
+        (r"SinglePartition", False, "no global stage in the triangle"),
+    ],
+    "scd2_history": [
+        (r"(?sm)^\(\d+\) Exchange.*^\(\d+\) Exchange", False,
+         "ONE keyed exchange serves both windows (collapse + intervals — "
+         "the sort survives the filter between them)"),
+        (r"Join", False, "no join anywhere — pure window algebra"),
+        (r"SinglePartition", False, "windows are per-key, never global"),
+    ],
+    "gap_fill_resample": [
+        (r"explode\(sequence", True,
+         "grid densification is a native sequence/explode, generated "
+         "executor-side"),
+        (r"BroadcastHashJoin", True, "observed rows join the grid broadcast"),
+        (r"SinglePartition", False, "no global window in LOCF"),
+    ],
+    "bloom_semi_equiv": [
+        (r"getbit", True,
+         "bloom bit tests are plain codegen'd expressions in the fact "
+         "scan's filter"),
+        (r"(?sm)^\(\d+\) Exchange.*^\(\d+\) Exchange", False,
+         "fact side never shuffles: prefilter is narrow, exact finish is a "
+         "broadcast semi join"),
+        (r"SortMergeJoin", False, "no sort-merge"),
+    ],
+    "ann_pq_topk": [
+        (r"TakeOrderedAndProject", True,
+         "ADC top-k is per-partition heaps + merge, never a full sort"),
+        (r"\bExchange\b", False,
+         "ZERO shuffles: codes and distances are per-row projections off "
+         "the scan"),
+        (r"Join", False, "distance tables are literals, not joins"),
+    ],
     "regional_revenue": [
         (r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)", True,
          "status predicate pushed into the orders scan"),
