@@ -62,6 +62,8 @@ HEADLINE = HEADLINE_R1 + [
     "gap_fill_resample",
     "scd2_history",
     "bloom_semi_equiv",
+    "rolling_anomaly",
+    "pagerank_int",
 ]
 
 

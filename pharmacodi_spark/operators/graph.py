@@ -1,0 +1,75 @@
+"""Iterative graph algorithms (north star, beyond the connected components
+in text/clusters.py): PageRank with EXACT integer arithmetic.
+
+Floating-point PageRank is engine- and partitioning-order-dependent (the
+per-node contribution sum is a float reduction); this variant keeps all
+rank mass in scaled integers — rank r ∈ [0, scale], contribution =
+r div outdeg, damping applied as (num·Σ) div den — so every iteration is
+exact integer algebra: the same numbers on any cluster, any partitioning,
+any engine. That is what makes an iterative algorithm oracle-checkable at
+all, and it is also the production-grade property (re-runs reproduce).
+
+Scale design: one iteration = join(edges, ranks) on src + groupBy dst —
+two hash shuffles over the edge list, the same shape GraphX/Pregel uses.
+Ranks/outdeg are node-sized (≪ edges). The driver loop only grows the
+lazy plan; ``checkpoint_every`` truncates lineage with localCheckpoint so
+a 50-iteration run doesn't build a 50-deep DAG (the iterative-algorithm
+hygiene Spark requires).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Integer PageRank over a directed edge list. Returns (v, r) with r
+    the scaled-integer rank after ``iterations`` steps:
+
+        r₀(v)   = scale div N
+        rᵢ₊₁(v) = (den−num)·scale div (den·N)
+                  + (num · Σ_{u→v} (rᵢ(u) div outdeg(u))) div den
+
+    Simplified model (no dangling-mass redistribution — leaked mass just
+    shrinks totals identically everywhere); ties and rounding are exact
+    floor divisions of non-negative longs in every engine."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    n = nodes.count()  # one metadata action; N is a plan literal after this
+    base = (damping_den - damping_num) * scale // (damping_den * n)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("r", F.lit(scale // n).cast("long"))
+    for i in range(iterations):
+        rank_src = ranks.select(F.col("v").alias("src"), "r")
+        contrib = (
+            e.join(rank_src, "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("v"), F.expr("r div outdeg").alias("c"))
+        )
+        summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "v", "left").select(
+            "v",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks

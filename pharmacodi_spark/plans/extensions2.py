@@ -1798,6 +1798,143 @@ def bloom_semi_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "l_suppkey")
 
 
+def _pagerank_sql(iters: int = 10) -> str:
+    """Unrolled integer-PageRank oracle: DuckDB's recursive CTEs disallow
+    aggregation in the recursive term, so the fixed iteration count is
+    unrolled as chained CTEs — same integer algebra as
+    operators/graph.py::pagerank_int."""
+    base = "(SELECT (15000000000 // (100 * count(*))) FROM nodes)"
+    parts = [
+        "edges AS (SELECT DISTINCT o_custkey % 50 AS src, "
+        "o_orderkey % 50 AS dst FROM orders)",
+        "nodes AS (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "r0 AS (SELECT v, (SELECT 1000000000 // count(*) FROM nodes) AS r "
+        "FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.v,
+             CAST({base} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS v, sum(r.r // o.od) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.v
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+      ) s ON n.v = s.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(v AS BIGINT) AS v, CAST(r AS BIGINT) AS r "
+        f"FROM r{iters}"
+    )
+
+
+@q("pagerank_int", _pagerank_sql(10))
+def pagerank_int_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank, 10 iterations (operators/graph.py::
+    pagerank_int) over a 50-node functional graph derived from orders
+    (src = custkey mod 50 → dst = orderkey mod 50, deduped). All rank mass
+    stays in scaled integers — contribution = r div outdeg, damping =
+    (85·Σ) div 100 — so every iteration is exact floor-division algebra
+    and the 10-step fixpoint matches the oracle's unrolled CTE chain
+    bit-for-bit. The iterative-join shape (edges⋈ranks on src → groupBy
+    dst) is Pregel's; lineage is truncated with localCheckpoint every 4
+    iterations."""
+    from pharmacodi_spark.operators.graph import pagerank_int
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 50).alias("dst"),
+    ).distinct()
+    out = pagerank_int(edges, iterations=10)
+    return out.select(
+        F.col("v").cast("long").alias("v"), F.col("r").cast("long").alias("r")
+    )
+
+
+@q(
+    "rolling_anomaly",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 // 21600000000 AS b,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, b, CAST(sum(cents) AS BIGINT) AS s
+      FROM e GROUP BY user_id, b
+    ),
+    roll AS (
+      SELECT user_id, b, s,
+             CAST(count(*) OVER w AS BIGINT) AS n_w,
+             CAST(sum(s) OVER w AS BIGINT) AS sum_w,
+             CAST(sum(s * s) OVER w AS BIGINT) AS sumsq_w
+      FROM obs
+      WINDOW w AS (PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, CAST(b AS BIGINT) AS bucket, s AS sum_centi,
+           CAST(sum_w AS DOUBLE) / n_w AS mean_prev,
+           CAST(n_w * s - sum_w AS DOUBLE)
+             / sqrt(CAST(n_w AS DOUBLE)
+                    * (n_w * sumsq_w - sum_w * sum_w)) AS z_score
+    FROM roll
+    WHERE n_w >= 3 AND n_w * sumsq_w - sum_w * sum_w > 0
+    """,
+)
+def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly scoring over the resampled series (the
+    operators/timeseries.py grid turned into a detector): per user, each
+    6-hour bucket's value sum is z-scored against the TRAILING 4 buckets
+    (rows-between window excluding the current row — no self-leakage).
+    Determinism: the window carries exact integer power sums (count, Σ,
+    Σx²); mean and z are then single IEEE expressions over those integers —
+    identical both engines, the same mean-form trick as dispersion_stats
+    (never accumulate floats across rows). z = (n·x − Σ) / √(n·(n·Σx² −
+    Σ²)) is the textbook form cleared of per-row divisions. One keyed
+    shuffle; rows with fewer than 3 priors or zero variance are excluded
+    (sqrt(0) denominators)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000 div 21600000000").alias("b"),
+        _rnd(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    obs = ev.groupBy("user_id", "b").agg(F.sum("cents").cast("long").alias("s"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(-4, -1)
+    )
+    roll = obs.select(
+        "user_id",
+        "b",
+        "s",
+        F.count("*").over(w).cast("long").alias("n_w"),
+        F.sum("s").over(w).cast("long").alias("sum_w"),
+        F.sum(F.col("s") * F.col("s")).over(w).cast("long").alias("sumsq_w"),
+    )
+    var_term = F.col("n_w") * F.col("sumsq_w") - F.col("sum_w") * F.col("sum_w")
+    return (
+        roll.where((F.col("n_w") >= 3) & (var_term > 0))
+        .select(
+            "user_id",
+            F.col("b").cast("long").alias("bucket"),
+            F.col("s").alias("sum_centi"),
+            (F.col("sum_w").cast("double") / F.col("n_w")).alias("mean_prev"),
+            (
+                (F.col("n_w") * F.col("s") - F.col("sum_w")).cast("double")
+                / F.sqrt(F.col("n_w").cast("double") * var_term)
+            ).alias("z_score"),
+        )
+    )
+
+
 @q(
     "scd2_history",
     """

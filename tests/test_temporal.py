@@ -48,6 +48,26 @@ def test_bucketed_range_join_matches_theta(spark):
     assert out.count() == ref.count()
 
 
+def test_pagerank_int(spark):
+    from pharmacodi_spark.operators.graph import pagerank_int
+
+    # uniform cycle: rank mass is a fixpoint at scale // N from step 0
+    cycle = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    r = {x.v: x.r for x in pagerank_int(cycle, iterations=5).collect()}
+    assert r == {1: 333333333, 2: 333333333, 3: 333333333}
+
+    # star with a back-edge: mass circulates in the 0↔1 pair (which
+    # therefore dominates the in-degree-1 leaves); symmetric leaves 2,3
+    # tie EXACTLY — integer arithmetic, no float noise
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], ["src", "dst"]
+    )
+    d = {x.v: x.r for x in pagerank_int(star, iterations=10).collect()}
+    assert d[2] == d[3]
+    assert min(d[0], d[1]) > d[2]
+    assert sum(d.values()) <= 10**9  # mass only leaks, never appears
+
+
 def test_bloom_prefilter_properties(spark):
     from pharmacodi_spark.operators.bloom import (
         bloom_prefilter_semi_join,
