@@ -1144,6 +1144,114 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("d2_adc").cast("long").alias("d2_adc"))
 
 
+@q(
+    "ann_ivf_pq_topk",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, qe AS cqe FROM q WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(q.qe, c.cqe),
+                                                 z -> (z[1]-z[2])*(z[1]-z[2]))),
+                          c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    qvec AS (SELECT qe AS qq FROM q WHERE vec_id = 42),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               list_sum(list_transform(list_zip(c.cqe, v.qq),
+                                       z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+        FROM cents c CROSS JOIN qvec v
+      ) ORDER BY d2, cid LIMIT 2
+    ),
+    cand AS (
+      SELECT q.vec_id, q.qe FROM q JOIN assign a ON q.vec_id = a.vec_id
+      WHERE a.cid IN (SELECT cid FROM probe)
+    ),
+    cb AS (
+      SELECT u.m, vec_id AS k, qe[u.m*16+1:(u.m+1)*16] AS csv
+      FROM q, UNNEST(generate_series(0, 3)) AS u(m) WHERE vec_id < 8
+    ),
+    sub AS (
+      SELECT vec_id, u.m, qe[u.m*16+1:(u.m+1)*16] AS sv
+      FROM cand, UNNEST(generate_series(0, 3)) AS u(m)
+    ),
+    enc AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(list_zip(s.sv, c.csv),
+                                                 z -> (z[1]-z[2])*(z[1]-z[2]))),
+                          c.k) AS rn
+        FROM sub s JOIN cb c ON s.m = c.m
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT u.m, qq[u.m*16+1:(u.m+1)*16] AS qsv
+      FROM qvec, UNNEST(generate_series(0, 3)) AS u(m)
+    ),
+    tab AS (
+      SELECT c.m, c.k,
+             list_sum(list_transform(list_zip(v.qsv, c.csv),
+                                     z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2q
+      FROM cb c JOIN qsub v ON c.m = v.m
+    ),
+    short AS (
+      SELECT e.vec_id FROM enc e JOIN tab t ON e.m = t.m AND e.k = t.k
+      GROUP BY e.vec_id ORDER BY sum(t.d2q), e.vec_id LIMIT 50
+    )
+    SELECT q.vec_id,
+           CAST(list_sum(list_transform(list_zip(q.qe, v.qq),
+                                        z -> z[1]*z[2])) AS BIGINT) AS dot
+    FROM q JOIN short USING (vec_id) CROSS JOIN qvec v
+    ORDER BY dot DESC, q.vec_id LIMIT 10
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank (text/similarity.py::ivf_pq_topk) — the
+    full production ANN pipeline under one oracle: IVF coarse prune to 2 of
+    8 cells → PQ asymmetric-distance shortlist of 50 from codes alone →
+    exact dot-product top-10 on just the shortlist's vectors. Same seed
+    centroids/codebooks as ann_ivf_topk / ann_pq_topk (first 8 corpus
+    vectors), every stage integer-exact and tie-broken on id, so the whole
+    three-stage cascade matches DuckDB bit-for-bit."""
+    from pharmacodi_spark.text.similarity import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: _rnd(x.cast("double") * 10000)
+        ).alias("qe"),
+    )
+    seed_rows = sorted(
+        qe.where(F.col("vec_id") < 8).collect(), key=lambda r: r.vec_id
+    )
+    centroids = [list(r.qe) for r in seed_rows]
+    dsub = 64 // 4
+    codebooks = [
+        [list(r.qe[m * dsub : (m + 1) * dsub]) for r in seed_rows]
+        for m in range(4)
+    ]
+    query = list(qe.where(F.col("vec_id") == 42).collect()[0].qe)
+    out = ivf_pq_topk(
+        qe, centroids, codebooks, query, k=10, nprobe=2, shortlist=50,
+        vec_col="qe",
+    )
+    return out.select("vec_id", F.col("dot").cast("long").alias("dot"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level text stats (text/corpus.py): IDF, TF-IDF top terms, n-grams
 # ---------------------------------------------------------------------------

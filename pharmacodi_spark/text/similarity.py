@@ -276,6 +276,48 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ with exact re-rank — the standard production ANN pipeline
+    composed from the parts above: (1) the IVF coarse quantizer prunes the
+    corpus to ``nprobe`` cells (pushable predicate → partition pruning);
+    (2) PQ asymmetric distances — M table lookups per row, no vector math —
+    rank the survivors into a ``shortlist`` (default 5k); (3) only the
+    shortlist's full vectors are read again for the exact dot-product
+    top-k. At 100 TB stage 3 touches a few hundred rows no matter the
+    corpus size; stages 1–2 never read the vector column at probe time
+    when codes are pre-stored. Integer-valued inputs keep every stage
+    engine-deterministic (ties broken on id)."""
+    shortlist = shortlist or 5 * k
+    assigned = ivf_assign(df, centroids, vec_col)
+    ranked = sorted(
+        (sum((x - y) ** 2 for x, y in zip(c, query)), i)
+        for i, c in enumerate(centroids)
+    )
+    probes = [i for _, i in ranked[:nprobe]]
+    cand = assigned.where(F.col("centroid_id").isin(probes))
+    short = pq_adc_topk(
+        cand, codebooks, query, k=shortlist, vec_col=vec_col, id_col=id_col
+    )
+    v = _as_double(F.col(vec_col))
+    q = F.lit(query).cast("array<double>")
+    return (
+        df.join(short.select(id_col), id_col)
+        .select(F.col(id_col), _dot(v, q).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],

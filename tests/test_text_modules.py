@@ -275,6 +275,35 @@ def test_pq_encode_adc(spark):
     )
 
 
+def test_ivf_pq_exact_when_wide(spark):
+    """With nprobe = all cells and shortlist = whole corpus, the IVF-PQ
+    cascade's exact re-rank must reproduce brute-force dot top-k exactly —
+    approximation only ever comes from pruning, never from the pipeline."""
+    import random
+
+    from pharmacodi_spark.text.similarity import ivf_pq_topk
+
+    rng = random.Random(3)
+    vecs = [(i, [float(rng.randint(-50, 50)) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    centroids = [v for _, v in vecs[:2]]
+    codebooks = [
+        [v[m * 4 : (m + 1) * 4] for _, v in vecs[:4]] for m in range(2)
+    ]
+    query = vecs[7][1]
+    got = [
+        (r.vec_id, r.dot)
+        for r in ivf_pq_topk(
+            df, centroids, codebooks, query, k=5, nprobe=2, shortlist=40
+        ).collect()
+    ]
+    brute = sorted(
+        ((i, sum(a * b for a, b in zip(v, query))) for i, v in vecs),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == [(i, float(d)) for i, d in brute]
+
+
 def test_scrub_shared_spans(spark):
     from pharmacodi_spark.text.cleaning import scrub_shared_spans
 
