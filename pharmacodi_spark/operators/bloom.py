@@ -64,6 +64,39 @@ def _bit_test(bitmap: Column, key: Column, seed: int, n_bits: int) -> Column:
     return F.getbit(word, F.pmod(p, F.lit(64))) == 1
 
 
+def bloom_condition(
+    words: list[int], key: Column, n_hashes: int = 3
+) -> Column:
+    """The membership predicate for a built bitmap: AND of k single-bit
+    tests. Reusable against a freshly built or loaded-from-disk bitmap."""
+    n_bits = len(words) * 64
+    bitmap = F.lit(words).cast("array<long>")
+    cond = None
+    for i in range(n_hashes):
+        t = _bit_test(bitmap, key, i, n_bits)
+        cond = t if cond is None else cond & t
+    return cond
+
+
+def save_bloom_bitmap(
+    spark, words: list[int], n_hashes: int, path: str
+) -> None:
+    """Persist the bitmap as a one-row parquet index artifact next to the
+    table it guards — build once at write time, load at probe time (the
+    file-level sidecar pattern transactional formats keep in their
+    manifests)."""
+    spark.createDataFrame(
+        [(len(words) * 64, n_hashes, words)],
+        "n_bits long, n_hashes int, words array<long>",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bloom_bitmap(spark, path: str) -> tuple[list[int], int]:
+    """Load a persisted bitmap: returns (words, n_hashes)."""
+    r = spark.read.parquet(path).first()
+    return list(r.words), r.n_hashes
+
+
 def bloom_prefilter_semi_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -80,12 +113,7 @@ def bloom_prefilter_semi_join(
     oracle query certifies). ``exact=False`` keeps the approximate
     candidate set — no shuffle at all on the fact side."""
     words = build_bloom_bitmap(dim, dim_key, n_bits, n_hashes)
-    bitmap = F.lit(words).cast("array<long>")
-    cond = None
-    for i in range(n_hashes):
-        t = _bit_test(bitmap, F.col(fact_key), i, n_bits)
-        cond = t if cond is None else cond & t
-    cand = fact.where(cond)
+    cand = fact.where(bloom_condition(words, F.col(fact_key), n_hashes))
     if not exact:
         return cand
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()

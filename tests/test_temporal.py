@@ -100,6 +100,34 @@ def test_bloom_prefilter_properties(spark):
         build_bloom_bitmap(dim, "dk", n_bits=1000)
 
 
+def test_bloom_bitmap_persistence(spark, tmp_path):
+    """A saved+loaded bitmap filters identically to the freshly built one —
+    the build-at-write / probe-at-read index lifecycle."""
+    from pyspark.sql import functions as F2
+
+    from pharmacodi_spark.operators.bloom import (
+        bloom_condition,
+        build_bloom_bitmap,
+        load_bloom_bitmap,
+        save_bloom_bitmap,
+    )
+
+    dim = spark.range(0, 5000).where("id % 100 = 0").withColumnRenamed(
+        "id", "dk"
+    )
+    fact = spark.range(0, 5000).withColumnRenamed("id", "k")
+    words = build_bloom_bitmap(dim, "dk", n_bits=1 << 12)
+    path = str(tmp_path / "bloom_idx")
+    save_bloom_bitmap(spark, words, 3, path)
+    loaded, n_hashes = load_bloom_bitmap(spark, path)
+    assert loaded == words and n_hashes == 3
+    fresh = {r.k for r in fact.where(bloom_condition(words, F2.col("k"))).collect()}
+    reloaded = {
+        r.k for r in fact.where(bloom_condition(loaded, F2.col("k"), n_hashes)).collect()
+    }
+    assert fresh == reloaded and set(range(0, 5000, 100)) <= fresh
+
+
 def test_scd2_history(spark):
     from pharmacodi_spark.operators.scd import scd2_history
 
