@@ -19,7 +19,7 @@ hygiene Spark requires).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,3 +73,49 @@ def pagerank_int(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected closure of ``edges``: every node starts labeled with its own
+    id; each step it adopts the most frequent label among its neighbors,
+    ties broken by the smaller label — which makes the classically
+    order-dependent LPA fully DETERMINISTIC (same fixpoint trajectory on
+    any engine/partitioning, the property the oracle checks). Isolated
+    nodes keep their own label. Returns (v, label) after ``iterations``.
+
+    Per step: one join (edges⋈labels on the neighbor end) + one
+    (node, label) count + one per-node top-1 window — all hash-partitioned
+    by node, no global ordering; same Pregel shape and localCheckpoint
+    lineage hygiene as ``pagerank_int``."""
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = e.select(F.col("src").alias("v")).distinct()
+    labels = nodes.withColumn("label", F.col("v"))
+    for i in range(iterations):
+        nb = labels.select(F.col("v").alias("dst"), "label")
+        counts = (
+            e.join(nb, "dst")
+            .groupBy(F.col("src").alias("v"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("label"))
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", F.col("label").alias("new_label"))
+        )
+        labels = nodes.join(top, "v", "left").select(
+            "v", F.coalesce("new_label", F.col("v")).alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint()
+    return labels

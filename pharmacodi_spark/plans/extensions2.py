@@ -1942,6 +1942,61 @@ def _pagerank_sql(iters: int = 10) -> str:
     )
 
 
+def _lpa_sql(iters: int = 5) -> str:
+    """Unrolled deterministic-LPA oracle (same unroll rationale as
+    _pagerank_sql)."""
+    parts = [
+        "edges0 AS (SELECT DISTINCT o_custkey % 50 AS src, "
+        "o_orderkey % 50 AS dst FROM orders)",
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges0 "
+        "UNION ALL SELECT dst, src FROM edges0))",
+        "nodes AS (SELECT DISTINCT src AS v FROM ue)",
+        "l0 AS (SELECT v, v AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""l{i} AS (
+      SELECT n.v, coalesce(m.label, n.v) AS label
+      FROM nodes n LEFT JOIN (
+        SELECT v, label FROM (
+          SELECT e.src AS v, l.label, count(*) AS c,
+                 row_number() OVER (PARTITION BY e.src
+                                    ORDER BY count(*) DESC, l.label) AS rn
+          FROM ue e JOIN l{i - 1} l ON e.dst = l.v
+          GROUP BY e.src, l.label
+        ) WHERE rn = 1
+      ) m ON n.v = m.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(v AS BIGINT) AS v, "
+        f"CAST(label AS BIGINT) AS label FROM l{iters}"
+    )
+
+
+@q("label_propagation", _lpa_sql(5))
+def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities, 5 synchronous steps
+    (operators/graph.py::label_propagation) over the undirected closure of
+    the 50-node orders graph: each node adopts its neighbors' most frequent
+    label, ties to the smaller label — the tie-break that turns
+    order-dependent LPA into a reproducible fixpoint trajectory, matched
+    step-for-step by the oracle's unrolled CTE chain."""
+    from pharmacodi_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 50).alias("dst"),
+    ).distinct()
+    out = label_propagation(edges, iterations=5)
+    return out.select(
+        F.col("v").cast("long").alias("v"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
 @q("pagerank_int", _pagerank_sql(10))
 def pagerank_int_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank, 10 iterations (operators/graph.py::

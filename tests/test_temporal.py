@@ -68,6 +68,20 @@ def test_pagerank_int(spark):
     assert sum(d.values()) <= 10**9  # mass only leaks, never appears
 
 
+def test_label_propagation_two_communities(spark):
+    from pharmacodi_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge (3–4): LPA must split them
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    labels = {
+        r.v: r.label for r in label_propagation(edges, iterations=5).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
 def test_bloom_prefilter_properties(spark):
     from pharmacodi_spark.operators.bloom import (
         bloom_prefilter_semi_join,
