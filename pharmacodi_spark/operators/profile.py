@@ -1,0 +1,55 @@
+"""Table profiling (data-quality surface): per-column null counts,
+exact distinct cardinalities, and min/max — the scan a pipeline runs on an
+unfamiliar delivery before trusting it (the generalization of the
+reference's ad-hoc `.nunique()` / null checks into one operator).
+
+Scale notes: everything is ONE aggregation pass over the table — the
+shuffle carries a single combined row per partition. The exact
+multi-column COUNT(DISTINCT) makes Spark plan an Expand (one row copy per
+distinct agg): at N profiled columns that is an N× map-side blow-up before
+partial aggregation — acceptable for scheduled profiling, and the
+``approx`` flag swaps in HLL-based approx_count_distinct (no Expand, one
+pass, ±2.3% default) for the 100 TB daily-run variant. The long-format
+reshape happens on the single aggregated row, so it is free."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) into long format:
+    (column, n_rows, n_nulls, n_distinct, min_str, max_str). min/max are
+    cast to string so heterogeneous column types share one schema — cast
+    numeric float columns to exact decimals upstream if string formatting
+    must be engine-portable."""
+    cols = columns or df.columns
+    distinct = (
+        F.approx_count_distinct if approx else F.count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_str"),
+            F.col(f"__max_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

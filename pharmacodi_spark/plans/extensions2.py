@@ -1942,6 +1942,33 @@ def _pagerank_sql(iters: int = 10) -> str:
     )
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+_PROFILE_SQL = "\n    UNION ALL\n    ".join(
+    f"""SELECT '{c}' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@q("profile_table", _PROFILE_SQL)
+def profile_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profile.py): per-column nulls, exact
+    distinct counts, min/max over orders, long format — ONE aggregation
+    pass on the Spark side (the oracle re-derives per column; same values).
+    String-typed min/max keeps heterogeneous columns in one schema; only
+    integer/string/date columns are profiled here so the string rendering
+    is engine-identical (float formatting is not — quantize first)."""
+    from pharmacodi_spark.operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS)
+
+
 def _lpa_sql(iters: int = 5) -> str:
     """Unrolled deterministic-LPA oracle (same unroll rationale as
     _pagerank_sql)."""

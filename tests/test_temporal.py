@@ -68,6 +68,22 @@ def test_pagerank_int(spark):
     assert sum(d.values()) <= 10**9  # mass only leaks, never appears
 
 
+def test_profile_table(spark):
+    from pharmacodi_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a")], ["x", "s"]
+    )
+    p = {r.column: r for r in profile_table(df).collect()}
+    assert p["x"].n_rows == 3 and p["x"].n_nulls == 1
+    assert p["x"].n_distinct == 2  # nulls don't count as a distinct value
+    assert (p["x"].min_str, p["x"].max_str) == ("1", "2")
+    assert p["s"].n_nulls == 1 and p["s"].n_distinct == 1
+    # approx path (no Expand blow-up): estimates in the right ballpark
+    pa = {r.column: r for r in profile_table(df, approx=True).collect()}
+    assert pa["x"].n_distinct == 2 and pa["s"].n_distinct == 1
+
+
 def test_label_propagation_two_communities(spark):
     from pharmacodi_spark.operators.graph import label_propagation
 
