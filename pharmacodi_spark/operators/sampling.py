@@ -10,7 +10,7 @@ Catalyst can push toward the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKETS = 10_000
@@ -36,6 +36,29 @@ def hash_sample(
         % _BUCKETS
     )
     return df.where(bucket < int(fraction * _BUCKETS))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Per-row weighted Bernoulli keep: row survives iff its deterministic
+    uniform draw u(key) ∈ [0,1) is below ``weight`` (a Column or constant
+    in [0,1] — e.g. a quality score, so better documents are kept more
+    often). The draw is the md5 bucket of the salted key over 10000, so
+    membership is reproducible on any engine/partitioning, independent
+    draws come from different salts, and the filter is a pure pushable
+    expression — the weighted generalization of :func:`hash_sample`."""
+    key = F.concat_ws(
+        "|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % _BUCKETS
+    )
+    w = weight if isinstance(weight, Column) else F.lit(float(weight))
+    return df.where(bucket.cast("double") < w * _BUCKETS)
 
 
 def hash_split(

@@ -1942,6 +1942,38 @@ def _pagerank_sql(iters: int = 10) -> str:
     )
 
 
+@q(
+    "weighted_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_discount
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5('ws|' || CAST(l_orderkey AS VARCHAR)
+                                  || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+               AS BIGINT) % 10000
+          < l_discount * 10 * 10000
+    """,
+)
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling (operators/sampling.py::
+    weighted_sample): each lineitem survives with probability equal to its
+    scaled discount (l_discount·10 ∈ [0,1]) — the quality-weighted corpus
+    downsampling a training pipeline applies, keyed on the row's md5 so
+    membership is reproducible across engines and partitionings and the
+    filter pushes toward the scan. Same md5-bucket arithmetic as
+    hash_sample; the comparison is integer-bucket < weight·10000 on both
+    sides."""
+    from pharmacodi_spark.operators.sampling import weighted_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_sample(
+        li,
+        F.col("l_discount") * 10,
+        key_cols=["l_orderkey", "l_linenumber"],
+        salt="ws",
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_discount")
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 _PROFILE_SQL = "\n    UNION ALL\n    ".join(
     f"""SELECT '{c}' AS "column",

@@ -330,6 +330,25 @@ def test_scrub_shared_spans(spark):
     assert out[4].scrubbed == "tiny doc" and out[4].n_masked == 0
 
 
+def test_weighted_sample(spark):
+    from pyspark.sql import functions as F2
+
+    from pharmacodi_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    assert weighted_sample(df, 0.0, ["k"]).count() == 0
+    assert weighted_sample(df, 1.0, ["k"]).count() == 5000
+    n3 = weighted_sample(df, 0.3, ["k"]).count()
+    assert 0.25 * 5000 < n3 < 0.35 * 5000
+    # per-row column weight: rows with w=0 never survive, w=1 always do
+    wdf = df.withColumn("w", F2.when(F2.col("k") % 2 == 0, 1.0).otherwise(0.0))
+    kept = {r.k for r in weighted_sample(wdf, F2.col("w"), ["k"]).collect()}
+    assert kept == set(range(0, 5000, 2))
+    # deterministic: same call, same rows
+    again = {r.k for r in weighted_sample(wdf, F2.col("w"), ["k"]).collect()}
+    assert kept == again
+
+
 def test_hash_split_disjoint_exhaustive(spark):
     from pharmacodi_spark.operators.sampling import hash_sample, hash_split
 
