@@ -2,6 +2,7 @@ from pharmacodi_spark.plans.queries import QUERIES, spark_queries, oracle_querie
 import pharmacodi_spark.plans.extensions  # noqa: F401  (registers extension queries)
 import pharmacodi_spark.plans.extensions2  # noqa: F401  (registers second batch)
 import pharmacodi_spark.plans.pipeline_q  # noqa: F401  (registers pipeline composition)
+import pharmacodi_spark.plans.analytics  # noqa: F401  (registers subquery/decorrelation kit)
 
 from pyspark.sql import DataFrame, SparkSession
 
