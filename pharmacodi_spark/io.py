@@ -40,6 +40,22 @@ def infer_format(path: str) -> str:
     raise ValueError(f"cannot infer format for {path}")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through Hadoop — works for
+    local paths AND hdfs:// / s3a:// URIs, unlike ``os.path`` which silently
+    answers for the driver's local disk only."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-scheme-aware existence check (Hadoop FS API)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
 def load(
     spark: SparkSession,
     path: str | list[str],
@@ -220,13 +236,24 @@ def _require_table_format(spark: SparkSession, table_format: str) -> None:
     )
 
 
+def canonical_table_name(table: str, base_dir: str) -> str:
+    """Catalog identifier for a canonical bucketed table: the logical name
+    namespaced by a digest of its base directory, so the same logical table
+    written to two locations gets two catalog entries instead of silently
+    re-pointing one global name."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(base_dir).encode()).hexdigest()[:8]
+    return f"{table}_{digest}"
+
+
 def save_canonical(
     df: DataFrame,
     table: str,
     base_dir: str,
     layout: dict | None = None,
     table_format: str = "parquet",
-) -> None:
+) -> str:
     """Write a combine-phase output table in its canonical layout
     (CANONICAL_LAYOUTS, overridable). Bucketed layouts go through
     ``saveAsTable`` (bucket metadata lives in the catalog — Spark's
@@ -238,7 +265,11 @@ def save_canonical(
     formats manage file layout themselves and don't support Spark-side
     ``bucketBy``, so a bucketed layout degrades to partition + in-file sort
     there (their native clustering — OPTIMIZE ZORDER / rewrite_data_files —
-    is the analog of operators/clustering.py::zorder-style interleaving)."""
+    is the analog of operators/clustering.py::zorder-style interleaving).
+
+    Returns the read handle: for bucketed layouts the (base_dir-namespaced,
+    see ``canonical_table_name``) catalog identifier for ``spark.table``;
+    for path layouts the output path for ``spark.read.parquet``."""
     if table_format not in SUPPORTED_TABLE_FORMATS:
         raise ValueError(
             f"unknown table_format {table_format!r}; "
@@ -247,14 +278,15 @@ def save_canonical(
     _require_table_format(df.sparkSession, table_format)
     spec = layout if layout is not None else CANONICAL_LAYOUTS.get(table, {})
     sort_by = spec.get("sort_by")
+    out_path = os.path.join(base_dir, table)
     if table_format != "parquet":
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
         writer = df.write.mode("overwrite").format(table_format)
         if spec.get("partition_by"):
             writer = writer.partitionBy(*spec["partition_by"])
-        writer.save(os.path.join(base_dir, table))
-        return
+        writer.save(out_path)
+        return out_path
     if spec.get("bucket_by"):
         writer = df.write.mode("overwrite").format("parquet")
         if spec.get("partition_by"):
@@ -263,14 +295,16 @@ def save_canonical(
         writer = writer.bucketBy(n, *cols)
         if sort_by:
             writer = writer.sortBy(*sort_by)  # in-bucket clustering
-        writer.option("path", os.path.join(base_dir, table)).saveAsTable(table)
-    else:
-        if sort_by:
-            df = df.sortWithinPartitions(*sort_by)
-        writer = df.write.mode("overwrite").format("parquet")
-        if spec.get("partition_by"):
-            writer = writer.partitionBy(*spec["partition_by"])
-        writer.save(os.path.join(base_dir, table))
+        ident = canonical_table_name(table, base_dir)
+        writer.option("path", out_path).saveAsTable(ident)
+        return ident
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode("overwrite").format("parquet")
+    if spec.get("partition_by"):
+        writer = writer.partitionBy(*spec["partition_by"])
+    writer.save(out_path)
+    return out_path
 
 
 def merge_upsert(
@@ -322,18 +356,59 @@ def merge_upsert(
         )
     target = spark.read.parquet(path)
     if partition_by:
-        affected_parts = updates.select(partition_by).distinct()
+        new_parts = updates.select(partition_by).distinct()
+        if partition_by in key_cols:
+            # partition value is part of the key → a key can never move
+            # between partitions; the updates' own partition values are the
+            # complete affected set (no target scan needed to find them).
+            affected_parts = new_parts
+        else:
+            # a key's partition value may CHANGE in this batch; the key's
+            # old row lives in a partition the updates never mention. Find
+            # those source partitions by semi-joining the target on the key
+            # columns, so the stale row is read (and dropped by the
+            # anti-join below) rather than left behind as a duplicate.
+            old_parts = (
+                target.join(
+                    F.broadcast(updates.select(*key_cols).distinct()),
+                    key_cols,
+                    "left_semi",
+                )
+                .select(partition_by)
+                .distinct()
+            )
+            affected_parts = new_parts.unionByName(old_parts).distinct()
         affected = target.join(F.broadcast(affected_parts), partition_by, "left_semi")
         keep = affected.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         merged = keep.unionByName(updates).localCheckpoint()
+        # Dynamic overwrite only rewrites partitions PRESENT in `merged`: a
+        # source partition whose every row belonged to moved keys ends up
+        # with zero surviving rows, is absent from the write, and would keep
+        # its stale files. Find those before the overwrite (collect is
+        # bounded: distinct partition values of one batch) and drop their
+        # directories afterwards. Evaluated pre-write so nothing re-reads
+        # the target after its files are replaced.
+        emptied = (
+            affected_parts.join(
+                merged.select(partition_by).distinct(), partition_by, "left_anti"
+            )
+            .collect()
+        )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             merged.write.mode("overwrite").partitionBy(partition_by).parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if emptied:
+            fs, _ = _hadoop_fs(spark, path)
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            for row in emptied:
+                part_dir = jvm_path(f"{path}/{partition_by}={row[0]}")
+                if fs.exists(part_dir):
+                    fs.delete(part_dir, True)
     else:
         keep = target.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = keep.unionByName(updates).localCheckpoint()

@@ -111,9 +111,18 @@ def bloom_prefilter_semi_join(
     with ``exact=True`` the survivors then left-semi join the real dim keys,
     making the result exactly the plain semi join (the equivalence the
     oracle query certifies). ``exact=False`` keeps the approximate
-    candidate set — no shuffle at all on the fact side."""
+    candidate set — no shuffle at all on the fact side.
+
+    Null fact keys are dropped by the prefilter itself: semi-join semantics
+    never match NULL, but ``xxhash64(NULL, seed)`` degenerates to a
+    per-seed constant, so without the explicit ``isNotNull`` guard a null
+    key could pass all k bit tests and pollute the approximate candidate
+    set (harmless in exact mode, contract-breaking in approximate mode)."""
     words = build_bloom_bitmap(dim, dim_key, n_bits, n_hashes)
-    cand = fact.where(bloom_condition(words, F.col(fact_key), n_hashes))
+    cand = fact.where(
+        F.col(fact_key).isNotNull()
+        & bloom_condition(words, F.col(fact_key), n_hashes)
+    )
     if not exact:
         return cand
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()

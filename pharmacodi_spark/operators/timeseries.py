@@ -27,8 +27,14 @@ def resample(
     """Aggregate onto a fixed grid: bucket = ``time_col`` div
     ``bucket_width`` (integer time units — the caller picks µs/ms/s), one
     row per (keys…, bucket) with the supplied aggregate expressions."""
-    # floor-divide semantics (negative times too): div, not cast-truncation
-    bucket = F.expr(f"{time_col} div {bucket_width}")
+    # true floor semantics for negative times too: Spark's `div` truncates
+    # toward zero (-7 div 2 = -3, floor is -4), so align to the bucket start
+    # with pmod (always non-negative) before dividing — the aligned value is
+    # an exact multiple, making div ≡ floor. Matches engines whose integer
+    # `//` floors (DuckDB, Python).
+    bucket = F.expr(
+        f"({time_col} - pmod({time_col}, {bucket_width})) div {bucket_width}"
+    )
     return (
         df.withColumn(bucket_col, bucket)
         .groupBy(*key_cols, bucket_col)

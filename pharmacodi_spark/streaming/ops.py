@@ -307,9 +307,12 @@ def upsert_sink(
             )
         else:
             batch = batch.dropDuplicates(key_cols)
-        import os
+        from pharmacodi_spark.io import path_exists
 
-        if not os.path.exists(path):
+        # Hadoop-FS existence check, not os.path: on hdfs:///s3a:// the
+        # local-disk answer is always False, which would make every batch
+        # after the first fail with errorifexists instead of merging.
+        if not path_exists(batch.sparkSession, path):
             writer = batch.write
             if partition_by:
                 writer = writer.partitionBy(partition_by)

@@ -133,14 +133,17 @@ def test_save_canonical_bucketed_join_and_pruning(spark, tmp_path):
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        save_canonical(
+        ident = save_canonical(
             exp, "experiment", str(tmp_path),
             layout={"partition_by": ["dataset_id"],
                     "bucket_by": (["experiment_id"], 8),
                     "sort_by": ["experiment_id"]},
         )
+        # catalog id is namespaced by base_dir → two destinations of the
+        # same logical table cannot clobber one global catalog entry
+        assert ident.startswith("experiment_") and ident != "experiment"
         save_canonical(dr, "dose_response", str(tmp_path))
-        e = spark.table("experiment")
+        e = spark.table(ident)
         # partition pruning on the per-dataset access path
         pruned = e.where(F.col("dataset_id") == "DS1")
         plan = _explain(pruned)
@@ -160,4 +163,8 @@ def test_save_canonical_bucketed_join_and_pruning(spark, tmp_path):
         assert joined.count() == 6000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
-        spark.sql("DROP TABLE IF EXISTS experiment")
+        from pharmacodi_spark.io import canonical_table_name
+
+        spark.sql(
+            f"DROP TABLE IF EXISTS {canonical_table_name('experiment', str(tmp_path))}"
+        )

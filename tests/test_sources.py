@@ -145,6 +145,37 @@ def test_merge_upsert_partitioned(spark, tmp_path):
     assert files("DS1") == ds1_before  # partition not rewritten
 
 
+def test_merge_upsert_moved_key(spark, tmp_path):
+    """A key whose update CHANGES its partition value must not leave its old
+    row behind: the stale source partition is detected by key semi-join and
+    rewritten — or physically dropped when nothing in it survives."""
+    import os
+
+    from pharmacodi_spark.io import merge_upsert
+
+    path = str(tmp_path / "mv")
+    base = spark.createDataFrame(
+        [(1, "DS0", 10.0), (2, "DS0", 20.0), (3, "DS1", 30.0)],
+        ["k", "ds", "v"],
+    )
+    base.write.partitionBy("ds").parquet(path)
+
+    # k=2 moves DS0→DS2; k=3 moves DS1→DS2 and empties DS1 entirely
+    updates = spark.createDataFrame(
+        [(2, "DS2", 99.0), (3, "DS2", 77.0)], ["k", "ds", "v"]
+    )
+    merge_upsert(spark, path, updates, key_cols=["k"], partition_by="ds")
+
+    rows = {r.k: (r.ds, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {
+        1: ("DS0", 10.0),   # survives its partition's rewrite
+        2: ("DS2", 99.0),   # moved, exactly one row
+        3: ("DS2", 77.0),   # moved out of a now-empty partition
+    }
+    # the emptied partition directory is physically gone
+    assert not os.path.exists(os.path.join(path, "ds=DS1"))
+
+
 def test_merge_upsert_unpartitioned(spark, tmp_path):
     from pharmacodi_spark.io import merge_upsert
 

@@ -129,6 +129,18 @@ def test_bloom_prefilter_properties(spark):
     with pytest.raises(ValueError, match="power of two"):
         build_bloom_bitmap(dim, "dk", n_bits=1000)
 
+    # NULL fact keys never match under semi-join semantics — the prefilter
+    # must drop them even in approximate mode (xxhash64(NULL, seed) is a
+    # per-seed constant that could otherwise pass every bit test)
+    fact_n = fact.unionByName(
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS k UNION ALL "
+                  "SELECT CAST(NULL AS BIGINT)")
+    )
+    cand_n = bloom_prefilter_semi_join(
+        fact_n, dim, "k", "dk", n_bits=1 << 12, exact=False
+    )
+    assert cand_n.where("k IS NULL").count() == 0
+
 
 def test_bloom_bitmap_persistence(spark, tmp_path):
     """A saved+loaded bitmap filters identically to the freshly built one —
