@@ -53,13 +53,23 @@ def oracle_queries() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # the events fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    # reader rejects by default; read as epoch-nanos LONG (set here, not only
-    # in our session builder, because the driver runs these queries in its
-    # own SparkSession). Exact integer epoch math beats timestamp semantics
-    # for oracle parity anyway.
+    # Fixture vintages differ in how events.ts is stored: TIMESTAMP(NANOS)
+    # (rejected by Spark's reader unless nanosAsLong, which then surfaces it
+    # as an epoch-nanos LONG) vs TIMESTAMP(MICROS) (read as timestamp/
+    # timestamp_ntz). Normalize at the one load boundary to epoch-nanos LONG
+    # under a UTC session so every downstream integer-epoch expression and
+    # every DuckDB oracle (epoch_ns(ts)) sees identical values either way.
+    # Configs are set here, not only in our session builder, because the
+    # driver runs these queries in its own SparkSession. Exact integer epoch
+    # math beats timestamp semantics for oracle parity anyway.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and df.schema["ts"].dataType.typeName().startswith("timestamp"):
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def fan_out(df: DataFrame, *keys: str) -> DataFrame:

@@ -56,8 +56,11 @@ def read_event_stream(
 
 
 def events_ns_to_ts(df: DataFrame, ns_col: str = "ts") -> DataFrame:
-    """epoch-nanos LONG → TimestampType (µs truncation), for sources read
-    with spark.sql.legacy.parquet.nanosAsLong."""
+    """Event-time column → TimestampType, whatever the fixture vintage stored:
+    epoch-nanos LONG (sources read with spark.sql.legacy.parquet.nanosAsLong)
+    is truncated to µs; timestamp/timestamp_ntz is cast straight through."""
+    if df.schema[ns_col].dataType.typeName().startswith("timestamp"):
+        return df.withColumn(ns_col, F.col(ns_col).cast("timestamp"))
     return df.withColumn(ns_col, F.timestamp_micros(F.expr(f"{ns_col} div 1000")))
 
 
