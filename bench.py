@@ -8,19 +8,36 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query executes through a full action with a no-op sink
 (``format("noop")``) so the whole plan runs — scan, shuffle, agg — without
 driver-side collection skewing the timing.
+
+Modes
+-----
+default        isolated: each headline query runs in its OWN subprocess
+               (fresh JVM, fresh session) via ``--only``; timings are immune
+               to suite-position effects (heap/GC state accumulated by
+               earlier queries). This is the headline metric mode: round-3
+               showed 7 back-half queries regress 1.5-2.4x with zero code
+               change when measured in a single shared JVM — see
+               BENCH_TRIAGE.md.
+--inprocess    legacy shared-JVM suite (warm pass + min-of-2), kept for
+               comparison and for measuring suite-position effects.
+--shuffle N    like --inprocess but the timed pass runs in seed-N shuffled
+               order (warm pass stays canonical) — separates per-query cost
+               from suite position.
+--only NAME    single query, fresh session: warm once, print min of
+               ``--runs`` (default 3) timed runs as one JSON line.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import random
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pharmacodi_spark.plans import QUERIES  # noqa: E402
-from pharmacodi_spark.session import get_spark  # noqa: E402
 
 # the round-1 headline set (BENCH_r01 comparability: these 12 summed were
 # 5.319 s at sf0.1 local[32] steady-state)
@@ -67,7 +84,13 @@ HEADLINE = HEADLINE_R1 + [
 ]
 
 
+def _sf_of(sf_dir: str) -> float:
+    return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
+    from pharmacodi_spark.plans import QUERIES
+
     fn = QUERIES[name][0]
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -75,28 +98,81 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+def _fresh_spark():
+    from pharmacodi_spark.session import get_spark
+
     spark = get_spark(app_name="pharmacodi_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    # warm each query once (codegen compile + JIT + AQE plan shape), then
-    # measure the second run: steady-state execution is what a long-running
-    # cluster session sees — first-call Janino/JIT compilation is a constant
-    # that would otherwise dominate sub-second queries at this sf
+
+def run_only(name: str, sf_dir: str, runs: int) -> None:
+    """Single query in a fresh session: warm once, min of ``runs`` timed."""
+    spark = _fresh_spark()
+    run_query(spark, name, sf_dir)  # codegen/JIT/AQE warm
+    best = round(min(run_query(spark, name, sf_dir) for _ in range(runs)), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "single_query_sec",
+                "query": name,
+                "value": best,
+                "unit": "sec",
+                "runs": runs,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_suite_inprocess(sf_dir: str, shuffle_seed: int | None) -> None:
+    """Legacy shared-JVM suite: one session, warm pass, min-of-2 timed pass."""
+    spark = _fresh_spark()
     for name in HEADLINE:
         run_query(spark, name, sf_dir)
 
-    # min of two timed runs: suppresses scheduler/GC jitter, which at this
-    # sf is the same order as the queries themselves
+    order = list(HEADLINE)
+    if shuffle_seed is not None:
+        random.Random(shuffle_seed).shuffle(order)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         timings[name] = round(
             min(run_query(spark, name, sf_dir) for _ in range(2)), 3
         )
+    _emit(timings, sf_dir, mode="inprocess" if shuffle_seed is None else f"shuffled:{shuffle_seed}")
+    spark.stop()
 
-    total = round(sum(timings.values()), 3)
+
+def run_suite_isolated(sf_dir: str, runs: int) -> None:
+    """Headline mode: every query in its own subprocess (fresh JVM).
+
+    Immune to suite-position effects (accumulated heap/GC/codegen-cache state
+    in a shared JVM) that round-3 measured at up to 2.4x on back-half
+    queries. Costs one JVM+session startup per query, which is excluded from
+    the timing (the subprocess times only the query actions).
+    """
+    timings: dict[str, float] = {}
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    for name in HEADLINE:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name,
+             "--runs", str(runs)],
+            capture_output=True, text=True, env=env, check=False,
+        )
+        line = (out.stdout.strip().splitlines() or [""])[-1]
+        try:
+            timings[name] = float(json.loads(line)["value"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            sys.stderr.write(
+                f"bench: {name} failed rc={out.returncode}\n{out.stderr[-2000:]}\n"
+            )
+            timings[name] = -1.0
+    _emit(timings, sf_dir, mode="isolated")
+
+
+def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -104,15 +180,33 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": sf,
+                "sf": _sf_of(sf_dir),
+                "mode": mode,
                 # BENCH_r01-comparable subtotal (same 12 queries as round 1)
                 "headline_r1_sec": round(
-                    sum(timings[n] for n in HEADLINE_R1), 3
+                    sum(timings[n] for n in HEADLINE_R1 if timings[n] >= 0), 3
                 ),
             }
         )
     )
-    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", metavar="QUERY", help="run one query in isolation")
+    ap.add_argument("--runs", type=int, default=3, help="timed runs for --only / isolated mode")
+    ap.add_argument("--inprocess", action="store_true", help="legacy shared-JVM suite")
+    ap.add_argument("--shuffle", type=int, metavar="SEED", default=None,
+                    help="shared-JVM suite, timed pass in shuffled order")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if args.only:
+        run_only(args.only, sf_dir, args.runs)
+    elif args.inprocess or args.shuffle is not None:
+        run_suite_inprocess(sf_dir, args.shuffle)
+    else:
+        run_suite_isolated(sf_dir, args.runs)
 
 
 if __name__ == "__main__":

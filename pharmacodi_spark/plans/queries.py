@@ -52,6 +52,22 @@ def oracle_queries() -> dict[str, str]:
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
 
 
+# sessions already pinned by _pin_session (keyed by JVM session hash so a
+# restarted session re-pins). NOTE for embedders: queries built through this
+# registry REQUIRE a UTC session and nanos-as-long parquet reads for oracle
+# parity; _pin_session mutates those two confs on first use of a session.
+_PINNED_SESSIONS: set[int] = set()
+
+
+def _pin_session(spark: SparkSession) -> None:
+    key = spark._jsparkSession.hashCode()
+    if key in _PINNED_SESSIONS:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _PINNED_SESSIONS.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Fixture vintages differ in how events.ts is stored: TIMESTAMP(NANOS)
     # (rejected by Spark's reader unless nanosAsLong, which then surfaces it
@@ -59,11 +75,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp_ntz). Normalize at the one load boundary to epoch-nanos LONG
     # under a UTC session so every downstream integer-epoch expression and
     # every DuckDB oracle (epoch_ns(ts)) sees identical values either way.
-    # Configs are set here, not only in our session builder, because the
-    # driver runs these queries in its own SparkSession. Exact integer epoch
-    # math beats timestamp semantics for oracle parity anyway.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Confs are pinned here (once per session, not per load), not only in
+    # our session builder, because the driver runs these queries in its own
+    # SparkSession. Exact integer epoch math beats timestamp semantics for
+    # oracle parity anyway.
+    _pin_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and df.schema["ts"].dataType.typeName().startswith("timestamp"):
         df = df.withColumn(

@@ -58,8 +58,24 @@ def read_event_stream(
 def events_ns_to_ts(df: DataFrame, ns_col: str = "ts") -> DataFrame:
     """Event-time column → TimestampType, whatever the fixture vintage stored:
     epoch-nanos LONG (sources read with spark.sql.legacy.parquet.nanosAsLong)
-    is truncated to µs; timestamp/timestamp_ntz is cast straight through."""
-    if df.schema[ns_col].dataType.typeName().startswith("timestamp"):
+    is truncated to µs; timestamp is passed through (already an instant);
+    timestamp_ntz is interpreted as UTC wall-clock — which REQUIRES a UTC
+    session: the only cast Spark offers for ntz goes through the session
+    timezone, so a non-UTC session would silently shift every instant
+    (there is no tz-independent ntz→instant expression; verified
+    to_utc_timestamp(ntz,'UTC') implicitly session-casts first). The helper
+    asserts rather than repins, so embedders keep control of their session."""
+    dt = df.schema[ns_col].dataType.typeName()
+    if dt == "timestamp":
+        return df
+    if dt == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"events_ns_to_ts: timestamp_ntz column {ns_col!r} needs a UTC "
+                f"session (spark.sql.session.timeZone={tz!r}); ntz→timestamp "
+                "casts go through the session timezone"
+            )
         return df.withColumn(ns_col, F.col(ns_col).cast("timestamp"))
     return df.withColumn(ns_col, F.timestamp_micros(F.expr(f"{ns_col} div 1000")))
 
