@@ -2551,3 +2551,73 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-vocab tokenization (library twin: text/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+# a deliberately adversarial mini-vocab: overlapping pieces ("ta"/"tab"/
+# "table", "th"/"the") exercise longest-match, and the letters absent from
+# the single-char tail (b, c, d, h, ...) force unk fallbacks mid-word
+_TOKENIZER_VOCAB = [
+    "a", "e", "g", "l", "m", "n", "o", "r", "s", "t", "u", "w",
+    "er", "re", "st", "ta", "th", "ch", "ow", "the", "row", "val", "ue",
+    "join", "tab", "table", "scan", "agg", "batch", "col", "umn", "que",
+    "ry", "fil", "ter", "data", "key", "par", "big", "lin", "ord", "fast",
+    "slow", "mer", "ge",
+]
+
+_TOKENIZER_VOCAB_SQL = ", ".join(f"('{p}')" for p in _TOKENIZER_VOCAB)
+
+
+@q(
+    "vocab_token_count",
+    f"""
+    WITH RECURSIVE
+    vocab(piece) AS (VALUES {_TOKENIZER_VOCAB_SQL}),
+    doc_words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    words AS (SELECT DISTINCT w FROM doc_words),
+    -- greedy longest-prefix walk as iterated position advance: each round
+    -- every unfinished word consumes its longest matching piece (else one
+    -- unk char); terminal rows are the ones whose pos ran past the end
+    step(w, pos, n, unk) AS (
+      SELECT w, 1, 0, 0 FROM words
+      UNION ALL
+      SELECT w, pos + coalesce(len, 1), n + 1,
+             unk + (CASE WHEN len IS NULL THEN 1 ELSE 0 END)
+      FROM (
+        SELECT s.w, s.pos, s.n, s.unk,
+               (SELECT max(length(v.piece)) FROM vocab v
+                WHERE substr(s.w, s.pos, length(v.piece)) = v.piece) AS len
+        FROM step s WHERE s.pos <= length(s.w))
+    ),
+    wp AS (SELECT w, n AS n_pieces, unk AS n_unk FROM step WHERE pos > length(w))
+    SELECT d.doc_id,
+           CAST(coalesce(sum(wp.n_pieces), 0) AS BIGINT) AS n_vocab_tokens,
+           CAST(coalesce(sum(wp.n_unk), 0) AS BIGINT) AS n_unk
+    FROM documents d
+    LEFT JOIN doc_words dw ON d.doc_id = dw.doc_id
+    LEFT JOIN wp ON dw.w = wp.w
+    GROUP BY d.doc_id
+    """,
+)
+def vocab_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets under a REAL vocabulary (greedy longest-prefix /
+    WordPiece-style inference), not a pre-tokenizer regex: per-document
+    model-token and unknown-token counts via text/tokenizer.py.
+
+    Spark plan: ONE mapInPandas pass over the scan — no explode, no join,
+    no shuffle; per-batch word memoization bounds Python work by distinct
+    words (Zipf head collapses). The oracle replays the identical greedy
+    semantics as a DuckDB recursive CTE over distinct words (recursion
+    depth = max word length), proving the trie walk piece-for-piece."""
+    from pharmacodi_spark.text.tokenizer import vocab_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_token_counts(d, _TOKENIZER_VOCAB)
