@@ -2,10 +2,14 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, partition-size control, UDF signatures,
-batch shapes — is real and tested; the actual media decode is STUBBED
-(``decoder=None`` → deterministic fake) because codec libraries are not in
-this container. Swap in a real decoder (PIL/torchaudio/ffmpeg) via the
-injected callable without touching the plan.
+batch shapes — is real and tested; the DEFAULT media decode is a
+deterministic fake (``decoder=None``) because heavyweight codec libraries
+are not in this container. The seam itself is exercised by a REAL codec:
+``media_codecs.png_feature_decoder`` (pure-stdlib PNG — chunk parse, IDAT
+inflate, full scanline-filter reconstruction) runs through this exact
+injection point in tests/test_media_codecs.py, including corrupt-bytes
+rows degrading to ``decode_ok=False``. Swap in PIL/torchaudio/ffmpeg the
+same way without touching the plan.
 
 Scale notes: binary payloads are the widest rows in the pipeline —
 ``target_rows_per_batch`` bounds Arrow batch memory; decode runs
