@@ -1,0 +1,174 @@
+"""Incremental dedup → upsert: the corpus-ingest pipeline composed
+end-to-end (north star; no reference twin — the reference ingests PSets
+batch-wise, ref PharmacoDI/scripts/build_all.py, and never dedups text).
+
+Per incoming batch of documents:
+
+1. **exact**: self-dedup (min-id keeper per content) then anti-join the
+   corpus CONTENT-HASH index (text/incremental.py::incremental_exact_dedup)
+   — corpus text is never re-read, the join key is a 32-byte md5;
+2. **within-batch near-dup**: MinHash-LSH band pairs among the batch's
+   survivors → connected components → min-id droplist
+   (text/dedup.py::minhash_near_dup_pairs + text/clusters.py::
+   near_dup_droplist);
+3. **cross-corpus near-dup**: any LSH band landing in an occupied corpus
+   cell flags the doc (text/incremental.py::incremental_near_dup_flags);
+   ``policy='drop'`` removes flagged docs, ``policy='flag'`` keeps them
+   with a ``near_dup_candidate`` marker for a downstream referee;
+4. **upsert**: survivors merge into the corpus table keyed by id
+   (io.py::merge_upsert — idempotent on micro-batch replay), and the two
+   compact indices (hashes; (band, bucket) cells) extend by the survivors
+   only.
+
+State layout under ``base_dir``: ``corpus/`` (full rows), ``hash_index/``
+(one md5 per doc ever accepted), ``bucket_index/`` (distinct LSH cells).
+Indices are O(corpus) but tiny (≤ 40 bytes/doc); every ingest shuffle
+carries ids/hashes, never document bodies — the 100 TB-safe shape.
+
+``streaming_ingest`` runs the same batch function under Structured
+Streaming via ``foreachBatch`` with checkpointing: effectively-once corpus
+maintenance (replayed micro-batches re-merge idempotently; index appends
+are guarded by an anti-join against the current index so replays don't
+duplicate cells). Batch/stream equivalence + replay are pytest-proven in
+tests/test_ingest_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.io import merge_upsert, path_exists
+from pharmacodi_spark.text.clusters import near_dup_droplist
+from pharmacodi_spark.text.dedup import minhash_near_dup_pairs
+from pharmacodi_spark.text.incremental import (
+    band_buckets,
+    content_hashes,
+    incremental_exact_dedup,
+    incremental_near_dup_flags,
+)
+
+_LSH = dict(num_hashes=16, bands=4, shingle_len=5)
+
+
+def dedup_batch(
+    new: DataFrame,
+    corpus_hashes: DataFrame | None = None,
+    corpus_buckets: DataFrame | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    policy: str = "drop",
+    **lsh,
+) -> DataFrame:
+    """Steps 1-3: the batch's accepted rows (plus ``near_dup_candidate``
+    under ``policy='flag'``). Pure transform — no state I/O."""
+    if policy not in ("drop", "flag"):
+        raise ValueError(f"policy must be 'drop' or 'flag', got {policy!r}")
+    lsh = {**_LSH, **lsh}
+
+    # 1. exact, within batch then vs corpus index
+    if corpus_hashes is not None:
+        survivors = incremental_exact_dedup(new, corpus_hashes, content_col, id_col)
+    else:
+        from pharmacodi_spark.text.dedup import exact_dedup
+
+        survivors = exact_dedup(new, content_col, id_col)
+
+    # 2. within-batch near-dup: pairs → components → min-id keeper
+    pairs = minhash_near_dup_pairs(survivors, content_col, id_col, **lsh)
+    keep = near_dup_droplist(survivors.select(id_col), pairs, id_col=id_col)
+    survivors = survivors.join(
+        keep.where(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+
+    # 3. cross-corpus near-dup candidates
+    if corpus_buckets is not None:
+        flags = incremental_near_dup_flags(
+            survivors, corpus_buckets, content_col, id_col, **lsh
+        )
+        if policy == "drop":
+            survivors = survivors.join(
+                flags.where(~F.col("near_dup_candidate")).select(id_col),
+                id_col,
+                "left_semi",
+            )
+        else:
+            survivors = survivors.join(flags, id_col, "left")
+    elif policy == "flag":
+        survivors = survivors.withColumn("near_dup_candidate", F.lit(False))
+    return survivors
+
+
+def _state_paths(base_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(base_dir, "corpus"),
+        os.path.join(base_dir, "hash_index"),
+        os.path.join(base_dir, "bucket_index"),
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    base_dir: str,
+    new: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh,
+) -> None:
+    """One full ingest round against the on-disk corpus state (steps 1-4).
+    Also the ``foreachBatch`` body of ``streaming_ingest`` — idempotent
+    under micro-batch replay: merge_upsert re-merges the same keys, and
+    index appends anti-join the current index first."""
+    corpus_path, hash_path, bucket_path = _state_paths(base_dir)
+    have_corpus = path_exists(spark, corpus_path)
+    hashes = spark.read.parquet(hash_path) if have_corpus else None
+    buckets = spark.read.parquet(bucket_path) if have_corpus else None
+
+    survivors = dedup_batch(
+        new, hashes, buckets, content_col, id_col, policy="drop", **lsh
+    )
+    # three consumers (corpus write + two index writes): materialize once,
+    # bounded by batch size
+    survivors = survivors.localCheckpoint()
+
+    new_hashes = content_hashes(survivors, content_col, id_col)
+    new_cells = band_buckets(survivors, content_col, id_col, **lsh)
+    if have_corpus:
+        merge_upsert(spark, corpus_path, survivors, [id_col])
+        # replay-safe compact indices: only genuinely new entries append
+        new_hashes = new_hashes.join(hashes, "h", "left_anti")
+        new_cells = new_cells.join(buckets, ["band", "bucket"], "left_anti")
+        new_hashes.write.mode("append").parquet(hash_path)
+        new_cells.write.mode("append").parquet(bucket_path)
+    else:
+        survivors.write.parquet(corpus_path)
+        new_hashes.write.parquet(hash_path)
+        new_cells.write.parquet(bucket_path)
+
+
+def streaming_ingest(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh,
+):
+    """Steps 1-4 under Structured Streaming: each micro-batch runs the full
+    dedup gauntlet against the CURRENT corpus state, then upserts. Returns
+    the started StreamingQuery (availableNow trigger — drain-the-backlog
+    semantics, same as streaming/ops.py::upsert_sink)."""
+
+    def do_ingest(batch: DataFrame, _batch_id: int) -> None:
+        ingest_batch(
+            batch.sparkSession, base_dir, batch, content_col, id_col, **lsh
+        )
+
+    return (
+        stream.writeStream.foreachBatch(do_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

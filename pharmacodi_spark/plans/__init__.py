@@ -25,12 +25,19 @@ _DRIVER_WINDOW = [
     "filter_predicates", "null_counts", "clamp_recode",
     "harmonize_contract", "constant_flag",
     # joins (J1-J11)
+    # (r4: anti_join rotated out — J9's anti path keeps hard driver
+    # evidence via fk_unmatched_audit's left-anti audit and
+    # ingest_pipeline's two anti-join stages; semi_join stays)
     "broadcast_left_join", "composite_key_join", "fk_remap_dense",
-    "update_join_coalesce", "dim_preserving_join", "semi_join", "anti_join",
+    "update_join_coalesce", "dim_preserving_join", "semi_join",
     "cross_join_pairs", "map_lookup",
-    # aggregation / audit (A1-A8)
-    "distinct_rows", "first_per_group", "group_count", "table_stats",
-    "group_concat", "fk_unmatched_audit",
+    # aggregation / audit (A1-A8). Round-4 rotation (VERDICT r3 item 10):
+    # table_stats (A5) and group_concat (A7) yield their slots to extension
+    # queries — A5 stays driver-covered via null_counts/cube_stats-style
+    # aggregates and A7 via synonym_pipeline (its synonym assembly IS the
+    # ||| group-concat, operators/reshape.py:80); both keep their own
+    # oracle rows under the local driver-sim + pytest mirror.
+    "distinct_rows", "first_per_group", "group_count", "fk_unmatched_audit",
     # ids / sort / limit (W1/W2, O1-O5)
     "surrogate_key_dim", "surrogate_key_fact", "top_k_orders",
     # set ops (U1-U3)
@@ -44,9 +51,13 @@ _DRIVER_WINDOW = [
     "asof_join", "range_join", "cube_stats",
     # full pipeline cascades (the reference's end product)
     "combine_pipeline", "synonym_pipeline", "meta_pipeline",
-    # LLM-pipeline family representatives
+    # LLM-pipeline family representatives (r4 rotation adds the IVF-PQ
+    # re-rank cascade, the incremental-ingest exact path, and the full
+    # ingest dedup gauntlet E2E — exact + within-batch LSH/CC + corpus-cell
+    # drop in one oracle row)
     "exact_dedup", "minhash_band_pairs", "ann_dot_topk",
     "multimodal_features", "window_tumbling", "fuzzy_dedup_pipeline",
+    "ann_ivf_pq_topk", "incremental_dedup", "ingest_pipeline",
 ]
 
 

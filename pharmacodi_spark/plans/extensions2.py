@@ -2621,3 +2621,156 @@ def vocab_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return vocab_token_counts(d, _TOKENIZER_VOCAB)
+
+
+# ---------------------------------------------------------------------------
+# Ingest pipeline E2E (library twin: pipelines/ingest.py::dedup_batch)
+# ---------------------------------------------------------------------------
+
+_ING_SHINGLES = """
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks)-4, 1))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}))
+"""
+
+_ING_SIG = """
+      SELECT doc_id,
+             min(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)) AS h0,
+             min(CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)) AS h1,
+             min(CAST(('0x' || substr(md5(shingle), 17, 8)) AS BIGINT)) AS h2,
+             min(CAST(('0x' || substr(md5(shingle), 25, 8)) AS BIGINT)) AS h3
+      FROM ({sh})
+      GROUP BY doc_id
+"""
+
+
+@q(
+    "ingest_pipeline",
+    f"""
+    WITH RECURSIVE
+    corpus AS (SELECT * FROM documents WHERE doc_id < 250),
+    new AS (SELECT * FROM documents WHERE doc_id >= 250),
+    ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+    s1 AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM new d)
+      WHERE rn = 1 AND md5(text) NOT IN (SELECT h FROM ch)
+    ),
+    sig1 AS ({_ING_SIG.format(sh=_ING_SHINGLES.format(src='s1'))}),
+    cells1 AS (
+      SELECT doc_id, 0 AS band, h0 AS v1, h1 AS v2 FROM sig1
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 AS v1, h3 AS v2 FROM sig1
+    ),
+    sigc AS ({_ING_SIG.format(sh=_ING_SHINGLES.format(src='corpus'))}),
+    cellsc AS (
+      SELECT DISTINCT band, v1, v2 FROM (
+        SELECT 0 AS band, h0 AS v1, h1 AS v2 FROM sigc
+        UNION ALL
+        SELECT 1 AS band, h2 AS v1, h3 AS v2 FROM sigc)
+    ),
+    pairs0 AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM cells1 a JOIN cells1 b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT u, v FROM pairs0 UNION SELECT v, u FROM pairs0),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM s1
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    s2 AS (
+      SELECT s1.* FROM s1
+      JOIN comp ON s1.doc_id = comp.node AND comp.component = s1.doc_id
+    ),
+    flagged AS (
+      SELECT DISTINCT c.doc_id
+      FROM cells1 c JOIN cellsc x
+        ON c.band = x.band AND c.v1 = x.v1 AND c.v2 = x.v2
+    )
+    SELECT doc_id, lang, source FROM s2
+    WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-ingest dedup gauntlet E2E (pipelines/ingest.py::
+    dedup_batch), oracle-checked as ONE cascade: corpus = doc_id < 250 with
+    its content-hash + LSH-cell indices; new batch = doc_id ≥ 250 goes
+    through (1) exact self-dedup + hash-index anti-join, (2) within-batch
+    LSH band pairs → connected components → min-id droplist, (3) drop of
+    docs whose any band lands in an occupied corpus cell. md5-parity k=4
+    signature (2 bands × 2 rows) so every stage — including the iterative
+    component labelling — is value-checked against the recursive-CTE
+    oracle. The library path (xxhash64 cells, 16 hashes) + streaming upsert
+    composition is pytest-proven in tests/test_ingest_pipeline.py."""
+    from pharmacodi_spark.plans.extensions import _signature
+    from pharmacodi_spark.text.clusters import near_dup_droplist
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 250)
+    new = d.where(F.col("doc_id") >= 250)
+
+    # 1. exact: min-id keeper per content, then corpus hash-index anti-join
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s1 = (
+        new.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .join(
+            corpus.select(F.md5("text").alias("h")).distinct(),
+            F.md5(F.col("text")) == F.col("h"),
+            "left_anti",
+        )
+    )
+
+    def cells(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"), F.col("h0").alias("v1"), F.col("h1").alias("v2")),
+                    F.struct(F.lit(1).alias("band"), F.col("h2").alias("v1"), F.col("h3").alias("v2")),
+                )
+            ).alias("c"),
+        ).select("doc_id", "c.band", "c.v1", "c.v2")
+
+    # 2. within-batch near-dup: bucket-local pair expansion → CC → keeper
+    c1 = cells(_signature(s1))
+    buckets = (
+        c1.groupBy("band", "v1", "v2")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    ms = F.col("members")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ms,
+                    lambda x, i: F.transform(
+                        F.slice(ms, i + 2, F.size(ms)),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b").distinct()
+    keep = near_dup_droplist(s1.select("doc_id"), pairs)
+    s2 = s1.join(
+        keep.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 3. cross-corpus candidates: any band in an occupied corpus cell
+    corpus_cells = cells(_signature(corpus)).select("band", "v1", "v2").distinct()
+    flagged = (
+        cells(_signature(s2))
+        .join(corpus_cells, ["band", "v1", "v2"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return s2.join(flagged, "doc_id", "left_anti").select("doc_id", "lang", "source")

@@ -1,0 +1,171 @@
+"""pipelines/ingest.py — incremental dedup composed into the upsert sink.
+
+Round-3 gap (VERDICT r3 item 4): the pieces (incremental flags, droplist,
+upsert) were each green but never composed. These tests drive the E2E
+composition: known dup structure through batch ingest, stream ingest over
+the same micro-batches matching batch-sequential ingest exactly, and
+idempotence under forced micro-batch replay.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.pipelines.ingest import (
+    dedup_batch,
+    ingest_batch,
+    streaming_ingest,
+)
+
+# cyclic texts: repeating the same 5-word cycle yields the SAME 5-gram
+# shingle set regardless of repeat count → identical MinHash signatures →
+# guaranteed LSH candidates (deterministic near-dups, not probabilistic),
+# while the raw strings differ (so they are NOT exact dups)
+_CYC = "alpha beta gamma delta epsilon "
+T_A = (_CYC * 5).strip()
+T_B = (_CYC * 6).strip()   # near-dup of T_A (same shingle set)
+T_C = (_CYC * 7).strip()   # near-dup of T_A, arrives in batch 2
+T_X = " ".join(f"w{i}" for i in range(30))       # unrelated
+T_Y = " ".join(f"z{i} q{i}" for i in range(15))  # unrelated, batch 2
+
+BATCH1 = [(1, T_A), (2, T_X), (3, T_A), (4, T_B)]
+BATCH2 = [(5, T_X), (6, T_C), (7, T_Y)]
+SCHEMA = "doc_id long, text string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_dedup_batch_composition(spark):
+    """Batch 1 alone: 3 is an exact self-dup of 1; 4 is a within-batch LSH
+    near-dup of 1 (min-id keeper wins); survivors = {1, 2}."""
+    got = sorted(r.doc_id for r in dedup_batch(_df(spark, BATCH1)).collect())
+    assert got == [1, 2]
+
+
+def test_dedup_batch_flag_policy(spark):
+    """policy='flag' keeps cross-corpus candidates, marked."""
+    from pharmacodi_spark.text.incremental import band_buckets, content_hashes
+
+    corpus = _df(spark, [(0, T_A), (10, T_X)])
+    flags = dedup_batch(
+        _df(spark, BATCH2),
+        content_hashes(corpus),
+        band_buckets(corpus),
+        policy="flag",
+    )
+    rows = {r.doc_id: r.near_dup_candidate for r in flags.collect()}
+    # 5 = exact dup of corpus doc 10 → gone before flagging; 6 = LSH hit on
+    # corpus T_A cells → kept but flagged; 7 = clean
+    assert rows == {6: True, 7: False}
+
+
+def test_batch_sequential_ingest(spark, tmp_path):
+    base = str(tmp_path / "state")
+    ingest_batch(spark, base, _df(spark, BATCH1))
+    corpus1 = sorted(
+        r.doc_id for r in spark.read.parquet(f"{base}/corpus").collect()
+    )
+    assert corpus1 == [1, 2]
+    ingest_batch(spark, base, _df(spark, BATCH2))
+    corpus2 = {
+        r.doc_id: r.text for r in spark.read.parquet(f"{base}/corpus").collect()
+    }
+    # 5 exact-dups corpus doc 2 (T_X); 6 LSH-hits corpus doc 1's cells; 7 in
+    assert sorted(corpus2) == [1, 2, 7]
+    assert corpus2[7] == T_Y
+    # indices grew by the survivors only (3 docs ⇒ 3 hashes; cells distinct)
+    assert spark.read.parquet(f"{base}/hash_index").count() == 3
+    cells = spark.read.parquet(f"{base}/bucket_index")
+    assert cells.count() == cells.select("band", "bucket").distinct().count()
+
+
+def _write_stream_files(spark, src_dir):
+    """Two json files = two micro-batches (maxFilesPerTrigger=1), mtime-
+    ordered so the file source replays them in batch order."""
+    os.makedirs(src_dir)
+    for i, batch in enumerate([BATCH1, BATCH2]):
+        path = os.path.join(src_dir, f"b{i}.json")
+        with open(path, "w") as f:
+            for doc_id, text in batch:
+                f.write('{"doc_id": %d, "text": "%s"}\n' % (doc_id, text))
+        os.utime(path, (time.time() + i * 10, time.time() + i * 10))
+
+
+def test_streaming_ingest_matches_batch_sequential(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    _write_stream_files(spark, src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    s_base = str(tmp_path / "stream_state")
+    q = streaming_ingest(stream, s_base, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    b_base = str(tmp_path / "batch_state")
+    ingest_batch(spark, b_base, _df(spark, BATCH1))
+    ingest_batch(spark, b_base, _df(spark, BATCH2))
+
+    s_corpus = {(r.doc_id, r.text) for r in spark.read.parquet(f"{s_base}/corpus").collect()}
+    b_corpus = {(r.doc_id, r.text) for r in spark.read.parquet(f"{b_base}/corpus").collect()}
+    assert s_corpus == b_corpus and len(s_corpus) == 3
+    s_hashes = {r.h for r in spark.read.parquet(f"{s_base}/hash_index").collect()}
+    b_hashes = {r.h for r in spark.read.parquet(f"{b_base}/hash_index").collect()}
+    assert s_hashes == b_hashes
+    s_cells = {
+        (r.band, r.bucket)
+        for r in spark.read.parquet(f"{s_base}/bucket_index").collect()
+    }
+    b_cells = {
+        (r.band, r.bucket)
+        for r in spark.read.parquet(f"{b_base}/bucket_index").collect()
+    }
+    assert s_cells == b_cells
+
+
+def test_streaming_ingest_replay_idempotent(spark, tmp_path):
+    """Delete the last commit marker → Structured Streaming re-runs the
+    final micro-batch through foreachBatch with the same data. The corpus
+    and both indices must be unchanged (merge idempotent, index appends
+    anti-joined)."""
+    src = str(tmp_path / "incoming")
+    _write_stream_files(spark, src)
+    base = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        streaming_ingest(stream, base, ckpt).awaitTermination()
+
+    run()
+    snap = lambda p: sorted(map(tuple, spark.read.parquet(p).collect()))  # noqa: E731
+    before = (
+        snap(f"{base}/corpus"),
+        snap(f"{base}/hash_index"),
+        snap(f"{base}/bucket_index"),
+    )
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # replays the final micro-batch
+    after = (
+        snap(f"{base}/corpus"),
+        snap(f"{base}/hash_index"),
+        snap(f"{base}/bucket_index"),
+    )
+    assert before == after
