@@ -32,6 +32,9 @@ def pagerank_int(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 4,
+    dangling: str = "ignore",
+    tol: int | None = None,
+    info: dict | None = None,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list. Returns (v, r) with r
     the scaled-integer rank after ``iterations`` steps:
@@ -40,9 +43,27 @@ def pagerank_int(
         rᵢ₊₁(v) = (den−num)·scale div (den·N)
                   + (num · Σ_{u→v} (rᵢ(u) div outdeg(u))) div den
 
-    Simplified model (no dangling-mass redistribution — leaked mass just
-    shrinks totals identically everywhere); ties and rounding are exact
-    floor divisions of non-negative longs in every engine."""
+    ``dangling='ignore'`` (the simplified model: mass on out-degree-0 nodes
+    leaks, shrinking totals identically everywhere) or ``'redistribute'``
+    (production graphs have sinks): each step adds the dangling share
+    Dᵢ div N inside the damped term —
+
+        rᵢ₊₁(v) = base + (num · (Σ… + Dᵢ div N)) div den,
+        Dᵢ = Σ_{outdeg(u)=0} rᵢ(u)
+
+    — total mass conserved to within N floor-roundings per step, still
+    exact non-negative integer algebra in every engine. Dᵢ stays IN the
+    plan (1-row aggregate broadcast into the rank update), no per-iteration
+    driver action.
+
+    ``tol`` enables convergence early-stop: at every ``checkpoint_every``
+    boundary, ``max |rᵢ₊₁ − rᵢ|`` is evaluated (one node-sized aggregate to
+    a scalar — the only driver action the loop ever takes) and iteration
+    stops once it is ≤ tol (scaled-integer units). Pass ``info={}`` to
+    receive ``iterations_run`` / ``converged`` back; ties and rounding are
+    exact floor divisions of non-negative longs in every engine."""
+    if dangling not in ("ignore", "redistribute"):
+        raise ValueError(f"dangling must be 'ignore' or 'redistribute', got {dangling!r}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("v"))
@@ -53,7 +74,10 @@ def pagerank_int(
     base = (damping_den - damping_num) * scale // (damping_den * n)
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("long"))
+    converged = False
+    iters_run = iterations
     for i in range(iterations):
+        prev = ranks
         rank_src = ranks.select(F.col("v").alias("src"), "r")
         contrib = (
             e.join(rank_src, "src")
@@ -61,17 +85,56 @@ def pagerank_int(
             .select(F.col("dst").alias("v"), F.expr("r div outdeg").alias("c"))
         )
         summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(summed, "v", "left").select(
-            "v",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+        if dangling == "redistribute":
+            dang = (
+                ranks.join(
+                    outdeg.select("src"), ranks["v"] == F.col("src"), "left_anti"
+                )
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("D"))
             )
-            .cast("long")
-            .alias("r"),
-        )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = (
+                nodes.join(summed, "v", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "v",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_num} * (coalesce(s, 0L) + D div {n}))"
+                            f" div {damping_den}"
+                        )
+                    )
+                    .cast("long")
+                    .alias("r"),
+                )
+            )
+        else:
+            ranks = nodes.join(summed, "v", "left").select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        at_check = (i + 1) % checkpoint_every == 0
+        if at_check and (tol is not None or (i + 1) < iterations):
             ranks = ranks.localCheckpoint()
+        if tol is not None and at_check:
+            delta = (
+                ranks.alias("nw")
+                .join(prev.alias("pv"), "v")
+                .agg(F.max(F.abs(F.col("nw.r") - F.col("pv.r"))).alias("d"))
+                .first()
+                .d
+            )
+            if delta is not None and delta <= tol:
+                converged = True
+                iters_run = i + 1
+                break
+    if info is not None:
+        info.update(iterations_run=iters_run, converged=converged)
     return ranks
 
 

@@ -2774,3 +2774,71 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return s2.join(flagged, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def _pagerank_dangling_sql(iters: int = 6) -> str:
+    """Unrolled oracle for the dangling-redistribution model: same integer
+    algebra as _pagerank_sql plus the per-step dangling share
+    D div N inside the damped term. Graph: src = custkey mod 50 →
+    dst = orderkey mod 55, so nodes 50-54 are guaranteed pure sinks
+    (never a src) and the dangling term carries real mass."""
+    n_nodes = "(SELECT count(*) FROM nodes)"
+    base = "(SELECT (15000000000 // (100 * count(*))) FROM nodes)"
+    parts = [
+        "edges AS (SELECT DISTINCT o_custkey % 50 AS src, "
+        "o_orderkey % 55 AS dst FROM orders)",
+        "nodes AS (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "r0 AS (SELECT v, (SELECT 1000000000 // count(*) FROM nodes) AS r "
+        "FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        dang = (
+            f"(SELECT coalesce(sum(r2.r), 0) FROM r{i - 1} r2 "
+            f"WHERE r2.v NOT IN (SELECT src FROM outdeg))"
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.v,
+             CAST({base}
+                  + (85 * (coalesce(s.s, 0) + {dang} // {n_nodes})) // 100
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS v, sum(r.r // o.od) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.v
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+      ) s ON n.v = s.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(v AS BIGINT) AS v, CAST(r AS BIGINT) AS r "
+        f"FROM r{iters}"
+    )
+
+
+@q("pagerank_dangling", _pagerank_dangling_sql(6))
+def pagerank_dangling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution (operators/graph.py::
+    pagerank_int(dangling='redistribute')), 6 iterations over a graph with
+    five guaranteed sinks (dst = orderkey mod 55 vs src = custkey mod 50).
+    Each step folds Σ_{sinks} r div N into the damped term as exact
+    integer algebra, conserving total mass to within N floor-roundings —
+    value-checked against the unrolled-CTE oracle including the in-plan
+    1-row dangling aggregate (broadcast, no per-iteration driver action).
+    Convergence early-stop (tol) is pytest-proven (a fixed-point trajectory
+    cut short is not oracle-comparable to a fixed iteration count)."""
+    from pharmacodi_spark.operators.graph import pagerank_int
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("o_orderkey") % 55).alias("dst"),
+    ).distinct()
+    out = pagerank_int(edges, iterations=6, dangling="redistribute")
+    return out.select(
+        F.col("v").cast("long").alias("v"), F.col("r").cast("long").alias("r")
+    )

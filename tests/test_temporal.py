@@ -68,6 +68,58 @@ def test_pagerank_int(spark):
     assert sum(d.values()) <= 10**9  # mass only leaks, never appears
 
 
+def test_pagerank_dangling_redistribution(spark):
+    from pharmacodi_spark.operators.graph import pagerank_int
+
+    # chain a→b with b a pure sink. Hand-computed first step (scale 1e9,
+    # N=2, base = 15e9//200 = 75_000_000, D₀ = r₀(b) = 5e8):
+    #   r₁(a) = base + 85·(0 + D₀ div 2) div 100          = 287_500_000
+    #   r₁(b) = base + 85·(r₀(a) div 1 + D₀ div 2) div 100 = 712_500_000
+    chain = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    r1 = {x.v: x.r for x in pagerank_int(chain, 1, dangling="redistribute").collect()}
+    assert r1 == {1: 287_500_000, 2: 712_500_000}
+    assert sum(r1.values()) == 10**9  # mass conserved exactly here
+
+    # multi-step: conservation within N floor-roundings per step, and the
+    # sink holds MORE mass than under the leaky model
+    r5 = {x.v: x.r for x in pagerank_int(chain, 5, dangling="redistribute").collect()}
+    assert 10**9 - 5 * 2 <= sum(r5.values()) <= 10**9
+    leak5 = {x.v: x.r for x in pagerank_int(chain, 5, dangling="ignore").collect()}
+    assert sum(leak5.values()) < sum(r5.values())
+    assert r5[2] > leak5[2]
+
+
+def test_pagerank_early_stop(spark):
+    from pharmacodi_spark.operators.graph import pagerank_int
+
+    # uniform cycle is a fixpoint from step 0 → the first tol check
+    # (checkpoint boundary) must stop the loop
+    cycle = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    info = {}
+    out = pagerank_int(cycle, iterations=20, checkpoint_every=2, tol=0, info=info)
+    assert info == {"iterations_run": 2, "converged": True}
+    # early-stopped ranks == the full-run fixpoint
+    assert {x.v: x.r for x in out.collect()} == {
+        x.v: x.r for x in pagerank_int(cycle, iterations=20).collect()
+    }
+
+    # non-trivial graph + loose tol: converges before the cap; the result
+    # equals running exactly iterations_run steps without early-stop
+    star = spark.createDataFrame([(1, 0), (2, 0), (3, 0), (0, 1)], ["src", "dst"])
+    info2 = {}
+    got = pagerank_int(
+        star, iterations=40, checkpoint_every=4, tol=5_000_000, info=info2
+    )
+    assert info2["converged"] and info2["iterations_run"] < 40
+    want = pagerank_int(star, iterations=info2["iterations_run"])
+    assert {x.v: x.r for x in got.collect()} == {x.v: x.r for x in want.collect()}
+
+    # tol=None keeps the legacy contract: runs the full count, no info
+    info3 = {}
+    pagerank_int(cycle, iterations=3, info=info3)
+    assert info3 == {"iterations_run": 3, "converged": False}
+
+
 def test_profile_table(spark):
     from pharmacodi_spark.operators.profile import profile_table
 
