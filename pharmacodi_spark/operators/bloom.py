@@ -48,12 +48,21 @@ def build_bloom_bitmap(
             )
         ).alias("p")
     ).distinct()
+    # aggregate-side pack: OR the bit masks per 64-bit word ON THE
+    # EXECUTORS (map-side partial bit_or, then one shuffle of ≤ m/64 word
+    # rows), and return everything as ONE collected row. The driver never
+    # materializes per-position rows — its memory term is the bitmap
+    # itself (m/8 bytes), same as the literal it is about to embed.
+    packed = (
+        pos.groupBy(F.shiftright("p", 6).cast("int").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").alias("bits"))
+        .agg(F.collect_list(F.struct("w", "bits")).alias("wb"))
+        .first()
+    )
     words = [0] * (n_bits // 64)
-    for r in pos.collect():
-        p = r.p
-        words[p >> 6] |= 1 << (p & 63)
-    # wrap to signed 64-bit so the values fit Spark's LongType literal
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for e in packed.wb:
+        words[e.w] = e.bits  # already signed 64-bit longs (LongType-ready)
+    return words
 
 
 def _bit_test(bitmap: Column, key: Column, seed: int, n_bits: int) -> Column:

@@ -194,6 +194,40 @@ def test_bloom_prefilter_properties(spark):
     assert cand_n.where("k IS NULL").count() == 0
 
 
+def test_bloom_aggregate_pack_matches_driver_pack(spark):
+    """The executor-side bit_or pack (current builder) produces the exact
+    bitmap the legacy driver-side loop did — re-derived here from the same
+    distinct positions as the reference implementation."""
+    from pyspark.sql import functions as F2
+
+    from pharmacodi_spark.operators.bloom import build_bloom_bitmap
+
+    n_bits, n_hashes = 1 << 12, 3
+    dim = (
+        spark.range(0, 5000)
+        .where("id % 7 = 0")
+        .select((F2.col("id") * 31 % 4093).alias("dk"))  # collisions included
+    )
+    words = build_bloom_bitmap(dim, "dk", n_bits=n_bits, n_hashes=n_hashes)
+
+    pos = dim.select(
+        F2.explode(
+            F2.array(
+                *[
+                    F2.pmod(F2.xxhash64(F2.col("dk"), F2.lit(i)), F2.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    ref = [0] * (n_bits // 64)
+    for r in pos.collect():  # the legacy per-position driver loop
+        ref[r.p >> 6] |= 1 << (r.p & 63)
+    ref = [w - (1 << 64) if w >= (1 << 63) else w for w in ref]
+    assert words == ref
+    assert any(w < 0 for w in words) or all(w >= 0 for w in words)  # sign-safe
+
+
 def test_bloom_bitmap_persistence(spark, tmp_path):
     """A saved+loaded bitmap filters identically to the freshly built one —
     the build-at-write / probe-at-read index lifecycle."""
