@@ -174,6 +174,39 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False, "no sort-merge in the 5-table DAG"),
         (r"BroadcastHashJoin", True, "customer/nation/region broadcast"),
     ],
+    # iterative graph ops (VERDICT r3 item 8): the per-iteration shape must
+    # be hash exchanges only — node-keyed joins/aggs, never a global sort
+    # or single-partition window on the edge/rank tables
+    "pagerank_int": [
+        (r"Arguments: hashpartitioning", True,
+         "iterations run on hash exchanges (join src / groupBy dst)"),
+        (r"Window", False, "no window anywhere — rank update is join+agg"),
+        (r"rangepartitioning", False, "no global sort in the loop"),
+        (r"Exchange SinglePartition", False, "nothing collapses to one partition"),
+    ],
+    "label_propagation": [
+        (r"Arguments: hashpartitioning", True,
+         "per-step neighbor join + (node,label) count are hash exchanges"),
+        (r"Arguments: \[v#\d+L\], \[c#\d+L DESC NULLS LAST[^\n]*row_number", True,
+         "top-1 label window is PER-NODE (hash-partitioned by v)"),
+        (r"rangepartitioning", False, "no global ordering"),
+        (r"Exchange SinglePartition", False, "nothing collapses to one partition"),
+    ],
+}
+
+# post-execution audits: properties only visible in the FINAL adaptive plan
+# (AQE decides them at runtime) — the query is executed, then assertions run
+# against queryExecution().executedPlan(). This is where exchange REUSE
+# lands: plans/analytics.py::exists_coexist_audit documents that its
+# not-null filter keeps the two aggregation branches canonically equal so
+# the fact scan+shuffle happens once.
+POST_EXEC_AUDITS: dict[str, list[tuple[str, bool, str]]] = {
+    "exists_coexist_audit": [
+        (r"ReusedExchange", True,
+         "shared per-(order,supplier) subtree: ONE lineitem scan+shuffle, "
+         "second branch reads the ReusedExchange"),
+        (r"SortMergeJoin", False, "self-join back on l_orderkey stays hash"),
+    ],
 }
 
 
@@ -211,6 +244,26 @@ def main() -> None:
             )
         ]
         lines.append("\n```\n" + excerpt + "\n---\n" + "\n".join(details) + "\n```\n")
+        sections.append("\n".join(lines))
+
+    for name, checks in POST_EXEC_AUDITS.items():
+        df = QUERIES[name][0](spark, SF_DIR)
+        df.collect()  # executes THIS DataFrame's QueryExecution → final AQE plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [f"## {name} (post-execution / final AQE plan)\n"]
+        for pat, want, note in checks:
+            hit = re.search(pat, plan) is not None
+            ok = hit == want
+            mark = "✓" if ok else "✗ FAILED"
+            lines.append(f"- {mark} {note} (`{pat}` {'present' if want else 'absent'})")
+            if not ok:
+                failures.append((name, note))
+        evidence = [
+            "   " + line.strip()
+            for line in plan.splitlines()
+            if "Reused" in line or "QueryStage" in line
+        ][:6]
+        lines.append("\n```\n" + "\n".join(evidence) + "\n```\n")
         sections.append("\n".join(lines))
 
     header = (

@@ -113,6 +113,75 @@ def ops(spark, mult: int) -> dict[str, float]:
         .groupBy("l_orderkey")
         .agg(F.sum("n").alias("s"))
     )
+
+    # iterative graph ops (VERDICT r3 item 8): node count scales WITH the
+    # data (2000·mult) so both the edge list and the rank/label state grow
+    # 10x together — the honest scaling question for Pregel-shape loops
+    from pharmacodi_spark.operators.graph import label_propagation, pagerank_int
+
+    n_nodes = 2000 * mult
+    edges = li.select(
+        (F.col("l_orderkey") % n_nodes).alias("src"),
+        ((F.col("l_suppkey") * 7 + F.col("l_orderkey")) % n_nodes).alias("dst"),
+    ).distinct()
+    out["pagerank_4iter"] = timed(
+        lambda: pagerank_int(edges, iterations=4, checkpoint_every=2)
+    )
+    out["label_prop_3iter"] = timed(
+        lambda: label_propagation(edges, iterations=3, checkpoint_every=2)
+    )
+
+    from pharmacodi_spark.text.cleaning import scrub_shared_spans
+
+    out["span_scrub"] = timed(lambda: scrub_shared_spans(docs))
+
+    from pharmacodi_spark.operators.profile import profile_table
+
+    out["profile_approx"] = timed(lambda: profile_table(li, approx=True))
+    return out
+
+
+def pruning(spark, mult: int) -> dict[str, float]:
+    """Canonical-layout pruning (VERDICT r3 item 9): write an experiment-
+    shaped table through io.py::save_canonical (dataset partitions + cell
+    buckets + in-bucket sort) and a Z-ordered copy (clustering.py), then
+    time selective scans against full scans on the SAME files. The numbers
+    that matter: pruned/full per scale (how much the layout saves) and
+    pruned 1x→10x (a pruned scan should grow with the SELECTED slice, not
+    the table)."""
+    from pharmacodi_spark.io import save_canonical
+    from pharmacodi_spark.operators.clustering import zorder_repartition
+
+    li = spark.read.parquet(f"{BASE}/lineitem_{mult}x")
+    exp = li.select(
+        (F.col("l_orderkey") % 20).alias("dataset_id"),
+        F.col("l_suppkey").alias("cell_id"),
+        (F.col("l_orderkey") * 4 + F.col("l_linenumber")).alias("compound_id"),
+        F.col("l_quantity").alias("value"),
+    )
+    canon_base = f"{BASE}/canon_{mult}x"
+    handle = save_canonical(exp, "experiment", canon_base)  # bucketed → ident
+    zpath = f"{BASE}/zorder_{mult}x"
+    ppath = f"{BASE}/plain_{mult}x"
+    zorder_repartition(exp, ["cell_id", "compound_id"], 32).write.mode(
+        "overwrite"
+    ).parquet(zpath)
+    exp.repartition(32).write.mode("overwrite").parquet(ppath)
+
+    canon = spark.table(handle)
+    agg = lambda df: df.groupBy().agg(F.sum("value").alias("s"))  # noqa: E731
+    sel = (F.col("cell_id").between(10, 40)) & (
+        F.col("compound_id").between(1000, 50000)
+    )
+    z, p = spark.read.parquet(zpath), spark.read.parquet(ppath)
+    out = {
+        "canon_full_scan": timed(agg(canon)),
+        "canon_partition_pruned": timed(
+            agg(canon.where(F.col("dataset_id") == 3))
+        ),
+        "zorder_selective": timed(agg(z.where(sel))),
+        "plain_selective": timed(agg(p.where(sel))),
+    }
     return out
 
 
@@ -142,6 +211,36 @@ def main() -> None:
         r = t10[name] / t1[name] if t1[name] > 0 else float("nan")
         lines.append(
             f"| {name} | {t1[name]:.2f} | {t10[name]:.2f} | {r:.1f}x |"
+        )
+
+    p1 = pruning(spark, 1)
+    p10 = pruning(spark, 10)
+    lines += [
+        "",
+        "## Canonical-layout pruning (save_canonical + Z-order)",
+        "",
+        "Experiment-shaped table (20 dataset partitions, 16 cell buckets,",
+        "in-bucket sort) via `io.py::save_canonical`; Z-ordered vs plain",
+        "32-file copies via `operators/clustering.py::zorder_repartition`.",
+        "`pruned/full` is the layout's payoff on the SAME files; a pruned",
+        "scan growing far slower than 10x means the scan tracks the",
+        "selected slice, not the table.",
+        "",
+        "| scan | 1x sec | 10x sec | 10x/1x |",
+        "|---|---|---|---|",
+    ]
+    for name in p1:
+        r = p10[name] / p1[name] if p1[name] > 0 else float("nan")
+        lines.append(
+            f"| {name} | {p1[name]:.2f} | {p10[name]:.2f} | {r:.1f}x |"
+        )
+    for label, (num, den) in {
+        "canon partition pruned/full": ("canon_partition_pruned", "canon_full_scan"),
+        "zorder selective / plain selective": ("zorder_selective", "plain_selective"),
+    }.items():
+        lines.append(
+            f"| {label} (at 10x) | — | — | "
+            f"{p10[num] / p10[den]:.2f} of baseline |"
         )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
