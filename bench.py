@@ -81,6 +81,12 @@ HEADLINE = HEADLINE_R1 + [
     "bloom_semi_equiv",
     "rolling_anomaly",
     "pagerank_int",
+    # round-4 additions: real-vocab tokenization, the ingest dedup gauntlet
+    # E2E (exact + LSH/CC + corpus-cell drop), and embedding-space semantic
+    # dedup (IVF-cell blocking → cosine pairs → CC droplist)
+    "vocab_token_count",
+    "ingest_pipeline",
+    "semantic_dedup_pipeline",
 ]
 
 

@@ -73,16 +73,19 @@ def pagerank_int(
     n = nodes.count()  # one metadata action; N is a plan literal after this
     base = (damping_den - damping_num) * scale // (damping_den * n)
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # outdeg is static across iterations — fold it into the edge list ONCE
+    # (materialized, partitioned by src) so each iteration is a single
+    # edges⋈ranks join instead of two; the join key partitioning carries
+    # straight into the contribution shuffle
+    e_deg = e.join(outdeg, "src").localCheckpoint()
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("long"))
     converged = False
     iters_run = iterations
     for i in range(iterations):
         prev = ranks
         rank_src = ranks.select(F.col("v").alias("src"), "r")
-        contrib = (
-            e.join(rank_src, "src")
-            .join(outdeg, "src")
-            .select(F.col("dst").alias("v"), F.expr("r div outdeg").alias("c"))
+        contrib = e_deg.join(rank_src, "src").select(
+            F.col("dst").alias("v"), F.expr("r div outdeg").alias("c")
         )
         summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
         if dangling == "redistribute":

@@ -2765,10 +2765,12 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
 
-    # 3. cross-corpus candidates: any band in an occupied corpus cell
+    # 3. cross-corpus candidates: any band in an occupied corpus cell.
+    # s2 ⊆ s1 and signatures depend only on text, so s2's cells are s1's
+    # cells semi-joined by the surviving ids — no third signature pass
     corpus_cells = cells(_signature(corpus)).select("band", "v1", "v2").distinct()
     flagged = (
-        cells(_signature(s2))
+        c1.join(s2.select("doc_id"), "doc_id", "left_semi")
         .join(corpus_cells, ["band", "v1", "v2"], "left_semi")
         .select("doc_id")
         .distinct()
@@ -2841,4 +2843,115 @@ def pagerank_dangling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pagerank_int(edges, iterations=6, dangling="redistribute")
     return out.select(
         F.col("v").cast("long").alias("v"), F.col("r").cast("long").alias("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup E2E (embedding space; SemDeDup-style cell blocking)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "semantic_dedup_pipeline",
+    """
+    WITH RECURSIVE
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, qe AS cqe FROM q WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qe, c.cqe),
+                                         s -> (s[1]-s[2])*(s[1]-s[2]))), c.cid) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn = 1
+    ),
+    norms AS (
+      SELECT vec_id, list_sum(list_transform(qe, x -> x*x)) AS n2 FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN q qa ON a.vec_id = qa.vec_id JOIN q qb ON b.vec_id = qb.vec_id
+      JOIN norms na ON a.vec_id = na.vec_id
+      JOIN norms nb ON b.vec_id = nb.vec_id
+      WHERE CAST(list_sum(list_transform(list_zip(qa.qe, qb.qe),
+                                         s -> s[1]*s[2])) AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.40
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM q
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(component AS BIGINT) AS component,
+           component = node AS keep
+    FROM comp
+    """,
+)
+def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space semantic dedup E2E (the SemDeDup-style sibling of
+    fuzzy_dedup_pipeline): IVF-cell blocking (text/similarity.py::
+    ivf_assign over deterministic seed centroids) → within-cell quantized
+    cosine pairs (≥ 0.40; integer dot/norms, ONE IEEE division+sqrt per
+    pair — bit-identical across engines) → connected components → min-id
+    keeper droplist (text/clusters.py::near_dup_droplist). The quadratic
+    term is bounded per CELL — the blocking that makes embedding dedup
+    feasible at corpus scale (store assignments partitioned by cid and
+    each cell dedups independently); the whole cascade, including the
+    iterative component labelling, is value-checked against the
+    recursive-CTE oracle."""
+    from pharmacodi_spark.text.clusters import near_dup_droplist
+    from pharmacodi_spark.text.similarity import ivf_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: _rnd(x.cast("double") * 10000)
+        ).alias("qe"),
+    )
+    seed_rows = qe.where(F.col("vec_id") < 16).collect()
+    centroids = [list(r.qe) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
+    assigned = ivf_assign(qe, centroids, vec_col="qe", out_col="cid")
+    withn = assigned.withColumn(
+        "n2", F.aggregate("qe", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # pair scoring is the hot loop (within-cell pairs x dim multiplies):
+    # flatten the fixed-width vector to scalar columns so the dot is
+    # straight-line whole-stage codegen — ~2x over the per-element
+    # higher-order-function path on the same plan shape
+    dim = e.select(F.size("embedding")).first()[0]
+    flat = withn.select(
+        "vec_id", "cid", "n2",
+        *[F.element_at("qe", i + 1).alias(f"x{i}") for i in range(dim)],
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    dot = None
+    for i in range(dim):
+        term = F.col(f"a.x{i}") * F.col(f"b.x{i}")
+        dot = term if dot is None else dot + term
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(dot / F.sqrt(F.col("a.n2") * F.col("b.n2")) >= 0.40)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    out = near_dup_droplist(qe.select("vec_id"), pairs, id_col="vec_id")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        "keep",
     )

@@ -51,22 +51,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lab").alias("nlab"))
         )
+        # change detection rides IN the update frame (a flag column) so a
+        # round costs ONE materializing job + a metadata-scale aggregate on
+        # the already-checkpointed result — not a second join of new vs old
+        new_lab = F.least(F.col("lab"), F.coalesce("nlab", "lab"))
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                new_lab.alias("lab"),
+                (new_lab != F.col("lab")).alias("ch"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum(F.col("ch").cast("int"))).first()[0]
+        labels = new_labels.drop("ch")
+        if not changed:
             return labels.select("node", F.col("lab").alias("component"))
     raise RuntimeError(f"connected_components: not converged after {max_iter} rounds")
 
