@@ -2955,3 +2955,37 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("component"),
         "keep",
     )
+
+
+@q(
+    "vocab_train",
+    """
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    pieces AS (
+      SELECT substr(w, i, l) AS piece, cnt
+      FROM words,
+           unnest(generate_series(1, length(w))) AS t(i),
+           unnest(generate_series(1, least(6, length(w) - i + 1))) AS u(l)
+    )
+    SELECT piece, CAST(sum(cnt) AS BIGINT) AS total
+    FROM pieces GROUP BY piece
+    ORDER BY total DESC, piece LIMIT 50
+    """,
+)
+def vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven vocabulary training (text/tokenizer.py::train_vocab):
+    top-50 substrings (≤ 6 chars) of the corpus' words by occurrence-
+    weighted frequency. Distinct-word collapse first (Zipf), substring
+    explosion over the distinct table only, global top-k as
+    TakeOrderedAndProject under a deterministic (total DESC, piece) total
+    order — the trained pieces feed build_greedy_encoder /
+    vocab_token_counts, closing the loop: budgets without an external
+    vocab."""
+    from pharmacodi_spark.text.tokenizer import train_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return train_vocab(d, vocab_size=50, max_piece_len=6)

@@ -179,3 +179,50 @@ def encode_with_tokenizer(
             yield out
 
     return df.select(*ids, content_col).mapInPandas(run, schema)
+
+
+def train_vocab(
+    df: DataFrame,
+    content_col: str = "text",
+    vocab_size: int = 1000,
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Corpus-driven vocabulary: the ``vocab_size`` highest-frequency
+    substrings (length ≤ ``max_piece_len``) of the corpus' words, weighted
+    by word occurrence — a unigram-frequency trainer (the greedy-inference
+    counterpart of BPE merge training; pieces feed straight into
+    ``build_greedy_encoder`` / ``vocab_token_counts``).
+
+    Scale shape: the corpus collapses to DISTINCT words + occurrence
+    counts first (one shuffle keyed by word — Zipf makes this table tiny
+    relative to the token stream), substring explosion runs over that
+    distinct table only (≤ len·max_piece_len pieces per distinct word),
+    and the global top-k is TakeOrderedAndProject (per-partition heaps +
+    driver merge, never a full sort). Returns (piece, total) ordered by
+    (total DESC, piece) — a deterministic total order, so the cut at
+    ``vocab_size`` is engine-independent.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    starts = words.select(
+        "w", "cnt", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+    )
+    pieces = starts.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least({int(max_piece_len)}, "
+                f"length(w) - i + 1)), l -> substr(w, i, l))"
+            )
+        ).alias("piece"),
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+        .orderBy(F.col("total").desc(), "piece")
+        .limit(vocab_size)
+    )

@@ -132,3 +132,39 @@ def test_memoization_consistency_across_batches(spark):
         t, u = t + a, u + b
     assert all((r.n_vocab_tokens, r.n_unk) == (t, u) for r in res)
     assert len(res) == 64
+
+
+def test_train_vocab_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab")], "doc_id long, text string"
+    )
+    got = {r.piece: r.total for r in
+           __import__("pharmacodi_spark.text.tokenizer", fromlist=["train_vocab"])
+           .train_vocab(df, vocab_size=100, max_piece_len=2).collect()}
+    # "ab" occurs 3x, "cd" 1x; substrings weighted by word occurrences
+    assert got == {"a": 3, "b": 3, "ab": 3, "c": 1, "d": 1, "cd": 1}
+
+
+def test_trained_vocab_closes_the_loop(spark, sf_dir):
+    """train_vocab → build_greedy_encoder → vocab_token_counts: growing the
+    trained vocabulary must monotonically improve BOTH coverage (fewer
+    unknowns) and compression (fewer total tokens) on the training corpus —
+    the property that makes corpus-trained budgets usable without an
+    external vocab."""
+    from pharmacodi_spark.text.tokenizer import train_vocab, vocab_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def stats(k):
+        pieces = [r.piece for r in train_vocab(docs, vocab_size=k).collect()]
+        c = vocab_token_counts(docs, pieces)
+        return (
+            c.agg({"n_unk": "sum"}).first()[0],
+            c.agg({"n_vocab_tokens": "sum"}).first()[0],
+        )
+
+    unk60, tot60 = stats(60)
+    unk200, tot200 = stats(200)
+    assert tot60 > 0 and unk60 / tot60 < 0.05  # small-vocab coverage already high
+    assert unk200 == 0  # 200 pieces cover every character of this corpus
+    assert tot200 < tot60  # larger pieces ⇒ better compression
