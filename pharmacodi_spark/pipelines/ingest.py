@@ -42,7 +42,11 @@ from pyspark.sql import functions as F
 
 from pharmacodi_spark.io import merge_upsert, path_exists
 from pharmacodi_spark.text.clusters import near_dup_droplist
-from pharmacodi_spark.text.dedup import minhash_near_dup_pairs
+from pharmacodi_spark.text.dedup import (
+    band_cells,
+    minhash_signatures,
+    pairs_from_cells,
+)
 from pharmacodi_spark.text.incremental import (
     band_buckets,
     content_hashes,
@@ -76,8 +80,20 @@ def dedup_batch(
 
         survivors = exact_dedup(new, content_col, id_col)
 
+    # ONE signature pass feeds both LSH stages: the shingle+hash subplan is
+    # the expensive term, and steps 2 and 3 otherwise each re-run it.
+    # Checkpointed cells are bounded: |batch| × bands rows of (id, 2 longs);
+    # step 3's cells are step 2's survivors' cells (signatures depend only
+    # on text), so a semi-join replaces a second derivation.
+    sig = minhash_signatures(
+        survivors, content_col, id_col, lsh["num_hashes"], lsh["shingle_len"]
+    )
+    cells = band_cells(
+        sig, id_col, lsh["num_hashes"], lsh["bands"]
+    ).localCheckpoint()
+
     # 2. within-batch near-dup: pairs → components → min-id keeper
-    pairs = minhash_near_dup_pairs(survivors, content_col, id_col, **lsh)
+    pairs = pairs_from_cells(cells, id_col)
     keep = near_dup_droplist(survivors.select(id_col), pairs, id_col=id_col)
     survivors = survivors.join(
         keep.where(F.col("keep")).select(id_col), id_col, "left_semi"
@@ -86,7 +102,12 @@ def dedup_batch(
     # 3. cross-corpus near-dup candidates
     if corpus_buckets is not None:
         flags = incremental_near_dup_flags(
-            survivors, corpus_buckets, content_col, id_col, **lsh
+            survivors,
+            corpus_buckets,
+            content_col,
+            id_col,
+            cells=cells.join(survivors.select(id_col), id_col, "left_semi"),
+            **lsh,
         )
         if policy == "drop":
             survivors = survivors.join(

@@ -71,9 +71,24 @@ def minhash_near_dup_pairs(
     shuffle (see plans/extensions.py::minhash_band_pairs for the physical
     rationale)."""
     assert num_hashes % bands == 0, "num_hashes must divide into bands"
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, num_hashes, shingle_len)
+    return pairs_from_cells(band_cells(sig, id_col, num_hashes, bands), id_col)
 
+
+def band_cells(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) LSH cells from a signature frame — the SHARED
+    derivation behind pair generation (within-corpus dedup) and band-bucket
+    indices/flags (incremental ingest). Callers that need both (e.g.
+    pipelines/ingest.py) compute the signature once, ``localCheckpoint``
+    these cells, and fan out — instead of re-running the shingle+hash
+    subplan per consumer."""
+    assert num_hashes % bands == 0, "num_hashes must divide into bands"
+    rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -83,12 +98,17 @@ def minhash_near_dup_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band", "b.bucket")
 
+
+def pairs_from_cells(cells: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from (id, band, bucket) cells:
+    group into buckets, expand ordered pairs WITHIN each bucket array — no
+    self-join; bucket size is the only quadratic term."""
     buckets = (
-        banded.groupBy("band", "bucket")
+        cells.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("members"))
         .where(F.size("members") > 1)
     )

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pharmacodi_spark.text.dedup import exact_dedup, minhash_signatures
+from pharmacodi_spark.text.dedup import (
+    band_cells,
+    exact_dedup,
+    minhash_signatures,
+)
 
 
 def content_hashes(
@@ -52,21 +56,10 @@ def band_buckets(
     """The near-dup index: distinct (band, bucket) cells occupied by the
     corpus — the LSH state equivalent of content_hashes. A new doc is a
     near-dup *candidate* iff any of its bands lands in an occupied cell."""
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, num_hashes, shingle_len)
-    cells = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
     return (
-        sig.select(F.explode(F.array(*cells)).alias("c"))
-        .select("c.band", "c.bucket")
+        band_cells(sig, id_col, num_hashes, bands)
+        .select("band", "bucket")
         .distinct()
     )
 
@@ -79,28 +72,20 @@ def incremental_near_dup_flags(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_len: int = 5,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """(id, near_dup_candidate) for the new batch: a doc flags true when any
     of its LSH bands hits an occupied corpus cell. Candidates then go to the
     referee (jaccard) or straight to drop, per pipeline policy — the corpus
-    itself is never rescanned."""
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig = minhash_signatures(new, content_col, id_col, num_hashes, shingle_len)
-    cells = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*cells)).alias("c")
-    ).select(id_col, "c.band", "c.bucket")
+    itself is never rescanned. Pass precomputed ``cells`` (band_cells
+    output for exactly the rows of ``new``) to skip re-running the
+    shingle+hash subplan when the caller already has them (the
+    signature-reuse path pipelines/ingest.py takes)."""
+    if cells is None:
+        sig = minhash_signatures(new, content_col, id_col, num_hashes, shingle_len)
+        cells = band_cells(sig, id_col, num_hashes, bands)
     hits = (
-        banded.join(corpus_buckets, ["band", "bucket"], "left_semi")
+        cells.join(corpus_buckets, ["band", "bucket"], "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("near_dup_candidate", F.lit(True))
