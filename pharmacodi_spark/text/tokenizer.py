@@ -58,11 +58,16 @@ def build_trie(vocab: Iterable[str]) -> dict:
     return root
 
 
-def greedy_encode(word: str, trie: dict) -> tuple[int, int]:
+def greedy_encode(
+    word: str, trie: dict, byte_fallback: bool = False
+) -> tuple[int, int]:
     """(n_tokens, n_unk) for one word under greedy longest-prefix matching.
 
     One trie walk per emitted token: O(len(word) * max_piece_len) worst
-    case, O(len(word)) typical.
+    case, O(len(word)) typical. ``byte_fallback=True`` prices an unmatched
+    character as its UTF-8 BYTE count (the byte-level-BPE convention:
+    every string tokenizes, non-ASCII costs its encoded width) instead of
+    one unk token per character.
     """
     n = len(word)
     pos = 0
@@ -81,17 +86,21 @@ def greedy_encode(word: str, trie: dict) -> tuple[int, int]:
                 best = i - pos
         if best:
             pos += best
+            tokens += 1
         else:
+            width = len(word[pos].encode("utf-8")) if byte_fallback else 1
             pos += 1
-            unk += 1
-        tokens += 1
+            unk += width
+            tokens += width
     return tokens, unk
 
 
-def build_greedy_encoder(vocab: Iterable[str]) -> Callable[[str], tuple[int, int]]:
+def build_greedy_encoder(
+    vocab: Iterable[str], byte_fallback: bool = False
+) -> Callable[[str], tuple[int, int]]:
     """Bind a vocab into a ``word -> (n_tokens, n_unk)`` encoder."""
     trie = build_trie(vocab)
-    return lambda word: greedy_encode(word, trie)
+    return lambda word: greedy_encode(word, trie, byte_fallback)
 
 
 def vocab_token_counts(
@@ -99,6 +108,7 @@ def vocab_token_counts(
     vocab: Sequence[str],
     content_col: str = "text",
     id_cols: Sequence[str] = ("doc_id",),
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Per-document model-token counts: ``n_vocab_tokens`` / ``n_unk``.
 
@@ -130,7 +140,7 @@ def vocab_token_counts(
             for w in text.split():
                 hit = memo.get(w)
                 if hit is None:
-                    hit = memo[w] = greedy_encode(w, trie)
+                    hit = memo[w] = greedy_encode(w, trie, byte_fallback)
                 tot += hit[0]
                 unk += hit[1]
             return tot, unk

@@ -168,3 +168,18 @@ def test_trained_vocab_closes_the_loop(spark, sf_dir):
     assert tot60 > 0 and unk60 / tot60 < 0.05  # small-vocab coverage already high
     assert unk200 == 0  # 200 pieces cover every character of this corpus
     assert tot200 < tot60  # larger pieces ⇒ better compression
+
+
+def test_byte_fallback_pricing():
+    from pharmacodi_spark.text.tokenizer import build_trie, greedy_encode
+
+    trie = build_trie(["ab"])
+    # default: one unk per unmatched CHARACTER
+    assert greedy_encode("abé", trie) == (2, 1)
+    # byte fallback: é is 2 UTF-8 bytes → 2 tokens; CJK is 3
+    assert greedy_encode("abé", trie, byte_fallback=True) == (3, 2)
+    assert greedy_encode("中", trie, byte_fallback=True) == (3, 3)
+    # pure-ASCII behavior is identical under both modes
+    assert greedy_encode("abxy", trie, byte_fallback=True) == greedy_encode(
+        "abxy", trie
+    )
