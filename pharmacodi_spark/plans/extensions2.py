@@ -2989,3 +2989,35 @@ def vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return train_vocab(d, vocab_size=50, max_piece_len=6)
+
+
+@q(
+    "unigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT count(*) AS n FROM toks),
+    scored AS (
+      SELECT t.doc_id,
+             length(bin(((SELECT n FROM tot) * 1048576) // c.c)) - 1 AS bits
+      FROM toks t JOIN cnt c ON t.token = c.token
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality gate (text/corpus.py::unigram_surprisal): per-doc
+    mean token surprisal with the corpus unigram distribution as the
+    model. The log2 is integer-quantized via length(bin(x))−1 — bin() is
+    identical in Spark and DuckDB, so the whole score is cross-engine
+    exact where libm ln would not be; the final mean is one IEEE division
+    of exact integers."""
+    from pharmacodi_spark.text.corpus import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(d)

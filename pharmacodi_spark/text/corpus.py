@@ -115,3 +115,46 @@ def top_ngrams(
     grams = df.select(F.explode(ngram_col(content_col, n)).alias("ngram"))
     counts = grams.groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
     return counts.orderBy(F.col("n_occurrences").desc(), F.col("ngram")).limit(k)
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-document unigram surprisal — the corpus-LM quality filter (the
+    CCNet-style perplexity gate, with the corpus itself as the language
+    model): each token scores ``floor(log2(N_tokens·2^scale_bits /
+    count(token)))`` bits (integer log2 via ``length(bin(x)) − 1`` — exact
+    in every engine, unlike libm ``ln``), and a document reports
+    (n_words, sum_bits, mean_bits). High mean ⇒ rare-token-heavy documents
+    (gibberish, boilerplate IDs); low mean ⇒ head-token repetition. Rank
+    and cut at either tail.
+
+    Scale shape: token counts collapse map-side to a (token, count) table
+    (the corpus vocabulary — Zipf-small next to the token stream); the
+    scoring join is per-token against that table (AQE broadcasts it when
+    it fits, and hot-token skew splits under the skew-join rule); the
+    corpus total rides in-plan as a broadcast 1-row aggregate — no driver
+    action anywhere."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(content_col), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n"))
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (
+                F.length(F.bin(F.expr(f"(n * {1 << scale_bits}) div c"))) - 1
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("bits").cast("long").alias("sum_bits"),
+        (F.sum("bits") / F.count("*")).alias("mean_bits"),
+    )

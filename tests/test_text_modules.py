@@ -438,3 +438,26 @@ def test_hll_sketch_merge_and_accuracy(spark):
     )
     assert merged_est == global_est  # merge ≡ one-pass build
     assert abs(merged_est - exact) / exact < 0.05
+
+
+def test_unigram_surprisal_ranks_rarity(spark):
+    from pharmacodi_spark.text.corpus import unigram_surprisal
+
+    # "common" appears 9x, "rare" once in a 12-token corpus: the rare-heavy
+    # doc must score strictly more mean bits, with hand-checked values
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common common common rare zz"),
+            (3, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    assert out[1].n_words == 4 and out[3].n_words == 1
+    # N=12, count(common)=10 → bits = floor(log2(12*2^20/10)) = 20
+    assert out[3].sum_bits == 20 and out[3].mean_bits == 20.0
+    # rare/zz: floor(log2(12*2^20/1)) = 23 → doc 2 mean > doc 1 mean
+    assert out[2].mean_bits > out[1].mean_bits
+    assert out[1].mean_bits == 20.0
+    assert out[2].sum_bits == 5 * 20 + 2 * 23
