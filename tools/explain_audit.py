@@ -174,6 +174,22 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False, "no sort-merge in the 5-table DAG"),
         (r"BroadcastHashJoin", True, "customer/nation/region broadcast"),
     ],
+    "vocab_token_count": [
+        (r"MapInPandas", True,
+         "one Arrow pass; per-batch word memo does the dedup work"),
+        (r"\bExchange\b", False,
+         "ZERO shuffles — the corpus never leaves its scan partitions"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "only (doc_id, text) read"),
+    ],
+    "unigram_surprisal": [
+        (r"BroadcastHashJoin", True,
+         "token scoring joins the Zipf-small (token,count) table broadcast"),
+        (r"BroadcastNestedLoopJoin Cross", True,
+         "corpus total rides in-plan as a broadcast 1-row aggregate"),
+        (r"SortMergeJoin", False, "no sort-merge anywhere"),
+        (r"partial_count", True, "token counts collapse map-side"),
+    ],
     # iterative graph ops (VERDICT r3 item 8): the per-iteration shape must
     # be hash exchanges only — node-keyed joins/aggs, never a global sort
     # or single-partition window on the edge/rank tables
