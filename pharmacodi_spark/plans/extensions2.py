@@ -3021,3 +3021,65 @@ def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return unigram_surprisal(d)
+
+
+@q(
+    "contamination_safe_split",
+    """
+    WITH RECURSIVE edges0 AS (
+      SELECT d.doc_id AS u, d.doc_id + 1 AS v
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE (d.doc_id + 1) % 5 != 0
+        AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 != 0
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    bucketed AS (
+      SELECT node AS doc_id, component,
+             CAST(('0x' || substr(md5('split' || CAST(component AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10000 AS b
+      FROM comp
+    )
+    SELECT doc_id, CAST(component AS BIGINT) AS component,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def contamination_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/val/test assignment (text/clusters.py::
+    contamination_safe_splits): components over the deterministic fixture
+    pair graph (same chain-with-knockouts as near_dup_droplist), then an
+    80/10/10 hash-band on the COMPONENT id — the oracle re-derives the
+    closure recursively and the band arithmetic exactly, certifying that
+    cluster members always land in the same split."""
+    from pharmacodi_spark.text.clusters import contamination_safe_splits
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    nxt = (F.col("doc_id") + 1).alias("v")
+    knock = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 4 != 0
+    )
+    pairs = (
+        ids.select("doc_id", nxt)
+        .where((F.col("v") % 5 != 0) & knock)
+        .join(ids.select(F.col("doc_id").alias("v")), "v")
+        .select(F.col("doc_id").alias("doc_a"), F.col("v").alias("doc_b"))
+    )
+    splits = contamination_safe_splits(ids, pairs, [0.8, 0.1, 0.1])
+    labeled = [
+        s.select("doc_id", F.col("component").cast("long").alias("component"),
+                 F.lit(name).alias("split"))
+        for s, name in zip(splits, ["train", "val", "test"])
+    ]
+    out = labeled[0]
+    for nxt_df in labeled[1:]:
+        out = out.unionByName(nxt_df)
+    return out

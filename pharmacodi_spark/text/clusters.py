@@ -94,3 +94,27 @@ def near_dup_droplist(
         )
     )
     return out.withColumn("keep", F.col("component") == F.col(id_col))
+
+
+def contamination_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: list[float],
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    salt: str = "split",
+) -> list[DataFrame]:
+    """Train/val/test splits that near-dup clusters can never straddle:
+    label components over the candidate pairs (singletons keep their own
+    id), then hash-band the COMPONENT id (operators/sampling.py::
+    hash_split) — every member of a cluster shares the component, hence
+    the band, so a test document's near-duplicate cannot sit in train (the
+    decontamination requirement for LLM eval splits; doc-keyed splits
+    cannot give it). Deterministic on any engine/partitioning; each
+    returned frame carries a ``component`` column for audit."""
+    from pharmacodi_spark.operators.sampling import hash_split
+
+    comp = near_dup_droplist(df.select(id_col), pairs, id_col=id_col, src=src, dst=dst)
+    keyed = df.join(comp.select(id_col, "component"), id_col)
+    return hash_split(keyed, "component", fractions, salt)

@@ -461,3 +461,26 @@ def test_unigram_surprisal_ranks_rarity(spark):
     assert out[2].mean_bits > out[1].mean_bits
     assert out[1].mean_bits == 20.0
     assert out[2].sum_bits == 5 * 20 + 2 * 23
+
+
+def test_contamination_safe_splits(spark):
+    from pharmacodi_spark.text.clusters import contamination_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    # clusters: {0,1,2}, {10,11}, everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    tr, va, te = contamination_safe_splits(docs, pairs, [0.8, 0.1, 0.1])
+    sets = [set(r.doc_id for r in s.collect()) for s in (tr, va, te)]
+    # exclusive and exhaustive
+    assert sets[0] | sets[1] | sets[2] == set(range(100))
+    assert not (sets[0] & sets[1] or sets[0] & sets[2] or sets[1] & sets[2])
+    # no cluster straddles a split boundary
+    for cluster in ({0, 1, 2}, {10, 11}):
+        assert any(cluster <= s for s in sets), cluster
+    # deterministic: same salt → same assignment
+    tr2 = contamination_safe_splits(docs, pairs, [0.8, 0.1, 0.1])[0]
+    assert {r.doc_id for r in tr2.collect()} == sets[0]
