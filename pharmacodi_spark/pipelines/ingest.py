@@ -64,10 +64,15 @@ def dedup_batch(
     content_col: str = "text",
     id_col: str = "doc_id",
     policy: str = "drop",
+    max_cell_size: int | None = None,
     **lsh,
 ) -> DataFrame:
     """Steps 1-3: the batch's accepted rows (plus ``near_dup_candidate``
-    under ``policy='flag'``). Pure transform — no state I/O."""
+    under ``policy='flag'``). Pure transform — no state I/O.
+
+    ``max_cell_size`` arms the exact hot-bucket skew guard on the
+    within-batch pair expansion (text/dedup.py::pairs_from_cells) — same
+    accepted set, bounded per-task work when one LSH bucket is degenerate."""
     if policy not in ("drop", "flag"):
         raise ValueError(f"policy must be 'drop' or 'flag', got {policy!r}")
     lsh = {**_LSH, **lsh}
@@ -93,7 +98,7 @@ def dedup_batch(
     ).localCheckpoint()
 
     # 2. within-batch near-dup: pairs → components → min-id keeper
-    pairs = pairs_from_cells(cells, id_col)
+    pairs = pairs_from_cells(cells, id_col, max_cell_size)
     keep = near_dup_droplist(survivors.select(id_col), pairs, id_col=id_col)
     survivors = survivors.join(
         keep.where(F.col("keep")).select(id_col), id_col, "left_semi"

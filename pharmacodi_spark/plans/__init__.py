@@ -28,9 +28,13 @@ _DRIVER_WINDOW = [
     # (r4: anti_join rotated out — J9's anti path keeps hard driver
     # evidence via fk_unmatched_audit's left-anti audit and
     # ingest_pipeline's two anti-join stages; semi_join stays)
+    # (r5: cross_join_pairs (J10) and map_lookup (J11) rotated out —
+    # J10's cross product stays driver-exercised inside cube_stats'
+    # grouping-set expansion and the ANN centroid assignment
+    # (broadcast nested loop), J11's literal-map path via clamp_recode's
+    # recode map; both keep oracle rows in the driver-sim + pytest mirror)
     "broadcast_left_join", "composite_key_join", "fk_remap_dense",
     "update_join_coalesce", "dim_preserving_join", "semi_join",
-    "cross_join_pairs", "map_lookup",
     # aggregation / audit (A1-A8). Round-4 rotation (VERDICT r3 item 10):
     # table_stats (A5) and group_concat (A7) yield their slots to extension
     # queries — A5 stays driver-covered via null_counts/cube_stats-style
@@ -40,11 +44,13 @@ _DRIVER_WINDOW = [
     "distinct_rows", "first_per_group", "group_count", "fk_unmatched_audit",
     # ids / sort / limit (W1/W2, O1-O5)
     "surrogate_key_dim", "surrogate_key_fact", "top_k_orders",
-    # set ops (U1-U3)
-    "union_dedup", "except_distinct",
-    # reshape (R1-R6)
+    # set ops (U1-U3) (r5: except_distinct rotated out — U3 keeps hard
+    # evidence via incremental_dedup's new-vs-corpus difference; union_dedup
+    # stays for U1/U2)
+    "union_dedup",
+    # reshape (R1-R6) (r5: pivot_wide rotated out — R6's pivot path stays
+    # driver-exercised via record_text_parse's record assembly)
     "melt_unpivot", "melt_columns", "explode_tokens", "json_props_extract",
-    "pivot_wide",
     # scalar kit / UDF-elimination (F1-F12, X1-X3)
     "regex_kit",
     # custom temporal/OLAP operators
@@ -54,10 +60,16 @@ _DRIVER_WINDOW = [
     # LLM-pipeline family representatives (r4 rotation adds the IVF-PQ
     # re-rank cascade, the incremental-ingest exact path, and the full
     # ingest dedup gauntlet E2E — exact + within-batch LSH/CC + corpus-cell
-    # drop in one oracle row)
+    # drop in one oracle row; r5 rotation (VERDICT r4 item 2) adds the four
+    # round-4 capabilities so they earn hard driver-green rows: the trie
+    # tokenizer, the semantic-dedup E2E — now running through the
+    # triangle-block hot-cell guard — the dangling-mass PageRank, and the
+    # contamination-safe splits)
     "exact_dedup", "minhash_band_pairs", "ann_dot_topk",
     "multimodal_features", "window_tumbling", "fuzzy_dedup_pipeline",
     "ann_ivf_pq_topk", "incremental_dedup", "ingest_pipeline",
+    "vocab_token_count", "semantic_dedup_pipeline", "pagerank_dangling",
+    "contamination_safe_split",
 ]
 
 

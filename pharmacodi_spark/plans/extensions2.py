@@ -2907,8 +2907,19 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible at corpus scale (store assignments partitioned by cid and
     each cell dedups independently); the whole cascade, including the
     iterative component labelling, is value-checked against the
-    recursive-CTE oracle."""
+    recursive-CTE oracle.
+
+    Hot-cell skew guard: the within-cell pair join runs through
+    text/dedup.py::triangle_blocks with ``max_cell_size=20`` — a cell of m
+    vectors is re-split into ceil(m/20) subgroups and the m^2/2 pair checks
+    are spread over s*(s+1)/2 bounded tasks instead of one straggler. The
+    decomposition is EXACT (each pair generated exactly once), so this very
+    oracle run exercises the guard: at sf0.01 the ~31-vector average cell
+    re-splits into s=2, and the result still hash-matches the naive-join
+    CTE oracle. One dense boilerplate cluster at 100x scale now costs
+    parallel tasks, not a quadratic straggler."""
     from pharmacodi_spark.text.clusters import near_dup_droplist
+    from pharmacodi_spark.text.dedup import triangle_blocks, triangle_pair_cond
     from pharmacodi_spark.text.similarity import ivf_assign
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2933,17 +2944,14 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cid", "n2",
         *[F.element_at("qe", i + 1).alias(f"x{i}") for i in range(dim)],
     )
-    a, b = flat.alias("a"), flat.alias("b")
+    blk = triangle_blocks(flat, ["cid"], "vec_id", max_cell_size=20)
+    a, b = blk.alias("a"), blk.alias("b")
     dot = None
     for i in range(dim):
         term = F.col(f"a.x{i}") * F.col(f"b.x{i}")
         dot = term if dot is None else dot + term
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        a.join(b, triangle_pair_cond(["cid"], "vec_id"))
         .where(dot / F.sqrt(F.col("a.n2") * F.col("b.n2")) >= 0.40)
         .select(
             F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")

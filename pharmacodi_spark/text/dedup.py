@@ -11,6 +11,8 @@ term is within-bucket size, bounded by banding.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,15 +66,19 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_len: int = 5,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate near-dup pairs (doc_a < doc_b): band the signature,
     bucket by (band, hash of the band's rows), expand ordered pairs within
     each bucket array — no self-join, one signature computation, one
     shuffle (see plans/extensions.py::minhash_band_pairs for the physical
-    rationale)."""
+    rationale). ``max_cell_size`` arms the exact hot-bucket guard (see
+    :func:`pairs_from_cells`)."""
     assert num_hashes % bands == 0, "num_hashes must divide into bands"
     sig = minhash_signatures(df, content_col, id_col, num_hashes, shingle_len)
-    return pairs_from_cells(band_cells(sig, id_col, num_hashes, bands), id_col)
+    return pairs_from_cells(
+        band_cells(sig, id_col, num_hashes, bands), id_col, max_cell_size
+    )
 
 
 def band_cells(
@@ -103,24 +109,144 @@ def band_cells(
     ).select(id_col, "b.band", "b.bucket")
 
 
-def pairs_from_cells(cells: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def triangle_blocks(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_cell_size: int,
+) -> DataFrame:
+    """Hot-cell skew guard: decompose each cell (group of rows sharing
+    ``key_cols``) for an EXACT bounded self-join.
+
+    A cell of m rows splits into s = ceil(m / max_cell_size) subgroups by a
+    secondary hash of the id (``__g``). The s*(s+1)/2 unordered subgroup
+    pairs are the *blocks*; each row is replicated into the s blocks whose
+    coordinates contain its subgroup — columns ``__bi <= __bj``. Joining the
+    result with itself on (key_cols, __bi, __bj) + :func:`triangle_pair_cond`
+    yields every within-cell ordered pair EXACTLY ONCE:
+
+    - gu != gv: the only block containing both subgroups is
+      (min(gu,gv), max(gu,gv));
+    - gu == gv: both rows appear in s common blocks, and the
+      ``(bi == bj) | (a.g != b.g)`` term of the condition keeps only the
+      diagonal (g, g).
+
+    So results are identical to the naive ``a.key == b.key`` self-join, but
+    the per-task pair count is bounded by (2*max_cell_size)^2 — one hot cell
+    (boilerplate near-constant embeddings, a degenerate LSH bucket) becomes
+    s^2 parallel tasks instead of one O(m^2) straggler. Replicated rows are
+    the price: m*s per hot cell, i.e. m^2/max_cell_size — linear blow-up to
+    kill a quadratic straggler. Cells at or under the cap take s = 1 and
+    degenerate to the plain path.
+
+    The per-cell count is computed with one extra aggregate on the same key
+    the pair join shuffles on (AQE coalesces; for few-cell keys like IVF
+    centroids the count side is broadcast-size)."""
+    assert max_cell_size >= 1
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
+    d = df.join(cnt, key_cols)
+    s = F.ceil(F.col("__cnt") / F.lit(max_cell_size)).cast("int")
+    d = d.withColumn("__s", s).withColumn(
+        "__g", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.col("__s") - 1),
+        lambda k: F.struct(
+            F.least(F.col("__g"), k).alias("bi"),
+            F.greatest(F.col("__g"), k).alias("bj"),
+        ),
+    )
+    return d.withColumn("__b", F.explode(blocks)).select(
+        *df.columns,
+        "__g",
+        F.col("__b.bi").alias("__bi"),
+        F.col("__b.bj").alias("__bj"),
+    )
+
+
+def triangle_pair_cond(key_cols: list[str], id_col: str) -> Column:
+    """Join condition completing :func:`triangle_blocks`: same cell, same
+    block, ordered ids, and the diagonal-only rule for same-subgroup pairs.
+    The two sides of the self-join MUST be aliased ``"a"`` and ``"b"``
+    (string-qualified resolution sidesteps Spark's ambiguous-self-join
+    column-id check)."""
+
+    def ab(c: str) -> tuple[Column, Column]:
+        return F.col(f"a.{c}"), F.col(f"b.{c}")
+
+    cond = reduce(
+        lambda acc, k: acc & (ab(k)[0] == ab(k)[1]),
+        key_cols,
+        (F.col("a.__bi") == F.col("b.__bi"))
+        & (F.col("a.__bj") == F.col("b.__bj")),
+    )
+    return (
+        cond
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            (F.col("a.__bi") == F.col("a.__bj"))
+            | (F.col("a.__g") != F.col("b.__g"))
+        )
+    )
+
+
+def pairs_from_cells(
+    cells: DataFrame, id_col: str = "doc_id", max_cell_size: int | None = None
+) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) from (id, band, bucket) cells:
     group into buckets, expand ordered pairs WITHIN each bucket array — no
-    self-join; bucket size is the only quadratic term."""
-    buckets = (
-        cells.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("members"))
-        .where(F.size("members") > 1)
-    )
+    self-join; bucket size is the only quadratic term.
+
+    ``max_cell_size`` (optional) arms the hot-bucket skew guard: buckets
+    larger than the cap are triangle-block re-split (:func:`triangle_blocks`)
+    so both the ``collect_list`` array per task and the per-task pair count
+    stay bounded by ~2*max_cell_size regardless of bucket skew. The pair SET
+    is unchanged — the guard redistributes work, it does not drop candidates
+    (results stay oracle-exact)."""
+    if max_cell_size is None:
+        grouped = cells.groupBy("band", "bucket")
+        member = F.col(id_col)
+    else:
+        blk = triangle_blocks(cells, ["band", "bucket"], id_col, max_cell_size)
+        grouped = blk.groupBy("band", "bucket", "__bi", "__bj")
+        member = F.struct(F.col(id_col).alias("id"), F.col("__g").alias("g"))
+    buckets = grouped.agg(
+        F.array_sort(F.collect_list(member)).alias("members")
+    ).where(F.size("members") > 1)
     ms = F.col("members")
+    if max_cell_size is None:
+        pairs = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ms,
+                        lambda x, i: F.transform(
+                            F.slice(ms, i + 2, F.size(ms)),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        return pairs.select("p.doc_a", "p.doc_b").distinct()
+    diag = F.col("__bi") == F.col("__bj")
     pairs = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
                     ms,
-                    lambda x, i: F.transform(
-                        F.slice(ms, i + 2, F.size(ms)),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(ms, i + 2, F.size(ms)),
+                            lambda y: F.struct(
+                                x["id"].alias("doc_a"),
+                                y["id"].alias("doc_b"),
+                                (diag | (x["g"] != y["g"])).alias("ok"),
+                            ),
+                        ),
+                        lambda p: p["ok"],
                     ),
                 )
             )
@@ -168,6 +294,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     bits: int = 64,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from SimHash fingerprints: bucket by the top
     ``prefix_bits`` (near-dups usually share the prefix), then exact Hamming
@@ -175,11 +302,31 @@ def simhash_near_pairs(
 
     ``bits`` must match the fingerprint width used in :func:`simhash` — the
     bucket is the top ``prefix_bits`` of that width; a mismatched width
-    silently degrades bucketing (everything lands in bucket 0)."""
+    silently degrades bucketing (everything lands in bucket 0).
+
+    ``max_cell_size`` arms the exact hot-bucket guard: oversized prefix
+    buckets (e.g. a corpus where most fingerprints share a prefix) are
+    triangle-block re-split and the pair expansion runs as a bounded
+    self-join instead of one giant ``collect_list`` array — same pair set,
+    bounded per-task work."""
     assert 0 < prefix_bits < bits, "prefix_bits must be in (0, bits)"
     bucketed = sim.withColumn(
         "bucket", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits)
     )
+    if max_cell_size is not None:
+        blk = triangle_blocks(bucketed, ["bucket"], id_col, max_cell_size)
+        a, b = blk.alias("a"), blk.alias("b")
+        return (
+            a.join(b, triangle_pair_cond(["bucket"], id_col))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
     buckets = (
         bucketed.groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct(id_col, "simhash"))).alias("m"))

@@ -168,3 +168,104 @@ def test_save_canonical_bucketed_join_and_pruning(spark, tmp_path):
         spark.sql(
             f"DROP TABLE IF EXISTS {canonical_table_name('experiment', str(tmp_path))}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Hot-cell skew guard (triangle-block re-split) — VERDICT r4 item 1: one
+# oversized LSH bucket / IVF cell must not become an O(m^2) straggler task,
+# and the guard must be EXACT (identical pair set to the naive path).
+# ---------------------------------------------------------------------------
+
+
+def _skewed_cells(spark, n=400, hot_frac=0.5):
+    """(doc_id, band, bucket) cells where one bucket holds ``hot_frac`` of
+    all ids — the realistic boilerplate-cluster failure mode."""
+    hot = int(n * hot_frac)
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.when(F.col("id") < hot, F.lit(999))
+        .otherwise(F.col("id") % 37)
+        .alias("bucket"),
+    )
+
+
+def test_capped_pairs_exact_on_skewed_fixture(spark):
+    from pharmacodi_spark.text.dedup import pairs_from_cells
+
+    cells = _skewed_cells(spark)
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in pairs_from_cells(cells).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in pairs_from_cells(cells, max_cell_size=16).collect()
+    }
+    # hot bucket of 200 → C(200,2) pairs must all survive the re-split
+    assert len(uncapped) > 200 * 199 // 2
+    assert capped == uncapped
+
+
+def test_triangle_blocks_bound_per_task(spark):
+    from pharmacodi_spark.text.dedup import triangle_blocks
+
+    cap = 16
+    cells = _skewed_cells(spark)
+    blk = triangle_blocks(cells, ["band", "bucket"], "doc_id", cap)
+    sizes = (
+        blk.groupBy("band", "bucket", "__bi", "__bj")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    # each block holds members of at most two subgroups, each ~<= cap
+    # (hash-split subgroups are approximately even; allow 2x slack)
+    assert sizes <= 4 * cap, sizes
+    # every id is replicated s times (s blocks contain its subgroup)
+    hot = blk.where(F.col("bucket") == 999)
+    n_ids = hot.select("doc_id").distinct().count()
+    s = hot.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert n_ids == 200 and s == -(-200 // cap)  # ceil(200/16) = 13
+
+
+def test_simhash_capped_pairs_match_uncapped(spark):
+    from pharmacodi_spark.text.dedup import simhash, simhash_near_pairs
+
+    docs = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        # 3 near-dup families sharing long prefixes + unique tails → a few
+        # populated prefix buckets with real Hamming-close pairs
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog family"),
+            (F.col("id") % 3).cast("string"),
+            F.lit(" tail"),
+            F.when(F.col("id") % 7 == 0, F.lit("variant")).otherwise(
+                (F.col("id") % 11).cast("string")
+            ),
+        ).alias("text"),
+    )
+    sim = simhash(docs).localCheckpoint()
+    base = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(sim, max_hamming=8).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(sim, max_hamming=8, max_cell_size=8).collect()
+    }
+    assert base and capped == base
+
+
+def test_minhash_capped_pairs_match_uncapped(spark, sf_dir):
+    from pharmacodi_spark.text.dedup import minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {
+        (r.doc_a, r.doc_b) for r in minhash_near_dup_pairs(docs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(docs, max_cell_size=4).collect()
+    }
+    assert base and capped == base

@@ -141,6 +141,66 @@ def ops(spark, mult: int) -> dict[str, float]:
     return out
 
 
+def skew(spark, mult: int) -> dict[str, float]:
+    """Hot-cell skew fixture (VERDICT r4 item 1): one LSH bucket holds 10%
+    of ALL ids (a boilerplate cluster), the rest spread uniformly. Times the
+    pair expansion uncapped (one collect_list array → one quadratic task)
+    vs capped via triangle-block re-split (text/dedup.py::triangle_blocks,
+    max_cell_size=256 → the hot bucket's C(m,2) pairs spread over
+    s*(s+1)/2 bounded tasks). Both produce the IDENTICAL pair set — the
+    ratio isolates straggler relief, not work reduction."""
+    from pharmacodi_spark.text.dedup import pairs_from_cells
+
+    docs = spark.read.parquet(f"{BASE}/documents_{mult}x")
+    n = docs.count()
+    hot = int(n * 0.10)
+    cells = docs.select(
+        F.col("doc_id"),
+        F.lit(0).alias("band"),
+        F.when(F.col("doc_id") % n < hot, F.lit(999))
+        .otherwise(F.col("doc_id") % 37)
+        .alias("bucket"),
+    ).localCheckpoint()
+    return {
+        "skew_pairs_uncapped": timed(lambda: pairs_from_cells(cells)),
+        "skew_pairs_capped256": timed(
+            lambda: pairs_from_cells(cells, max_cell_size=256)
+        ),
+    }
+
+
+def nodup_control(spark, n_docs: int) -> dict[str, float]:
+    """Non-dup-dense 10x control (VERDICT r4 item 5): the main 10x corpus is
+    10 IDENTICAL copies of every doc — worst case for pair counts, so
+    minhash_lsh_pairs' ratio confounds engine scaling with true-duplicate
+    growth. Here every copy k suffixes ``_k`` onto EVERY token, making
+    shingle sets disjoint across copies: per-copy duplicate structure is
+    unchanged, data is 10x, so a linear engine shows ratio ≈ 10 on ~10x the
+    pairs of 1x (not ~100x)."""
+    from pharmacodi_spark.text.dedup import minhash_near_dup_pairs
+
+    path = f"{BASE}/documents_10x_nodup"
+    if not os.path.exists(path):
+        docs = spark.read.parquet(f"{BASE}/documents_1x")
+        parts = [
+            docs.select(
+                (F.col("doc_id") + k * n_docs).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1_{k}").alias("text"),
+            )
+            for k in range(10)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(path)
+    nd = spark.read.parquet(path)
+    return {
+        "minhash_lsh_pairs_nodup10x": timed(
+            lambda: minhash_near_dup_pairs(nd, num_hashes=16, bands=4)
+        )
+    }
+
+
 def pruning(spark, mult: int) -> dict[str, float]:
     """Canonical-layout pruning (VERDICT r3 item 9): write an experiment-
     shaped table through io.py::save_canonical (dataset partitions + cell
@@ -212,6 +272,41 @@ def main() -> None:
         lines.append(
             f"| {name} | {t1[name]:.2f} | {t10[name]:.2f} | {r:.1f}x |"
         )
+
+    s1 = skew(spark, 1)
+    s10 = skew(spark, 10)
+    nd = nodup_control(spark, n_docs)
+    lines += [
+        "",
+        "## Duplicate-structure control (minhash_lsh_pairs)",
+        "",
+        "The main 10x corpus is 10 IDENTICAL copies of every doc (pair",
+        "counts grow ~100x: worst case). The control suffixes every token",
+        "per copy — shingle sets disjoint across copies, per-copy dup",
+        "structure unchanged, so pairs grow ~10x. The control ratio is the",
+        "ENGINE's scaling; the dup-dense ratio bounds dup-heavy corpora.",
+        "",
+        "| corpus | sec | vs 1x |",
+        "|---|---|---|",
+        f"| minhash_lsh_pairs 1x (dup-dense table above) | {t1['minhash_lsh_pairs']:.2f} | 1x |",
+        f"| minhash_lsh_pairs 10x dup-dense | {t10['minhash_lsh_pairs']:.2f} | {t10['minhash_lsh_pairs'] / t1['minhash_lsh_pairs']:.1f}x |",
+        f"| minhash_lsh_pairs 10x NON-dup-dense | {nd['minhash_lsh_pairs_nodup10x']:.2f} | {nd['minhash_lsh_pairs_nodup10x'] / t1['minhash_lsh_pairs']:.1f}x |",
+        "",
+        "## Hot-cell skew guard (triangle-block re-split)",
+        "",
+        "One bucket holds 10% of all ids; uncapped = one collect_list array",
+        "+ one quadratic expansion task; capped (max_cell_size=256) =",
+        "triangle-block re-split, same EXACT pair set over s*(s+1)/2",
+        "bounded tasks (text/dedup.py::triangle_blocks). On local[32] the",
+        "guard's win is straggler relief + bounded arrays; on a cluster it",
+        "is the difference between one executor OOM/stalling and s^2",
+        "parallel tasks.",
+        "",
+        "| fixture | uncapped sec | capped sec |",
+        "|---|---|---|",
+        f"| skewed pairs 1x (hot bucket 500 ids) | {s1['skew_pairs_uncapped']:.2f} | {s1['skew_pairs_capped256']:.2f} |",
+        f"| skewed pairs 10x (hot bucket 5,000 ids → 12.5M pairs) | {s10['skew_pairs_uncapped']:.2f} | {s10['skew_pairs_capped256']:.2f} |",
+    ]
 
     p1 = pruning(spark, 1)
     p10 = pruning(spark, 10)
