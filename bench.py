@@ -179,6 +179,10 @@ def run_suite_isolated(sf_dir: str, runs: int) -> None:
 
 def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # failed queries are recorded as -1.0 and excluded from the totals —
+    # surface them in the JSON so consumers can tell a shrunken total from
+    # a faster one (ADVICE r4), and exit nonzero.
+    failed = sorted(n for n, t in timings.items() if t < 0)
     print(
         json.dumps(
             {
@@ -192,9 +196,12 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
                 "headline_r1_sec": round(
                     sum(timings[n] for n in HEADLINE_R1 if timings[n] >= 0), 3
                 ),
+                "failed": failed,
             }
         )
     )
+    if failed:
+        sys.exit(3)
 
 
 def main() -> None:

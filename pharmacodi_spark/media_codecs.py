@@ -68,6 +68,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
+            if width < 1 or height < 1:
+                # zero dims are invalid per the PNG spec; letting them
+                # through makes png_feature_decoder divide by w*h == 0
+                # (ADVICE r4) — callers are promised PngError on corrupt
+                # input, not ZeroDivisionError
+                raise PngError(f"bad dimensions {width}x{height}")
             if depth != 8:
                 raise PngError(f"unsupported bit depth {depth}")
             if color not in _CHANNELS:

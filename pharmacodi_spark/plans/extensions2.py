@@ -3002,9 +3002,10 @@ def vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "unigram_surprisal",
     """
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
+    toks AS (SELECT * FROM toks0 WHERE token <> ''),
     cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
     tot AS (SELECT count(*) AS n FROM toks),
     scored AS (

@@ -62,7 +62,13 @@ _PINNED_SESSIONS: set[int] = set()
 def _pin_session(spark: SparkSession) -> None:
     key = spark._jsparkSession.hashCode()
     if key in _PINNED_SESSIONS:
-        return
+        # cheap drift check (ADVICE r4): an embedder that reset the timezone
+        # mid-session would silently break oracle parity for every later
+        # query — re-pin instead of trusting the cache (also covers a
+        # hashCode collision with a dead session).
+        if spark.conf.get("spark.sql.session.timeZone", "") == "UTC":
+            return
+        _PINNED_SESSIONS.discard(key)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _PINNED_SESSIONS.add(key)

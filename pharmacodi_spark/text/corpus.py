@@ -140,7 +140,10 @@ def unigram_surprisal(
     action anywhere."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(content_col), " ")).alias("token")
-    )
+    ).where(F.col("token") != "")
+    # empty tokens from leading/trailing/repeated whitespace would inflate
+    # n_words and enter the unigram distribution (ADVICE r4) — drop them,
+    # matching the tokenizer module's split-then-filter convention
     counts = toks.groupBy("token").agg(F.count("*").alias("c"))
     total = toks.agg(F.count("*").alias("n"))
     scored = (
