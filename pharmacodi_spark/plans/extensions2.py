@@ -2919,8 +2919,7 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE oracle. One dense boilerplate cluster at 100x scale now costs
     parallel tasks, not a quadratic straggler."""
     from pharmacodi_spark.text.clusters import near_dup_droplist
-    from pharmacodi_spark.text.dedup import triangle_blocks, triangle_pair_cond
-    from pharmacodi_spark.text.similarity import ivf_assign
+    from pharmacodi_spark.text.similarity import cell_cosine_pairs, ivf_assign
 
     e = _t(spark, sf_dir, "embeddings")
     qe = e.select(
@@ -2932,30 +2931,15 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = qe.where(F.col("vec_id") < 16).collect()
     centroids = [list(r.qe) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
     assigned = ivf_assign(qe, centroids, vec_col="qe", out_col="cid")
-    withn = assigned.withColumn(
-        "n2", F.aggregate("qe", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    # pair scoring is the hot loop (within-cell pairs x dim multiplies):
-    # flatten the fixed-width vector to scalar columns so the dot is
-    # straight-line whole-stage codegen — ~2x over the per-element
-    # higher-order-function path on the same plan shape
-    dim = e.select(F.size("embedding")).first()[0]
-    flat = withn.select(
-        "vec_id", "cid", "n2",
-        *[F.element_at("qe", i + 1).alias(f"x{i}") for i in range(dim)],
-    )
-    blk = triangle_blocks(flat, ["cid"], "vec_id", max_cell_size=20)
-    a, b = blk.alias("a"), blk.alias("b")
-    dot = None
-    for i in range(dim):
-        term = F.col(f"a.x{i}") * F.col(f"b.x{i}")
-        dot = term if dot is None else dot + term
-    pairs = (
-        a.join(b, triangle_pair_cond(["cid"], "vec_id"))
-        .where(dot / F.sqrt(F.col("a.n2") * F.col("b.n2")) >= 0.40)
-        .select(
-            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
-        )
+    # pair scoring: cell_cosine_pairs picks the flattened straight-line-
+    # codegen dot at 64-dim (its high-dim zip_with path kicks in past 128)
+    pairs = cell_cosine_pairs(
+        assigned,
+        vec_col="qe",
+        id_col="vec_id",
+        cell_col="cid",
+        threshold=0.40,
+        max_cell_size=20,
     )
     out = near_dup_droplist(qe.select("vec_id"), pairs, id_col="vec_id")
     return out.select(

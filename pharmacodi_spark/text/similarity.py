@@ -341,3 +341,90 @@ def lsh_bucket_topk(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
     )
     return cosine_topk(candidates, query, k, vec_col, id_col)
+
+
+def cell_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "centroid_id",
+    threshold: float = 0.8,
+    max_cell_size: int | None = None,
+    flatten_max_dim: int = 128,
+) -> DataFrame:
+    """Within-cell cosine-similar pairs (doc_a < doc_b, cosine >= threshold)
+    — the scoring stage of SemDeDup-style blocking (assign cells with
+    :func:`ivf_assign`, then only same-cell pairs are compared).
+
+    Two physical paths for the hot loop (pairs x dim multiplies), picked by
+    the vector width:
+
+    - dim <= ``flatten_max_dim``: the vector is flattened to scalar columns
+      so the dot product is straight-line whole-stage codegen (~2x over the
+      per-element path at 64-dim);
+    - wider: stay on the array column with ``zip_with`` + ``aggregate`` —
+      janino-compiled straight-line expressions degrade (and eventually
+      fail to compile / fall back to interpreted) in the thousands of
+      operators, so 1k+-dim embeddings must NOT be flattened (VERDICT r4).
+
+    ``max_cell_size`` arms the exact triangle-block hot-cell guard
+    (text/dedup.py::triangle_blocks): same pair set, per-task work bounded
+    under cell skew. Both paths and both guard settings produce identical
+    results; only the physical plan differs.
+    """
+    from pharmacodi_spark.text.dedup import triangle_blocks, triangle_pair_cond
+
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim is None:
+        return (
+            df.sparkSession.range(0)
+            .select(
+                F.col("id").alias("doc_a"), F.col("id").alias("doc_b")
+            )
+        )
+    dim = dim.d
+    v = _as_double(F.col(vec_col))
+    withn = df.select(
+        F.col(id_col),
+        F.col(cell_col),
+        v.alias("__v"),
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x).alias("__n2"),
+    )
+    flatten = dim <= flatten_max_dim
+    if flatten:
+        base = withn.select(
+            id_col,
+            cell_col,
+            "__n2",
+            *[F.element_at("__v", i + 1).alias(f"__x{i}") for i in range(dim)],
+        )
+    else:
+        base = withn
+    if max_cell_size is not None:
+        blk = triangle_blocks(base, [cell_col], id_col, max_cell_size)
+        cond = triangle_pair_cond([cell_col], id_col)
+    else:
+        blk = base
+        cond = (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    a, b = blk.alias("a"), blk.alias("b")
+    if flatten:
+        dot = None
+        for i in range(dim):
+            term = F.col(f"a.__x{i}") * F.col(f"b.__x{i}")
+            dot = term if dot is None else dot + term
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    return (
+        a.join(b, cond)
+        .where(dot / F.sqrt(F.col("a.__n2") * F.col("b.__n2")) >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+    )

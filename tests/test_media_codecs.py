@@ -135,3 +135,105 @@ def test_real_decoder_through_spark_seam(spark):
         [0.0, 0.0, 1.0, 127 / 255, 0.0, 0.0, 0.0, 0.0]
     )
     assert out[3].n_bytes == len(b"\x89PNG but corrupt")
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (VERDICT r4 item 7) — second real codec through the same seam.
+# The RIFF writer here is hand-rolled (struct.pack framing), independent of
+# the stdlib `wave` reader used by decode_wav, so the tests aren't circular.
+# ---------------------------------------------------------------------------
+
+import math
+
+from pharmacodi_spark.media_codecs import WavError, decode_wav, wav_feature_decoder
+
+
+def _riff_wav(samples_per_chan, framerate=8000, sampwidth=2):
+    """Hand-rolled RIFF/PCM WAV: samples_per_chan is a list of per-channel
+    integer sample lists (interleaved on write)."""
+    nch = len(samples_per_chan)
+    n = len(samples_per_chan[0])
+    interleaved = [samples_per_chan[c][i] for i in range(n) for c in range(nch)]
+    if sampwidth == 1:
+        data = bytes((s + 128) & 0xFF for s in interleaved)
+    else:
+        data = struct.pack(f"<{len(interleaved)}h", *interleaved)
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, framerate, framerate * nch * sampwidth,
+        nch * sampwidth, sampwidth * 8,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_roundtrip_mono_and_stereo():
+    mono = [0, 1000, -1000, 32000, -32000, 7]
+    nch, fr, sw, chans = decode_wav(_riff_wav([mono], framerate=44100))
+    assert (nch, fr, sw) == (1, 44100, 2)
+    assert chans == [mono]
+    left, right = [10, 20, 30], [-5, -10, -15]
+    nch, fr, sw, chans = decode_wav(_riff_wav([left, right]))
+    assert nch == 2 and chans == [left, right]
+
+
+def test_decode_wav_8bit():
+    mono = [0, 127, -128, 64]
+    nch, fr, sw, chans = decode_wav(_riff_wav([mono], sampwidth=1))
+    assert sw == 1 and chans == [mono]
+
+
+def test_wav_features_known_values():
+    # constant full-scale square wave: rms == amplitude/full, mean == 0
+    sq = [16384, -16384] * 100
+    feats = wav_feature_decoder(_riff_wav([sq], framerate=8000))
+    nch, fr, dur, rms0, rms1, mean0, mean1 = feats
+    assert (nch, fr) == (1.0, 8000.0)
+    assert abs(dur - 1000.0 * 200 / 8000) < 1e-9
+    assert abs(rms0 - 0.5) < 1e-9 and rms1 == 0.0
+    assert abs(mean0) < 1e-9
+    # sine wave rms ~ amplitude/sqrt(2)
+    sine = [int(30000 * math.sin(2 * math.pi * i / 50)) for i in range(500)]
+    f2 = wav_feature_decoder(_riff_wav([sine]))
+    assert abs(f2[3] - (30000 / 32768) / math.sqrt(2)) < 0.01
+
+
+@pytest.mark.parametrize(
+    "corrupt",
+    [
+        b"",
+        b"RIFF but not really",
+        b"\x00" * 64,
+        _riff_wav([[1, 2, 3]])[:20],  # truncated header
+    ],
+)
+def test_corrupt_wav_raises(corrupt):
+    with pytest.raises(WavError):
+        wav_feature_decoder(corrupt)
+
+
+def test_wav_decoder_through_spark_seam(spark):
+    # mirrors test_real_decoder_through_spark_seam: good rows decode, the
+    # corrupt row flips decode_ok=False, the job completes
+    good = _riff_wav([[100, -100, 200, -200]], framerate=16000)
+    stereo = _riff_wav([[1, 2], [3, 4]])
+    rows = [
+        (1, "audio", bytearray(good), "audio/wav", 0, 0, None),
+        (2, "audio", bytearray(stereo), "audio/wav", 0, 0, None),
+        (3, "audio", bytearray(b"RIFFcorrupt"), "audio/wav", 0, 0, None),
+        (4, "audio", None, "audio/wav", 0, 0, None),
+    ]
+    from pharmacodi_spark.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in extract_features(media, decoder=wav_feature_decoder).collect()
+    }
+    assert out[1].decode_ok and out[2].decode_ok
+    assert not out[3].decode_ok and out[3].feat is None
+    assert not out[4].decode_ok
+    assert out[1].feat[:2] == [1.0, 16000.0]
+    assert out[2].feat[0] == 2.0
+    exp = wav_feature_decoder(good)
+    assert [round(v, 5) for v in out[1].feat] == [round(v, 5) for v in exp]
