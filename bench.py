@@ -133,11 +133,14 @@ def run_only(name: str, sf_dir: str, runs: int) -> None:
 
 
 def run_suite_inprocess(sf_dir: str, shuffle_seed: int | None) -> None:
-    """Legacy shared-JVM suite: one session, warm pass, min-of-2 timed pass."""
-    spark = _fresh_spark()
-    for name in HEADLINE:
-        run_query(spark, name, sf_dir)
+    """Legacy shared-JVM suite: one session, min-of-2 timed per query.
 
+    No full warm pass (ROADMAP item 5): the first of the two timed runs IS
+    the warm-up — min-of-2 keeps the steady-state number while halving the
+    suite's wall clock. Use --shuffle SEED for the standing noise control
+    (BENCH_TRIAGE.md): same JVM, shuffled order; spread between ordered and
+    shuffled runs bounds the suite-position effect."""
+    spark = _fresh_spark()
     order = list(HEADLINE)
     if shuffle_seed is not None:
         random.Random(shuffle_seed).shuffle(order)
@@ -183,6 +186,18 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
     # surface them in the JSON so consumers can tell a shrunken total from
     # a faster one (ADVICE r4), and exit nonzero.
     failed = sorted(n for n, t in timings.items() if t < 0)
+    # second-scale-factor evidence (VERDICT r4 item 3): tools/make_sf1.py
+    # builds a 10x sf0.1-shaped dataset; an isolated-mode run against it is
+    # checked in as BENCH_SF1.json and attached here so every BENCH_r{N}
+    # carries the sf0.1→sf1 ratios alongside the per-round sf0.1 numbers.
+    sf1 = None
+    sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
+    if os.path.exists(sf1_path):
+        try:
+            with open(sf1_path) as fh:
+                sf1 = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            sf1 = None
     print(
         json.dumps(
             {
@@ -194,9 +209,15 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
                 "mode": mode,
                 # BENCH_r01-comparable subtotal (same 12 queries as round 1)
                 "headline_r1_sec": round(
-                    sum(timings[n] for n in HEADLINE_R1 if timings[n] >= 0), 3
+                    sum(
+                        timings.get(n, -1.0)
+                        for n in HEADLINE_R1
+                        if timings.get(n, -1.0) >= 0
+                    ),
+                    3,
                 ),
                 "failed": failed,
+                **({"sf1": sf1} if sf1 is not None else {}),
             }
         )
     )

@@ -87,39 +87,28 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs: bucket by the top 8 fingerprint bits
-    (near-dups share the prefix with high probability), expand ordered pairs
-    within buckets, exact Hamming filter via bit_count(a XOR b) ≤ 3.
-    Bucket-local pair expansion (no self-join re-computing the fingerprint
-    subplan per side) — same physical shape as minhash_band_pairs; at 100 TB
-    the prefix-bucket sizes are the only quadratic term."""
-    sim = _simhash_spark(_t(spark, sf_dir, "documents"))
-    bucketed = sim.withColumn("bucket", F.shiftrightunsigned("simhash16", 8))
-    buckets = (
-        bucketed.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash16"))).alias("m"))
-        .where(F.size("m") > 1)
+    (near-dups share the prefix with high probability), exact Hamming filter
+    via bit_count(a XOR b) ≤ 3 within buckets.
+
+    Runs through the library's capped path (text/dedup.py::
+    simhash_near_pairs with max_cell_size=256): sign-of-sum prefixes are
+    BIASED, so prefix buckets skew hard — the sf1 probe measured one bucket
+    holding 2,405 of 50k docs, i.e. ~2.9M pair checks and a 2,405-element
+    collect_list in ONE task under the old array expansion (7.1x sf0.1→sf1
+    wall-clock, BENCH r5). The triangle-block re-split spreads that bucket
+    over s(s+1)/2 bounded join tasks with the IDENTICAL pair set, so this
+    oracle row also exercises the guard on naturally-skewed buckets."""
+    from pharmacodi_spark.text.dedup import simhash_near_pairs as _snp
+
+    sim = _simhash_spark(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("simhash16").alias("simhash")
     )
-    ms = F.col("m")
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ms,
-                    lambda x, i: F.transform(
-                        F.slice(ms, i + 2, F.size(ms)),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
+    out = _snp(
+        sim, max_hamming=3, prefix_bits=8, bits=16, max_cell_size=256
     )
-    return pairs.select(
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
-        F.bit_count(F.col("p.a.simhash16").bitwiseXOR(F.col("p.b.simhash16")))
-        .cast("long")
-        .alias("hamming"),
-    ).where(F.col("hamming") <= 3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3076,3 +3065,178 @@ def contamination_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt_df in labeled[1:]:
         out = out.unionByName(nxt_df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-5 LLM-pipeline additions: repetition quality gates, sequence
+# packing, benchmark decontamination (library twins in text/analysis.py,
+# text/packing.py, text/cleaning.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "gopher_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS top_cnt FROM c2 GROUP BY 1),
+    dup AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                   sum(c) AS n_grams
+            FROM c3 GROUP BY 1),
+    n AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+    SELECT n.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_cnt,
+           CAST(coalesce(dup_occ, 0) AS BIGINT) AS dup_occ,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CASE WHEN n_tokens > 0
+                THEN CAST(2 * coalesce(top_cnt, 0) AS DOUBLE) / n_tokens
+                ELSE 0.0 END AS top_frac,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN CAST(coalesce(dup_occ, 0) AS DOUBLE) / n_grams
+                ELSE 0.0 END AS dup_frac,
+           (200 * coalesce(top_cnt, 0) <= 20 * n_tokens
+            AND 100 * coalesce(dup_occ, 0) <= 30 * coalesce(n_grams, 0)) AS keep
+    FROM n LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+    """,
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb repetition gates (text/analysis.py::
+    repetition_metrics): most-frequent-2-gram fraction + duplicated-3-gram
+    occurrence fraction per doc, keep-flag via integer cross-multiplication
+    (exact in every engine). Two (id, gram) count pipelines — shuffle keys
+    never exceed (id, gram); no corpus-global state."""
+    from pharmacodi_spark.text.analysis import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_metrics(d)
+
+
+@q(
+    "sequence_packing",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(token_start AS BIGINT) AS token_start,
+           CAST(token_start // 128 AS BIGINT) AS first_example,
+           CAST((token_start + greatest(n_tokens, 1) - 1) // 128 AS BIGINT)
+             AS last_example,
+           CAST((token_start + greatest(n_tokens, 1) - 1) // 128
+                - token_start // 128 + 1 AS BIGINT) AS n_examples
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-example packing (text/packing.py::
+    pack_sequences, seq_len=128): global token-offset prefix sum via the
+    fact-scale surrogate-id topology (range partition → partial sums → one
+    broadcast offsets table → partition-local window) — the oracle's
+    ORDER BY window is exactly the single-task plan this operator exists
+    to avoid."""
+    from pharmacodi_spark.text.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    return pack_sequences(counted, seq_len=128)
+
+
+@q(
+    "benchmark_decontam",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 12),
+               i -> md5(array_to_string(toks[i:i+12], ' ')))) AS gh
+      FROM t WHERE len(toks) >= 13
+    ),
+    eg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_collisions
+      FROM tg WHERE gh IN (SELECT gh FROM eg) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_collisions, 0) AS BIGINT) AS n_collisions,
+           coalesce(n_collisions, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram benchmark decontamination (text/cleaning.py::
+    decontaminate_against): eval slice = doc_id % 97 == 0 stands in for a
+    held-out benchmark; train docs sharing any 13-gram are flagged with
+    their distinct-collision count. Grams travel as md5 hashes — bodies
+    never shuffle; the eval gram set is semi-join (broadcastable) side."""
+    from pharmacodi_spark.text.cleaning import decontaminate_against
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 97 != 0)
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    return decontaminate_against(train, ev, n=13)
+
+
+@q(
+    "mixture_sample",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT count(*) AS N FROM documents),
+    r AS (
+      SELECT source,
+             least(1.0, 0.5 * sqrt(CAST((SELECT N FROM t) AS DOUBLE))
+                          / sqrt(CAST(n AS DOUBLE))) AS rate
+      FROM c
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 10000 < rate * 10000
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed corpus sampling (operators/sampling.py::
+    temperature_mixture_sample, alpha=0.5, budget 0.5): per-source keep
+    rate min(1, 0.5·sqrt(N/n_s)) — expected rows ∝ sqrt(n_s), flattening
+    the source distribution like pretraining-mixture reweighting. The rate
+    uses only sqrt/mult/div (correctly-rounded IEEE → bit-identical in
+    both engines); membership is the md5 hash-draw of hash_sample/
+    weighted_sample. Corpus rows never shuffle: counts broadcast in."""
+    from pharmacodi_spark.operators.sampling import temperature_mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mixture_sample(
+        d, "source", budget_frac=0.5, alpha=0.5, key_cols=["doc_id"], salt="mix"
+    )

@@ -78,3 +78,99 @@ def language_scores(
         cond = F.col(f"score_{lang}") == best
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     return out.withColumn("pred_lang", F.when(best > 0, pred).otherwise("unknown"))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    top_gram: int = 2,
+    dup_gram: int = 3,
+    max_top_frac: float = 0.20,
+    max_dup_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality gates, per document:
+
+    - ``top{n}_cnt`` / ``top_frac``: occurrences of the single most frequent
+      ``top_gram``-gram; fraction = ``top_gram * top_cnt / n_tokens``
+      (boilerplate headers, SEO keyword stuffing);
+    - ``dup{n}_occ`` / ``dup_frac``: fraction of ``dup_gram``-gram
+      OCCURRENCES whose gram appears more than once in the doc
+      (template/loop repetition);
+    - ``keep``: both fractions under their caps — evaluated as INTEGER
+      cross-multiplications so the gate is exact in every engine.
+
+    Scale shape: two explode → (id, gram) count → per-doc aggregate
+    pipelines (shuffle keys are (id, gram) then id — no global state, no
+    window over the corpus), joined back on id. Fractions are exact IEEE
+    divisions of < 2^53 integers.
+    """
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    def grams(n: int) -> DataFrame:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+        )
+        return (
+            base.where(F.size("__toks") >= n)
+            .select(id_col, F.explode(g).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    top = grams(top_gram).groupBy(id_col).agg(F.max("c").alias("top_cnt"))
+    dup = (
+        grams(dup_gram)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_occ"
+            ),
+            F.sum("c").alias("n_grams"),
+        )
+    )
+    n = base.select(
+        id_col, F.size("__toks").cast("long").alias("n_tokens")
+    )
+    out = (
+        n.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("top_cnt", F.lit(0)).cast("long").alias("top_cnt"),
+            F.coalesce("dup_occ", F.lit(0)).cast("long").alias("dup_occ"),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        )
+    )
+    # integer cross-multiplied gates: frac <= cap without fp comparison
+    top_scale = int(round(max_top_frac * 100))
+    dup_scale = int(round(max_dup_frac * 100))
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.lit(top_gram) * F.col("top_cnt")).cast("double")
+            / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_frac"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("dup_occ").cast("double") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        (
+            (
+                F.lit(100 * top_gram) * F.col("top_cnt")
+                <= F.lit(top_scale) * F.col("n_tokens")
+            )
+            & (
+                F.lit(100) * F.col("dup_occ")
+                <= F.lit(dup_scale) * F.col("n_grams")
+            )
+        ).alias("keep"),
+    )

@@ -210,3 +210,53 @@ def repeated_span_stats(
             / F.count("*")
         ).alias("shared_frac"),
     )
+
+
+def decontaminate_against(
+    train: DataFrame,
+    eval_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 13-gram rule): flag training
+    documents sharing any ``n``-gram with the evaluation set.
+
+    Output: one row per TRAIN document — (id, n_collisions = distinct
+    colliding n-grams, contaminated). Eval n-grams collapse to a DISTINCT
+    hash set first (benchmarks are tiny next to the corpus, so the semi-join
+    side broadcasts or at worst shuffles md5 keys); train side ships
+    (id, gram-hash) pairs only — document bodies never shuffle. At 100 TB
+    the eval-gram table is a reusable sidecar index: build once, semi-join
+    every corpus refresh against it.
+    """
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+
+    def gram_rows(df: DataFrame) -> DataFrame:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice("__toks", i, n), " ")),
+        )
+        return (
+            df.select(F.col(id_col), toks.alias("__toks"))
+            .where(F.size("__toks") >= n)
+            .select(id_col, F.explode(g).alias("gh"))
+        )
+
+    eval_grams = gram_rows(eval_df).select("gh").distinct()
+    hits = (
+        gram_rows(train)
+        .distinct()
+        .join(eval_grams, "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_collisions", F.lit(0)).cast("long").alias("n_collisions"),
+            (F.coalesce("n_collisions", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Sequence packing (north star): assign documents to fixed-length training
+examples by concatenating the token stream in a deterministic document
+order and cutting every ``seq_len`` tokens — the standard pretraining
+"pack then split" layout (each doc knows which example(s) it lands in,
+including straddles).
+
+The core is a GLOBAL token-offset prefix sum. A naive
+``sum().over(Window.orderBy(id))`` is a single-task window — the classic
+driver-shaped bottleneck at corpus scale. Instead this reuses the
+fact-scale surrogate-id topology (operators/keys.py::surrogate_key,
+SURVEY §7.3): range-partition by the order key, per-partition partial
+sums, ONE broadcast-sized offsets table (#partitions rows), then a
+partition-local cumulative window — every stage parallel, shuffle rows
+carry (id, count) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_offsets(
+    df: DataFrame,
+    count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add ``token_start`` — the exclusive prefix sum of ``count_col`` in
+    ``id_col`` order — without a global single-task window. The input is
+    one row per document.
+
+    localCheckpoint mirrors surrogate_key's correctness note: the tagged
+    frame feeds both the per-partition totals and the final assignment;
+    repartitionByRange re-samples boundaries per evaluation, so the
+    materialization pins ONE partition assignment."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n, F.asc(id_col))
+        .sortWithinPartitions(F.asc(id_col))
+        .select("*", F.monotonically_increasing_id().alias("__mid"))
+        .localCheckpoint()
+    )
+    pid = F.shiftrightunsigned("__mid", 33)
+    totals = tagged.groupBy(pid.alias("__pid")).agg(
+        F.sum(count_col).alias("__tot")
+    )
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(w), F.lit(0)).alias("__off")
+    )
+    wl = Window.partitionBy("__pid").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        tagged.withColumn("__pid", pid)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "token_start",
+            (F.col("__off") + F.coalesce(F.sum(count_col).over(wl), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop("__pid", "__off", "__mid")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, token_start, first_example, last_example, n_examples):
+    which fixed-length training example(s) each document occupies when the
+    corpus token stream is packed in ``id_col`` order and cut every
+    ``seq_len`` tokens. A document straddling a cut spans
+    ``n_examples > 1``. Empty documents occupy zero examples
+    (first == last == the example their offset falls in, n_examples = 0
+    tokens contributed — flagged via n_tokens)."""
+    assert seq_len >= 1
+    out = token_offsets(df, count_col, id_col)
+    start = F.col("token_start")
+    cnt = F.col(count_col)
+    first = F.floor(start / seq_len).cast("long")
+    last = F.floor(
+        (start + F.greatest(cnt, F.lit(1)) - 1) / seq_len
+    ).cast("long")
+    return out.select(
+        id_col,
+        cnt.cast("long").alias(count_col),
+        start,
+        first.alias("first_example"),
+        last.alias("last_example"),
+        (last - first + 1).cast("long").alias("n_examples"),
+    )

@@ -534,3 +534,112 @@ def test_cell_cosine_pairs_high_dim_path_matches_flattened(spark):
     assert want and hof == want
     assert flat == want
     assert guarded == want
+
+
+def test_repetition_metrics_hand_fixture(spark):
+    from pharmacodi_spark.text.analysis import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # "a b" appears 3x of 5 2-grams (top2_frac = 2*3/6 = 1.0)
+            (1, "a b a b a b"),
+            # all 3-grams distinct, all 2-grams distinct
+            (2, "w x y z q"),
+            # one duplicated 3-gram: "p q r" twice of 4 3-grams
+            (3, "p q r p q r"),
+            (4, ""),  # empty doc
+            (5, "solo"),  # too short for any gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert out[1].n_tokens == 6 and out[1].top_cnt == 3
+    assert abs(out[1].top_frac - 1.0) < 1e-12 and not out[1].keep
+    # doc 2: all grams distinct, but top_frac = 2*1/5 = 0.4 > 0.2 → not keep
+    assert out[2].top_cnt == 1 and out[2].dup_occ == 0 and not out[2].keep
+    # doc 3: 4 3-grams, "p q r" twice → dup_occ=2, dup_frac=0.5 > 0.3
+    assert out[3].dup_occ == 2 and out[3].n_grams == 4 and not out[3].keep
+    assert out[4].n_tokens == 0 and out[4].keep
+    assert out[5].n_tokens == 1 and out[5].top_cnt == 0 and out[5].keep
+
+
+def test_pack_sequences_matches_naive_and_straddles(spark):
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.text.packing import pack_sequences
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: r for r in pack_sequences(df, seq_len=64).collect()
+    }
+    # naive single-window oracle
+    start = 0
+    for i, cnt in rows:
+        r = got[i]
+        assert r.token_start == start, (i, r.token_start, start)
+        assert r.first_example == start // 64
+        assert r.last_example == (start + max(cnt, 1) - 1) // 64
+        assert r.n_examples == r.last_example - r.first_example + 1
+        start += cnt
+    # at least one doc must straddle an example boundary
+    assert any(r.n_examples > 1 for r in got.values())
+
+
+def test_decontaminate_against_hand_fixture(spark):
+    from pharmacodi_spark.text.cleaning import decontaminate_against
+
+    seq = " ".join(f"t{i}" for i in range(20))  # t0..t19
+    other = " ".join(f"u{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [
+            (1, seq),  # shares 13-grams with eval doc
+            (2, other),  # disjoint vocabulary
+            (3, "short doc"),  # too short for any 13-gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, seq)], "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate_against(train, ev, n=13).collect()}
+    assert len(out) == 3
+    # doc 1 has 8 distinct 13-grams, all present in eval
+    assert out[1].contaminated and out[1].n_collisions == 8
+    assert not out[2].contaminated and out[2].n_collisions == 0
+    assert not out[3].contaminated
+
+
+def test_temperature_mixture_sample_flattens_sources(spark):
+    import math
+
+    from pharmacodi_spark.operators.sampling import temperature_mixture_sample
+
+    # head source holds 90% of rows, two tail sources 5% each
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1800, F.lit("head"))
+        .when(F.col("id") < 1900, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+        .alias("source"),
+    )
+    out = temperature_mixture_sample(
+        df, "source", budget_frac=0.5, key_cols=["doc_id"], salt="t"
+    )
+    rates = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    # rate formula: min(1, 0.5 * sqrt(N/n_s))
+    for src, n in (("head", 1800), ("mid", 100), ("tail", 100)):
+        want = min(1.0, 0.5 * math.sqrt(2000 / n))
+        assert abs(rates[src] - want) < 1e-12, (src, rates[src], want)
+    # tail sources are kept at a 1.0 rate (0.5*sqrt(20) > 1), head ~0.53
+    kept = {r.source: r.cnt for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert kept["mid"] == 100 and kept["tail"] == 100
+    assert 0.4 * 1800 < kept["head"] < 0.65 * 1800
+    # deterministic: second run identical
+    again = temperature_mixture_sample(
+        df, "source", budget_frac=0.5, key_cols=["doc_id"], salt="t"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
