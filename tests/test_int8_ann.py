@@ -1,0 +1,49 @@
+"""Int8 quantization: exact-code equality vs a NumPy reference, zero-vector
+edge, and top-k agreement with a brute-force integer dot."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _py_q8(vec: list[float]) -> list[int]:
+    m = max(abs(float(np.float32(v))) for v in vec) if vec else 0.0
+    if m == 0.0:
+        return [0] * len(vec)
+    return [int(math.floor(float(np.float32(v)) * 127.0 / m + 0.5)) for v in vec]
+
+
+def test_int8_codes_match_numpy_reference(spark):
+    from pharmacodi_spark.text.similarity import int8_quantize
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector -> all-zero codes
+        (3, [1e-8, -1e-8, 1e-8, -1e-8]),    # tiny magnitudes still span ±127
+        (4, [3.5, 2.25, -3.5, 0.0]),        # ties at the max
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r["q8"] for r in int8_quantize(df).collect()}
+    for i, v in vecs:
+        assert rows[i] == _py_q8(v), (i, rows[i], _py_q8(v))
+        assert all(-127 <= q <= 127 for q in rows[i])
+
+
+def test_int8_topk_matches_bruteforce(spark):
+    from pharmacodi_spark.text.similarity import int8_weighted_topk
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=8).astype(np.float32).tolist()) for i in range(50)]
+    w = [((p * 7) % 13) - 6 for p in range(1, 9)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = [(r["vec_id"], r["qdot"]) for r in int8_weighted_topk(df, w, k=10).collect()]
+    want = sorted(
+        ((i, sum(q * wi for q, wi in zip(_py_q8(v), w))) for i, v in vecs),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    assert got == want
