@@ -3349,3 +3349,84 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     weights = [((p * 7) % 13) - 6 for p in range(1, 65)]
     return int8_weighted_topk(e, weights, k=20)
+
+
+@q(
+    "training_shuffle_shards",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS shuffle_key
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shuffle_key, n_chars,
+             coalesce(sum(n_chars) OVER (ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_start
+      FROM k
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(n_chars AS BIGINT) AS n_bytes,
+           CAST(byte_start AS BIGINT) AS byte_start,
+           CAST(byte_start // 16384 AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + byte-budget shard layout
+    (text/packing.py::shuffle_shards, 16 KiB shards at this SF): docs
+    re-sequenced by md5(salt||id) — a reproducible corpus-wide permutation
+    — then the exclusive byte prefix sum in that order cut every
+    shard_bytes assigns output shards of near-uniform size.  The prefix
+    sum is the range-partition + broadcast-offsets topology (no
+    single-task window); the oracle's global ORDER BY window is exactly
+    the plan it avoids."""
+    from pharmacodi_spark.text.packing import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return shuffle_shards(d, shard_bytes=16384)
+
+
+@q(
+    "passage_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(floor((len(toks) - 1) / 16.0) AS BIGINT)),
+               i -> md5(array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' '))
+             )) AS h
+      FROM t WHERE len(toks) > 0
+    ),
+    cnt AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+    per AS (
+      SELECT ch.doc_id, count(*) AS n_passages,
+             sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM ch JOIN cnt USING (h) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_passages,
+           CASE WHEN coalesce(n_passages, 0) > 0
+                THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_passages
+                ELSE 0.0 END AS dup_frac,
+           (2 * coalesce(n_dup, 0) <= coalesce(n_passages, 0)) AS keep
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-doc passage dedup (text/dedup.py::
+    passage_dedup_stats, 16-token passages): passages repeated in ≥2
+    distinct documents are shared boilerplate; docs more than half made
+    of them are dropped (integer cross-multiplied keep gate).  Passages
+    are built narrowly from the token array (no explode before the hash
+    exists); only (id, hash) rows shuffle."""
+    from pharmacodi_spark.text.dedup import passage_dedup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return passage_dedup_stats(d, window=16)

@@ -353,3 +353,68 @@ def simhash_near_pairs(
             "hamming"
         ),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    window: int = 16,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cross-document passage dedup: cut each document into
+    consecutive ``window``-token passages (last one partial), hash each,
+    and flag passages that appear in ≥2 DISTINCT documents.  Per doc:
+    (n_passages, n_dup_passages, dup_frac, keep) with ``keep`` =
+    duplicated fraction ≤ 1/2 (integer cross-multiplied — no float in the
+    gate).  Within-doc repetition is deliberately NOT counted (that is
+    gopher_repetition's gate); this is the shared-boilerplate filter.
+
+    Scale shape: passages are built narrowly from the split-token array
+    (``transform`` over a ``sequence`` of chunk indices — no explode
+    until the hash column exists), and only (id, 32-byte hash) rows
+    shuffle.  The hash count table is corpus-boilerplate-sized; AQE
+    broadcasts it when small and skew-splits the hot empty-ish hashes
+    when not.  Bodies never shuffle.
+    """
+    assert window >= 1
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(float(window))).cast("int"))
+    chunks = F.transform(
+        idx,
+        lambda i: F.md5(F.array_join(F.slice(toks, i * window + 1, window), " ")),
+    )
+    ch = (
+        df.select(F.col(id_col), F.when(n > 0, chunks).alias("chunks"))
+        .where(F.col("chunks").isNotNull())
+        .select(id_col, F.explode("chunks").alias("h"))
+    )
+    cnt = ch.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("nd"))
+    per = (
+        ch.join(cnt, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("nd") >= 2).cast("int")).alias("n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_passages", F.lit(0)).cast("long").alias("n_passages"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_passages"),
+            F.when(
+                F.coalesce("n_passages", F.lit(0)) > 0,
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.col("n_passages"),
+            )
+            .otherwise(0.0)
+            .alias("dup_frac"),
+            (
+                2 * F.coalesce("n_dup", F.lit(0))
+                <= F.coalesce("n_passages", F.lit(0))
+            ).alias("keep"),
+        )
+    )

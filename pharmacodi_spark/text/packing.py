@@ -24,19 +24,23 @@ def token_offsets(
     df: DataFrame,
     count_col: str = "n_tokens",
     id_col: str = "doc_id",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``token_start`` — the exclusive prefix sum of ``count_col`` in
-    ``id_col`` order — without a global single-task window. The input is
-    one row per document.
+    ``order_cols`` order (default: ``id_col``) — without a global
+    single-task window. The input is one row per document; the order key
+    must be a total order (callers append ``id_col`` as a tie-break when
+    ordering by a derived key).
 
     localCheckpoint mirrors surrogate_key's correctness note: the tagged
     frame feeds both the per-partition totals and the final assignment;
     repartitionByRange re-samples boundaries per evaluation, so the
     materialization pins ONE partition assignment."""
+    order_cols = [id_col] if order_cols is None else list(order_cols)
     n = df.sparkSession.sparkContext.defaultParallelism
     tagged = (
-        df.repartitionByRange(n, F.asc(id_col))
-        .sortWithinPartitions(F.asc(id_col))
+        df.repartitionByRange(n, *[F.asc(c) for c in order_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
         .select("*", F.monotonically_increasing_id().alias("__mid"))
         .localCheckpoint()
     )
@@ -48,7 +52,7 @@ def token_offsets(
     offsets = totals.select(
         "__pid", F.coalesce(F.sum("__tot").over(w), F.lit(0)).alias("__off")
     )
-    wl = Window.partitionBy("__pid").orderBy(id_col).rowsBetween(
+    wl = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
     return (
@@ -92,4 +96,58 @@ def pack_sequences(
         first.alias("first_example"),
         last.alias("last_example"),
         (last - first + 1).cast("long").alias("n_examples"),
+    )
+
+
+def _md5_long(col) -> F.Column:
+    """60-bit integer hash from md5 hex — cross-engine deterministic
+    (the hash_sample draw, plans/queries.py::_md5_long)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    shard_bytes: int,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training shuffle + byte-budget shard layout.
+
+    Two things a pretraining writer needs at 100 TB, in one pass:
+
+    - **order**: documents are re-sequenced by ``md5(salt || id)`` — a
+      reproducible corpus-wide permutation (same salt ⇒ same epoch order
+      on any cluster size; change the salt to re-shuffle per epoch), so
+      adjacent source documents never land in the same training window;
+    - **placement**: the exclusive prefix sum of ``size_col`` in that
+      order, cut every ``shard_bytes``, assigns each document its output
+      shard — shards land within one document's size of the target, so
+      writers produce uniform files instead of source-skewed ones.
+
+    The prefix sum rides :func:`token_offsets`' range-partition topology
+    (per-partition partials + one broadcast offsets table) — no
+    single-task window, shuffle rows carry (id, key, size) only.
+    Documents larger than ``shard_bytes`` keep ``shard_id`` of their
+    start (the writer's split-oversize concern, same straddle semantics
+    as :func:`pack_sequences`).
+    """
+    assert shard_bytes >= 1
+    keyed = df.select(
+        F.col(id_col),
+        F.col(size_col),
+        _md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    out = token_offsets(
+        keyed, count_col=size_col, id_col=id_col,
+        order_cols=["shuffle_key", id_col],
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("shuffle_key"),
+        F.col(size_col).cast("long").alias("n_bytes"),
+        F.col("token_start").alias("byte_start"),
+        F.floor(F.col("token_start") / shard_bytes).cast("long").alias("shard_id"),
     )
