@@ -95,7 +95,10 @@ def bm25_scores(
     ).where(F.col("token") != "")
 
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    totals = toks.agg(F.count("*").alias("t_tokens")).crossJoin(
+    # T from the per-doc lengths (vocabulary-of-docs-sized input) instead
+    # of a second full corpus explode; N from the docs scan directly — a
+    # metadata-only count (ReadSchema struct<>, parquet footers).
+    totals = dl.agg(F.sum("dl").alias("t_tokens")).crossJoin(
         docs.agg(F.count("*").alias("n_docs"))
     )
 

@@ -208,6 +208,79 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"rangepartitioning", False, "no global ordering"),
         (r"Exchange SinglePartition", False, "nothing collapses to one partition"),
     ],
+    # round-5 LLM-pipeline additions
+    "gopher_repetition": [
+        (r"partial_count", True, "(id, gram) counts collapse map-side"),
+        (r"hashpartitioning\(doc_id", True,
+         "shuffle keys never exceed (doc_id[, gram])"),
+        (r"SortMergeJoin", False, "gate joins stay hash/broadcast"),
+        (r"windowspecdefinition", False, "no window anywhere"),
+    ],
+    "sequence_packing": [
+        (r"Scan ExistingRDD", True,
+         "tagged frame materialized ONCE via localCheckpoint (same "
+         "correctness note as surrogate_key_fact: offsets and assignment "
+         "must see identical partition boundaries)"),
+        (r"windowspecdefinition\((?!__pid)", False,
+         "every window is partition-local over __pid — the oracle's "
+         "global ORDER BY window is exactly the single-task plan avoided"),
+        (r"BroadcastHashJoin", True,
+         "the #partitions-row offsets table joins back broadcast"),
+        (r"row_number", False, "no row_number — offsets from partial sums"),
+    ],
+    "benchmark_decontam": [
+        (r"BroadcastHashJoin LeftSemi", True,
+         "train-gram ⋉ eval-gram set is a broadcast semi-join on md5 "
+         "hashes — document bodies never shuffle"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "corpus scans pruned to (doc_id, text)"),
+        (r"SortMergeJoin", False, "no sort-merge anywhere"),
+        (r"partial_count", True, "collision counts collapse map-side"),
+    ],
+    "mixture_sample": [
+        (r"BroadcastHashJoin", True,
+         "per-source keep rates broadcast onto the corpus — rows never "
+         "shuffle for the draw"),
+        (r"partial_count", True, "source counts collapse map-side"),
+        (r"SortMergeJoin", False, "no sort-merge"),
+    ],
+    "bm25_topk": [
+        (r"TakeOrderedAndProject", True,
+         "top-k is partial heaps + merge, never a global sort"),
+        (r"BroadcastHashJoin", True,
+         "df table and corpus totals broadcast onto the tf rows"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "corpus scans pruned to (doc_id, text)"),
+        (r"ReadSchema: struct<>\n", True,
+         "N_docs is a metadata-only count (parquet footers, no columns)"),
+        (r"SortMergeJoin", False, "no sort-merge"),
+    ],
+    "ann_int8_topk": [
+        (r"TakeOrderedAndProject", True, "probe ends in partial top-k heaps"),
+        (r"\bExchange\b", False,
+         "ZERO shuffles — quantize + integer dot are per-row "
+         "transform/aggregate; vectors never leave their scan partitions"),
+        (r"ReadSchema: struct<vec_id:bigint,embedding:array<float>>", True,
+         "only (vec_id, embedding) read"),
+    ],
+    "training_shuffle_shards": [
+        (r"Scan ExistingRDD", True,
+         "permutation-ordered frame materialized ONCE via localCheckpoint"),
+        (r"windowspecdefinition\((?!__pid)", False,
+         "byte prefix sum windows are partition-local over __pid only"),
+        (r"BroadcastHashJoin", True, "offsets table joins back broadcast"),
+        (r"SortMergeJoin", False, "no sort-merge"),
+    ],
+    "passage_dedup": [
+        (r"partial_count", True,
+         "passage-hash counts collapse map-side before the shuffle"),
+        (r"hashpartitioning\(h#", True,
+         "the only fact-scale shuffle key is the 32-byte passage hash"),
+        (r"SortMergeJoin", False,
+         "per-doc stats and the doc anchor join broadcast/hash"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "chunk scans pruned to (doc_id, text)"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
