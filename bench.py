@@ -87,6 +87,16 @@ HEADLINE = HEADLINE_R1 + [
     "vocab_token_count",
     "ingest_pipeline",
     "semantic_dedup_pipeline",
+    # round-5 additions: repetition/decontam/mixture gates, sequence packing
+    # + epoch-shuffle sharding, retrieval ranking, int8 ANN, passage dedup
+    "gopher_repetition",
+    "sequence_packing",
+    "benchmark_decontam",
+    "mixture_sample",
+    "bm25_topk",
+    "ann_int8_topk",
+    "training_shuffle_shards",
+    "passage_dedup",
 ]
 
 

@@ -138,6 +138,46 @@ def ops(spark, mult: int) -> dict[str, float]:
     from pharmacodi_spark.operators.profile import profile_table
 
     out["profile_approx"] = timed(lambda: profile_table(li, approx=True))
+
+    # round-5 LLM-pipeline family (ann_int8 is deliberately absent: its
+    # plan is zero-Exchange scan→TakeOrdered — PLANS.md proves linearity)
+    from pharmacodi_spark.operators.sampling import temperature_mixture_sample
+    from pharmacodi_spark.text.analysis import repetition_metrics
+    from pharmacodi_spark.text.cleaning import decontaminate_against
+    from pharmacodi_spark.text.dedup import passage_dedup_stats
+    from pharmacodi_spark.text.packing import pack_sequences, shuffle_shards
+    from pharmacodi_spark.text.retrieval import bm25_scores
+
+    out["gopher_repetition"] = timed(lambda: repetition_metrics(docs))
+    counted = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    out["sequence_packing"] = timed(lambda: pack_sequences(counted, seq_len=128))
+    sized = docs.select("doc_id", F.length("text").alias("n_chars"))
+    out["shuffle_shards"] = timed(lambda: shuffle_shards(sized, 1 << 20))
+    out["passage_dedup"] = timed(lambda: passage_dedup_stats(docs, window=16))
+    out["bm25_topk"] = timed(
+        lambda: bm25_scores(docs, ["table", "scan", "window", "merge"], k=20)
+    )
+    out["benchmark_decontam"] = timed(
+        lambda: decontaminate_against(
+            docs.where(F.col("doc_id") % 97 != 0),
+            docs.where(F.col("doc_id") % 97 == 0),
+            n=13,
+        )
+    )
+    srcd = docs.select(
+        "doc_id", (F.col("doc_id") % 8).cast("string").alias("source")
+    )
+    out["mixture_sample"] = timed(
+        lambda: temperature_mixture_sample(
+            srcd, "source", budget_frac=0.5, alpha=0.5,
+            key_cols=["doc_id"], salt="mix",
+        )
+    )
     return out
 
 
