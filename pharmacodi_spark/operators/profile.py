@@ -53,3 +53,53 @@ def profile_table(
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: the top-``k`` heaviest key values
+    with their row share and, for keys that would overflow one shuffle
+    task, the salt factor that caps them.
+
+    The operational question before any fact-scale join at 100 TB is
+    "does one key's partition fit in one task?" — this answers it from
+    one count pass:
+
+    - ``n_rows``: rows under the key (``partial_count`` map-side);
+    - ``share_ppm``: integer parts-per-million of the table
+      (cross-multiplied — no float division in the metric);
+    - ``salt_factor``: ``ceil(n_rows / target_rows_per_task)`` (computed
+      as the integer ``(n_rows + t - 1) div t``) — 1 means the key is
+      safe, s > 1 means replicate the build side s× / split the probe
+      side s-ways (operators/joins.py::salted_join) or rely on AQE's
+      skew-join split at runtime.
+
+    The heavy-hitter scan itself is skew-proof: groupBy(key) partial-
+    aggregates map-side, so the hot key ships ONE combined row per input
+    partition; top-k is TakeOrderedAndProject; the table total rides as
+    a broadcast 1-row aggregate.
+    """
+    assert top_k >= 1 and target_rows_per_task >= 1
+    counts = df.groupBy(F.col(key_col)).agg(F.count("*").alias("n_rows"))
+    total = df.agg(F.count("*").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col(key_col),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr("(n_rows * 1000000) div n_total").cast("long").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "(n_rows + {t} - 1) div {t}".format(t=target_rows_per_task)
+            )
+            .cast("long")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key_col))
+        .limit(top_k)
+    )

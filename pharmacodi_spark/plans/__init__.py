@@ -22,8 +22,12 @@ _DRIVER_WINDOW = [
     "csv_na_roundtrip", "catalog_scan", "glob_union_shards",
     "api_connector_enrich", "record_text_parse",
     # projections / predicates / updates (P1-P13)
+    # (r5 cont.: constant_flag rotated out — P12/P13's constant/derived-flag
+    # paths stay driver-exercised via harmonize_contract's typed-null pad
+    # constants and clamp_recode's recode flag; oracle row remains in the
+    # driver-sim + pytest mirror)
     "filter_predicates", "null_counts", "clamp_recode",
-    "harmonize_contract", "constant_flag",
+    "harmonize_contract",
     # joins (J1-J11)
     # (r4: anti_join rotated out — J9's anti path keeps hard driver
     # evidence via fk_unmatched_audit's left-anti audit and
@@ -41,7 +45,11 @@ _DRIVER_WINDOW = [
     # aggregates and A7 via synonym_pipeline (its synonym assembly IS the
     # ||| group-concat, operators/reshape.py:80); both keep their own
     # oracle rows under the local driver-sim + pytest mirror.
-    "distinct_rows", "first_per_group", "group_count", "fk_unmatched_audit",
+    # (r5 cont.: distinct_rows and group_count rotated out — A1 keeps hard
+    # evidence via union_dedup's distinct and exact_dedup's grouped min-id
+    # keeper; A3 via null_counts / fk_unmatched_audit / every grouped agg
+    # in-window; both keep oracle rows in the driver-sim + pytest mirror)
+    "first_per_group", "fk_unmatched_audit",
     # ids / sort / limit (W1/W2, O1-O5)
     "surrogate_key_dim", "surrogate_key_fact", "top_k_orders",
     # set ops (U1-U3) (r5: except_distinct rotated out — U3 keeps hard
@@ -49,8 +57,10 @@ _DRIVER_WINDOW = [
     # stays for U1/U2)
     "union_dedup",
     # reshape (R1-R6) (r5: pivot_wide rotated out — R6's pivot path stays
-    # driver-exercised via record_text_parse's record assembly)
-    "melt_unpivot", "melt_columns", "explode_tokens", "json_props_extract",
+    # driver-exercised via record_text_parse's record assembly; r5 cont.:
+    # melt_columns out — R2's list-melt is the R1 regex-melt minus the
+    # column-match step, kept by melt_unpivot + the driver-sim mirror)
+    "melt_unpivot", "explode_tokens", "json_props_extract",
     # scalar kit / UDF-elimination (F1-F12, X1-X3)
     "regex_kit",
     # custom temporal/OLAP operators
@@ -70,6 +80,11 @@ _DRIVER_WINDOW = [
     "ann_ivf_pq_topk", "incremental_dedup", "ingest_pipeline",
     "vocab_token_count", "semantic_dedup_pipeline", "pagerank_dangling",
     "contamination_safe_split",
+    # r5 continuation: the four freed slots go to the new capabilities —
+    # fixed-point BM25 retrieval, the int8 zero-shuffle ANN probe, the
+    # epoch-shuffle byte-budget sharder, and CCNet-style passage dedup
+    "bm25_topk", "ann_int8_topk", "training_shuffle_shards",
+    "passage_dedup",
 ]
 
 

@@ -2899,14 +2899,16 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle.
 
     Hot-cell skew guard: the within-cell pair join runs through
-    text/dedup.py::triangle_blocks with ``max_cell_size=20`` — a cell of m
-    vectors is re-split into ceil(m/20) subgroups and the m^2/2 pair checks
-    are spread over s*(s+1)/2 bounded tasks instead of one straggler. The
-    decomposition is EXACT (each pair generated exactly once), so this very
-    oracle run exercises the guard: at sf0.01 the ~31-vector average cell
-    re-splits into s=2, and the result still hash-matches the naive-join
-    CTE oracle. One dense boilerplate cluster at 100x scale now costs
-    parallel tasks, not a quadratic straggler."""
+    text/dedup.py::triangle_blocks with ``max_cell_size=256`` (the same
+    cap the simhash twin settled on) — a cell of m vectors re-splits into
+    ceil(m/256) subgroups and its m^2/2 pair checks spread over s*(s+1)/2
+    bounded tasks instead of one straggler. The decomposition is EXACT
+    (each pair generated exactly once; guard-on ≡ guard-off proven by the
+    dim-256 pytest and the SCALING.md skew fixture). 256 is deliberate:
+    capping at 20 made the sf0.1 pair stage ~35% slower (28 blocks per
+    125-vector cell of sub-task overhead) while 256²/2 ≈ 33k checks per
+    task stays bounded at any scale — the guard should engage under SKEW,
+    not on every healthy cell."""
     from pharmacodi_spark.text.clusters import near_dup_droplist
     from pharmacodi_spark.text.similarity import cell_cosine_pairs, ivf_assign
 
@@ -2928,7 +2930,7 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         cell_col="cid",
         threshold=0.40,
-        max_cell_size=20,
+        max_cell_size=256,
     )
     out = near_dup_droplist(qe.select("vec_id"), pairs, id_col="vec_id")
     return out.select(
@@ -3430,3 +3432,30 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return passage_dedup_stats(d, window=16)
+
+
+@q(
+    "skew_diagnose",
+    """
+    WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+    t AS (SELECT count(*) AS n_total FROM lineitem)
+    SELECT l_suppkey,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((n_rows * 1000000) // (SELECT n_total FROM t) AS BIGINT)
+             AS share_ppm,
+           CAST((n_rows + 99) // 100 AS BIGINT) AS salt_factor
+    FROM c ORDER BY n_rows DESC, l_suppkey LIMIT 15
+    """,
+)
+def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/profile.py::skew_profile):
+    top-15 heaviest l_suppkey values with integer row share (ppm) and the
+    salt factor that would cap each at 100 rows/task (scaled down to the
+    fixture; production target_rows_per_task ~1e6).  The profile itself
+    is skew-proof — groupBy partial-aggregates map-side so a hot key
+    ships one combined row per input partition; the table total rides as
+    a broadcast 1-row aggregate; top-k is TakeOrderedAndProject."""
+    from pharmacodi_spark.operators.profile import skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_profile(li, "l_suppkey", top_k=15, target_rows_per_task=100)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pharmacodi_spark.session import get_spark
 from pharmacodi_spark.text.similarity import (
     cosine_topk,
+    int8_weighted_topk,
     ivf_topk,
     lsh_bucket_topk,
     pq_adc_topk,
@@ -38,6 +39,13 @@ from pharmacodi_spark.text.similarity import (
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K = 10
 N_QUERIES = 8
+
+
+def _quantize_query(qv: list[float]) -> list[int]:
+    import math
+
+    m = max(abs(x) for x in qv) or 1.0
+    return [int(math.floor(x * 127.0 / m + 0.5)) for x in qv]
 
 
 def main() -> None:
@@ -87,6 +95,11 @@ def main() -> None:
             qv,
             K,
         ),
+        # int8 full scan: per-vector max-abs quantization (both sides), exact
+        # integer dot — measures pure 8-bit fidelity loss vs float cosine
+        "int8_dot": lambda qv: int8_weighted_topk(
+            emb, _quantize_query(qv), K, vec_col="embedding"
+        ),
     }
     rows = []
     for name, fn in methods.items():
@@ -118,6 +131,8 @@ def main() -> None:
         "ivf_np4": "scan 4/64 cells",
         "pq_adc": "full scan of 4-byte codes, table lookups only",
         "pq_adc_rerank": f"PQ top-{10 * K} candidates → exact cosine re-rank",
+        "int8_dot": "8-bit max-abs codes both sides, exact integer dot "
+        "(full scan, 4× less data than float32)",
     }
     for name, rec, dt in rows:
         lines.append(
