@@ -271,6 +271,16 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"BroadcastHashJoin", True, "offsets table joins back broadcast"),
         (r"SortMergeJoin", False, "no sort-merge"),
     ],
+    "skew_diagnose": [
+        (r"partial_count", True,
+         "heavy-hitter counts collapse map-side — the profile is itself "
+         "skew-proof (a hot key ships one combined row per partition)"),
+        (r"TakeOrderedAndProject", True, "top-k heap, no global sort"),
+        (r"BroadcastNestedLoopJoin Cross", True,
+         "table total rides as a broadcast 1-row aggregate"),
+        (r"ReadSchema: struct<l_suppkey:bigint>", True,
+         "only the key column is read"),
+    ],
     "passage_dedup": [
         (r"partial_count", True,
          "passage-hash counts collapse map-side before the shuffle"),

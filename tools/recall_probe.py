@@ -150,6 +150,11 @@ def main() -> None:
         "On real embedding corpora (which cluster), the same knobs sit far",
         "higher on the recall/cost curve. Exact brute force is the",
         "recall=1.00 / full-scan reference point.",
+        "The int8_dot row is both the cheapest probe and the highest recall:",
+        "its loss vs ground truth is dominated by the max-abs (vs l2)",
+        "normalization, not the 8-bit codes — with l2-normalized inputs it",
+        "ranks nearly exactly while scanning 4× less data, which is why",
+        "quantize-then-rerank is the default first stage at corpus scale.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
