@@ -97,6 +97,7 @@ HEADLINE = HEADLINE_R1 + [
     "ann_int8_topk",
     "training_shuffle_shards",
     "passage_dedup",
+    "curation_pipeline",
 ]
 
 

@@ -75,9 +75,13 @@ _DRIVER_WINDOW = [
     # tokenizer, the semantic-dedup E2E — now running through the
     # triangle-block hot-cell guard — the dangling-mass PageRank, and the
     # contamination-safe splits)
+    # (r5 cont.: incremental_dedup rotated out — its exact-window +
+    # hash-index anti-join path runs INSIDE the in-window ingest_pipeline
+    # E2E; the freed slot goes to curation_pipeline, the five-stage
+    # quality→decontam→passage-dedup→exact-dedup→mixture cascade)
     "exact_dedup", "minhash_band_pairs", "ann_dot_topk",
     "multimodal_features", "window_tumbling", "fuzzy_dedup_pipeline",
-    "ann_ivf_pq_topk", "incremental_dedup", "ingest_pipeline",
+    "ann_ivf_pq_topk", "curation_pipeline", "ingest_pipeline",
     "vocab_token_count", "semantic_dedup_pipeline", "pagerank_dangling",
     "contamination_safe_split",
     # r5 continuation: the four freed slots go to the new capabilities —

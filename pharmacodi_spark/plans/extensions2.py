@@ -3459,3 +3459,148 @@ def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return skew_profile(li, "l_suppkey", top_k=15, target_rows_per_task=100)
+
+
+@q(
+    "curation_pipeline",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    -- stage 1a: unigram-surprisal gate (mean <= 24.05 bits, integer gate)
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM tok),
+    bits AS (
+      SELECT tok.doc_id,
+             length(bin(((SELECT n FROM tot) * 1048576) // c.c)) - 1 AS bits
+      FROM tok JOIN cnt c USING (token)
+    ),
+    sur_keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(*) AS n_words, sum(bits) AS sum_bits
+        FROM bits GROUP BY 1
+      ) WHERE 100 * sum_bits <= 2405 * n_words
+    ),
+    -- stage 1b: Gopher repetition gate
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+    topg AS (SELECT doc_id, max(c) AS top_cnt FROM c2 GROUP BY 1),
+    dupg AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                    sum(c) AS n_grams FROM c3 GROUP BY 1),
+    gop_keep AS (
+      SELECT t.doc_id FROM t
+      LEFT JOIN topg USING (doc_id) LEFT JOIN dupg USING (doc_id)
+      WHERE 200 * coalesce(top_cnt, 0) <= 20 * len(toks)
+        AND 100 * coalesce(dup_occ, 0) <= 30 * coalesce(n_grams, 0)
+    ),
+    -- stage 2: benchmark decontamination (eval slice = doc_id % 97 = 0)
+    g13 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 12),
+               i -> md5(array_to_string(toks[i:i+12], ' ')))) AS gh
+      FROM t WHERE len(toks) >= 13
+    ),
+    eg AS (SELECT DISTINCT gh FROM g13 WHERE doc_id % 97 = 0),
+    contam AS (
+      SELECT DISTINCT doc_id FROM g13
+      WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM eg)
+    ),
+    s2 AS (
+      SELECT d.doc_id FROM documents d
+      JOIN gop_keep USING (doc_id)
+      JOIN sur_keep USING (doc_id)
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    -- stage 3: cross-doc passage dedup AMONG SURVIVORS (16-token windows)
+    ch AS (
+      SELECT t.doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(floor((len(toks) - 1) / 16.0) AS BIGINT)),
+               i -> md5(array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' '))
+             )) AS h
+      FROM t JOIN s2 USING (doc_id) WHERE len(toks) > 0
+    ),
+    hc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+    pd AS (
+      SELECT ch.doc_id, count(*) AS n_passages,
+             sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM ch JOIN hc USING (h) GROUP BY 1
+    ),
+    s3 AS (
+      SELECT s2.doc_id FROM s2 LEFT JOIN pd USING (doc_id)
+      WHERE 2 * coalesce(n_dup, 0) <= coalesce(n_passages, 0)
+    ),
+    -- stage 4: exact dedup among survivors (min id per md5(text))
+    ex AS (
+      SELECT min(d.doc_id) AS doc_id
+      FROM documents d JOIN s3 USING (doc_id)
+      GROUP BY md5(d.text)
+    ),
+    -- stage 5: temperature mixture over the curated set (alpha=0.5)
+    mc AS (
+      SELECT d.source, count(*) AS n
+      FROM documents d JOIN ex USING (doc_id) GROUP BY 1
+    ),
+    mt AS (SELECT sum(n) AS nn FROM mc),
+    r AS (
+      SELECT source,
+             least(1.0, 0.5 * sqrt(CAST((SELECT nn FROM mt) AS DOUBLE))
+                          / sqrt(CAST(n AS DOUBLE))) AS rate
+      FROM mc
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN ex USING (doc_id) JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('cur' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 10000 < rate * 10000
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the LLM-data sibling of
+    combine_pipeline: Gopher repetition gate ∧ unigram-surprisal gate →
+    13-gram benchmark decontamination (doc_id%97==0 as the eval slice) →
+    cross-doc passage dedup among survivors → exact dedup (min-id per
+    content hash) → temperature mixture (alpha=0.5, budget 0.5, salt
+    'cur').  Every stage is the library operator the standalone query
+    gates, chained by id semi-joins — bodies are re-read from the pruned
+    parquet scan per stage but never shuffle; shuffle keys are
+    (id), (id, gram), (hash) only.  The whole cascade value-matches the
+    composed CTE oracle."""
+    from pharmacodi_spark.operators.sampling import temperature_mixture_sample
+    from pharmacodi_spark.text.analysis import repetition_metrics
+    from pharmacodi_spark.text.cleaning import decontaminate_against
+    from pharmacodi_spark.text.corpus import unigram_surprisal
+    from pharmacodi_spark.text.dedup import exact_dedup, passage_dedup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    gop = repetition_metrics(d).where("keep").select("doc_id")
+    sur = (
+        unigram_surprisal(d)
+        .where(100 * F.col("sum_bits") <= 2405 * F.col("n_words"))
+        .select("doc_id")
+    )
+    q1 = d.join(gop, "doc_id").join(sur, "doc_id")
+    train = q1.where(F.col("doc_id") % 97 != 0)
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    clean = decontaminate_against(train, ev, n=13).where(
+        ~F.col("contaminated")
+    ).select("doc_id")
+    q2 = train.join(clean, "doc_id")
+    pd_keep = passage_dedup_stats(q2, window=16).where("keep").select("doc_id")
+    q3 = q2.join(pd_keep, "doc_id")
+    ex = exact_dedup(q3)
+    return temperature_mixture_sample(
+        ex.select("doc_id", "source"), "source",
+        budget_frac=0.5, alpha=0.5, key_cols=["doc_id"], salt="cur",
+    )
