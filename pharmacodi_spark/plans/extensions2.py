@@ -3573,10 +3573,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-doc passage dedup among survivors → exact dedup (min-id per
     content hash) → temperature mixture (alpha=0.5, budget 0.5, salt
     'cur').  Every stage is the library operator the standalone query
-    gates, chained by id semi-joins — bodies are re-read from the pruned
-    parquet scan per stage but never shuffle; shuffle keys are
-    (id), (id, gram), (hash) only.  The whole cascade value-matches the
-    composed CTE oracle."""
+    gates; the whole cascade value-matches the composed CTE oracle.
+
+    Stage boundary discipline (the thing that makes a multi-stage cascade
+    survive 100 TB): each stage's SURVIVOR ID SET — metadata-scale, ids
+    only — is localCheckpoint-ed, and the next stage joins a FRESH pruned
+    corpus scan against it.  Composing the DataFrames lazily instead
+    re-expands every upstream stage at every downstream reference: the
+    naive composition of this exact cascade compiled to 116 documents
+    scans and 44 sort-merge joins (combinatorial subtree replication);
+    with the id-set barriers it is ~12 scans, each stage's shuffle keys
+    (id) / (id, gram) / (hash) only, and bodies never shuffle."""
     from pharmacodi_spark.operators.sampling import temperature_mixture_sample
     from pharmacodi_spark.text.analysis import repetition_metrics
     from pharmacodi_spark.text.cleaning import decontaminate_against
@@ -3590,15 +3597,27 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(100 * F.col("sum_bits") <= 2405 * F.col("n_words"))
         .select("doc_id")
     )
-    q1 = d.join(gop, "doc_id").join(sur, "doc_id")
-    train = q1.where(F.col("doc_id") % 97 != 0)
+    s1 = (
+        gop.join(sur, "doc_id")
+        .where(F.col("doc_id") % 97 != 0)
+        .localCheckpoint()
+    )
+    q1 = d.join(s1, "doc_id")
     ev = d.where(F.col("doc_id") % 97 == 0)
-    clean = decontaminate_against(train, ev, n=13).where(
-        ~F.col("contaminated")
-    ).select("doc_id")
-    q2 = train.join(clean, "doc_id")
-    pd_keep = passage_dedup_stats(q2, window=16).where("keep").select("doc_id")
-    q3 = q2.join(pd_keep, "doc_id")
+    s2 = (
+        decontaminate_against(q1, ev, n=13)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    q2 = d.join(s2, "doc_id")
+    s3 = (
+        passage_dedup_stats(q2, window=16)
+        .where("keep")
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    q3 = d.join(s3, "doc_id")
     ex = exact_dedup(q3)
     return temperature_mixture_sample(
         ex.select("doc_id", "source"), "source",

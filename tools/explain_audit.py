@@ -271,6 +271,18 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"BroadcastHashJoin", True, "offsets table joins back broadcast"),
         (r"SortMergeJoin", False, "no sort-merge"),
     ],
+    "curation_pipeline": [
+        (r"Scan ExistingRDD", True,
+         "stage barriers: each stage's survivor ID SET (metadata-scale) "
+         "is localCheckpoint-ed and the next stage joins a fresh pruned "
+         "scan — the naive lazy composition re-expanded upstream stages "
+         "at every reference (116 corpus scans, 44 sort-merge joins)"),
+        (r"SortMergeJoin", False,
+         "post-barrier cascade is broadcast/hash joins only"),
+        (r"BroadcastHashJoin", True,
+         "survivor id-sets broadcast onto the corpus scans"),
+        (r"partial_count", True, "stage aggregates collapse map-side"),
+    ],
     "skew_diagnose": [
         (r"partial_count", True,
          "heavy-hitter counts collapse map-side — the profile is itself "
