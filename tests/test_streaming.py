@@ -57,7 +57,7 @@ def _run_stream(spark, stream_df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -125,7 +125,7 @@ def test_dedup_within_watermark(spark, event_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     n = spark.sql("SELECT count(DISTINCT event_id) c FROM dedup_t").collect()[0].c
     total = spark.sql("SELECT count(*) c FROM dedup_t").collect()[0].c
     assert n == total  # no duplicate event_ids survived
@@ -143,7 +143,7 @@ def test_stateful_running_totals_matches_batch(spark, event_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     # last emission per user (max n_events — totals only grow) == batch totals
     out = spark.sql(
         """
@@ -180,7 +180,7 @@ def test_stateful_ttl_counters_matches_batch(spark, event_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     out = spark.sql(
         """
         SELECT user_id, max(n_events) AS n_events,
@@ -230,7 +230,7 @@ def test_stateful_ttl_counters_matches_batch(spark, event_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "stream did not finish in 300s"
     out0 = spark.sql("SELECT user_id, max(n_events) AS n FROM ttl0_t GROUP BY user_id")
     s0 = {r.user_id: r.n for r in out0.collect()}
     assert s0[1] == 2  # evicted while idle in batch 1, restarted in batch 2
@@ -309,7 +309,7 @@ def test_interval_stream_join_matches_batch(spark, event_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = spark.sql("SELECT l_event_id, r_event_id FROM ssjoin_t")
     batch = interval_stream_join(*split(_batch_events(spark, event_dir)))
     s = {(r.l_event_id, r.r_event_id) for r in got.collect()}
@@ -336,7 +336,7 @@ def test_session_timeout_matches_session_window(spark, event_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = {
         (r.user_id, r.session_start_ms, r.session_end_ms): r.n_events
         for r in spark.sql("SELECT * FROM sess_timeout_t").collect()
@@ -370,7 +370,7 @@ def test_rate_limited_source_batches(spark, event_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     n_data_batches = sum(
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )
@@ -394,7 +394,7 @@ def test_upsert_sink_latest_per_key(spark, event_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         order_col="ts",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
 
     got = {r.user_id: (r.ts, r.event_type) for r in spark.read.parquet(table).collect()}
     batch = _batch_events(spark, event_dir)

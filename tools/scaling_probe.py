@@ -178,6 +178,53 @@ def ops(spark, mult: int) -> dict[str, float]:
             key_cols=["doc_id"], salt="mix",
         )
     )
+
+    # curation E2E (stage-barrier composition): gates → decontam →
+    # passage dedup → exact dedup → mixture, with survivor-id
+    # localCheckpoints between stages (the shape that prevents the
+    # combinatorial lazy-composition blowup — see plans/extensions2.py)
+    from pharmacodi_spark.text.corpus import unigram_surprisal
+
+    def curation():
+        d = docs.withColumn(
+            "source", (F.col("doc_id") % 8).cast("string")
+        )
+        gop = repetition_metrics(d).where("keep").select("doc_id")
+        sur = (
+            unigram_surprisal(d)
+            .where(100 * F.col("sum_bits") <= 2405 * F.col("n_words"))
+            .select("doc_id")
+        )
+        s1 = (
+            gop.join(sur, "doc_id")
+            .where(F.col("doc_id") % 97 != 0)
+            .localCheckpoint()
+        )
+        q1 = d.join(s1, "doc_id")
+        ev = d.where(F.col("doc_id") % 97 == 0)
+        s2 = (
+            decontaminate_against(q1, ev, n=13)
+            .where(~F.col("contaminated"))
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        q2 = d.join(s2, "doc_id")
+        s3 = (
+            passage_dedup_stats(q2, window=16)
+            .where("keep")
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        q3 = d.join(s3, "doc_id")
+        from pharmacodi_spark.text.dedup import exact_dedup
+
+        ex = exact_dedup(q3)
+        return temperature_mixture_sample(
+            ex.select("doc_id", "source"), "source",
+            budget_frac=0.5, alpha=0.5, key_cols=["doc_id"], salt="cur",
+        )
+
+    out["curation_pipeline"] = timed(curation)
     return out
 
 
