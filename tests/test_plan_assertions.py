@@ -1,0 +1,55 @@
+"""Always-on plan-regression guards: a fast subset of tools/explain_audit's
+assertions runs in every pytest invocation (sf0.001, explain-only), so a
+plan regression — a lost pushdown, a surprise shuffle, a sort-merge join
+sneaking into a broadcast cascade — fails CI instead of waiting for the
+per-round audit."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# (query, pattern, must_be_present, why-it-matters-at-100TB)
+CASES = [
+    ("pricing_summary", r"PushedFilters: \[.*GreaterThanOrEqual\(l_discount",
+     True, "range predicate reaches the parquet scan"),
+    ("pricing_summary", r"ReadSchema:[^\n]*l_comment", False,
+     "unused wide column is not read"),
+    ("ann_int8_topk", r"\bExchange\b", False,
+     "int8 probe is shuffle-free"),
+    ("ann_int8_topk", r"TakeOrderedAndProject", True,
+     "top-k is heaps, not a global sort"),
+    ("fk_remap_dense", r"hashpartitioning\(event_id", False,
+     "fact never shuffles for the remap"),
+    ("bm25_topk", r"SortMergeJoin", False,
+     "retrieval joins stay broadcast/hash"),
+    ("curation_pipeline", r"SortMergeJoin", False,
+     "stage barriers keep the cascade broadcast-only"),
+    ("curation_pipeline", r"Scan ExistingRDD", True,
+     "survivor-id checkpoints exist between stages"),
+]
+
+
+def _plan(spark, name: str) -> str:
+    from pharmacodi_spark.plans import QUERIES
+
+    df = QUERIES[name][0](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name,pat,want,why", CASES,
+                         ids=[f"{n}:{w}" for n, _, _, w in CASES])
+def test_plan_property(spark, name, pat, want, why):
+    plan = _plan(spark, name)
+    hit = re.search(pat, plan) is not None
+    assert hit == want, (
+        f"{name}: expected `{pat}` {'present' if want else 'absent'} ({why})"
+    )
