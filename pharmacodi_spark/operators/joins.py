@@ -113,3 +113,40 @@ def salted_join(
     )
     out = l.join(r, on=keys + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def auto_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    target_rows_per_task: int = 1_000_000,
+    max_salts: int = 64,
+    top_k: int = 10,
+) -> DataFrame:
+    """Diagnose-then-act skew join: profile the left side's key with
+    :func:`pharmacodi_spark.operators.profile.skew_profile`, and pick the
+    physical strategy from the measurement —
+
+    - every heavy hitter fits one task (``salt_factor == 1``) → plain
+      equi-join, zero overhead;
+    - otherwise → :func:`salted_join` with ``salts`` = the profiled
+      maximum salt factor (capped at ``max_salts`` — beyond that the
+      right-side replication cost dominates and the caller should
+      restructure instead).
+
+    The profile collects at most ``top_k`` rows (bounded driver traffic:
+    the decision needs only the HEAVIEST keys — if the worst key fits a
+    task, so does every other). Result rows are identical to the plain
+    join for every strategy (salting only re-buckets the shuffle); the
+    oracle-gated ``auto_salted_join_equiv`` certifies that.
+    """
+    from pharmacodi_spark.operators.profile import skew_profile
+
+    prof = skew_profile(
+        left, on, top_k=top_k, target_rows_per_task=target_rows_per_task
+    ).collect()
+    worst = max((r["salt_factor"] for r in prof), default=1)
+    if worst <= 1:
+        return left.join(right, on, how)
+    return salted_join(left, right, on, salts=min(worst, max_salts), how=how)

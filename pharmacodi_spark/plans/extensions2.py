@@ -3623,3 +3623,29 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.select("doc_id", "source"), "source",
         budget_frac=0.5, alpha=0.5, key_cols=["doc_id"], salt="cur",
     )
+
+
+@q(
+    "auto_salted_join_equiv",
+    """
+    SELECT l_orderkey, l_suppkey, s_name
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def auto_salted_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnose-then-act skew join under the oracle gate (operators/
+    joins.py::auto_salted_join): the left key is profiled (bounded top-k
+    collect), and the strategy — plain join vs salted with the measured
+    salt factor — is picked from the measurement.  The tiny
+    target_rows_per_task forces the salted path here, so the gate
+    certifies the non-trivial branch: salting is an execution-topology
+    detail invisible in the result rows."""
+    from pharmacodi_spark.operators.joins import auto_salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return auto_salted_join(
+        li, supp, on="l_suppkey", target_rows_per_task=50
+    ).select("l_orderkey", "l_suppkey", "s_name")
