@@ -162,6 +162,33 @@ def test_stateful_running_totals_matches_batch(spark, event_dir):
     assert s == b and len(s) > 0
 
 
+
+def _drain_then_stop(spark, q, expected_rows: int, timeout: int = 240):
+    """availableNow + ProcessingTimeTimeout state keeps scheduling empty
+    timer micro-batches after the file data is drained, so awaitTermination
+    can spin for minutes (and a silent timeout leaks a running query — the
+    historical flake in this module). Data batches always run first: wait
+    until the query has ingested every fixture row, let one trailing batch
+    land, then stop explicitly and require clean termination."""
+    import time as _time
+
+    deadline = _time.time() + timeout
+    while _time.time() < deadline:
+        done = sum(p["numInputRows"] for p in q.recentProgress)
+        if not q.isActive or done >= expected_rows:
+            break
+        _time.sleep(0.5)
+    else:
+        raise AssertionError(
+            f"stream ingested only "
+            f"{sum(p['numInputRows'] for p in q.recentProgress)} of "
+            f"{expected_rows} rows in {timeout}s"
+        )
+    if q.isActive:
+        q.stop()
+    assert q.awaitTermination(60), "stream did not stop in 60s"
+
+
 def test_stateful_ttl_counters_matches_batch(spark, event_dir, tmp_path):
     """ProcessingTimeTimeout stateful op: with a TTL far beyond the run's
     wall-clock nothing evicts, so the final emission per user must equal the
@@ -180,7 +207,8 @@ def test_stateful_ttl_counters_matches_batch(spark, event_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in 300s"
+    n_fixture = _batch_events(spark, event_dir).count()
+    _drain_then_stop(spark, q, expected_rows=n_fixture)
     out = spark.sql(
         """
         SELECT user_id, max(n_events) AS n_events,
@@ -214,23 +242,36 @@ def test_stateful_ttl_counters_matches_batch(spark, event_dir, tmp_path):
         2: [(1, "2024-01-01T02:00:00.000000"), (1, "2024-01-01T02:01:00.000000"),
             (2, "2024-01-01T02:02:00.000000")],
     }
+    import time as _time
+
+    base_mtime = _time.time() - 100
     for i, rows in files.items():
-        with open(f"{ttl_dir}/part-{i}.json", "w") as f:
+        fp = f"{ttl_dir}/part-{i}.json"
+        with open(fp, "w") as f:
             for j, (uid, ts) in enumerate(rows):
                 f.write(_json.dumps({
                     "event_id": i * 10 + j, "ts": ts, "user_id": uid,
                     "event_type": "click", "value": 1.0, "props": "{}",
                 }) + "\n")
+        # the file source picks files by LAST-MODIFIED order; the three
+        # parts are written within the same mtime tick, so without this
+        # the "idle middle batch" can be consumed first and no eviction
+        # ever happens (the historical 4==2 flake)
+        os.utime(fp, (base_mtime + i * 10, base_mtime + i * 10))
     stream0 = read_event_stream(spark, ttl_dir, max_files_per_trigger=1)
+    # a 2s processing-time trigger guarantees wall-clock passes between
+    # micro-batches, so the 0-TTL timer set after batch 0 reliably fires
+    # while user 1 is idle in batch 1 (availableNow can run batches
+    # back-to-back within the same millisecond and skip the eviction)
     q2 = (
         counters_with_ttl(stream0, ttl_secs=0)
         .writeStream.format("memory")
         .queryName("ttl0_t")
         .outputMode("update")
-        .trigger(availableNow=True)
+        .trigger(processingTime="2 seconds")
         .start()
     )
-    assert q2.awaitTermination(300), "stream did not finish in 300s"
+    _drain_then_stop(spark, q2, expected_rows=7)
     out0 = spark.sql("SELECT user_id, max(n_events) AS n FROM ttl0_t GROUP BY user_id")
     s0 = {r.user_id: r.n for r in out0.collect()}
     assert s0[1] == 2  # evicted while idle in batch 1, restarted in batch 2
