@@ -199,14 +199,31 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
     failed = sorted(n for n, t in timings.items() if t < 0)
     # second-scale-factor evidence (VERDICT r4 item 3): tools/make_sf1.py
     # builds a 10x sf0.1-shaped dataset; an isolated-mode run against it is
-    # checked in as BENCH_SF1.json and attached here so every BENCH_r{N}
-    # carries the sf0.1→sf1 ratios alongside the per-round sf0.1 numbers.
+    # checked in as BENCH_SF1.json. Attach it BY SUMMARY + PATH only — r5's
+    # lesson (VERDICT r5 item 1): inlining the whole sf1 object pushed the
+    # headline line past the driver's tail-capture window, so BENCH_r05.json
+    # recorded parsed:null. The line must stay compact and self-contained
+    # (tests/test_bench_emit.py holds it under a 4 KB budget).
     sf1 = None
     sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
     if os.path.exists(sf1_path):
         try:
             with open(sf1_path) as fh:
-                sf1 = json.load(fh)
+                blob = json.load(fh)
+            ratios = sorted(
+                v for v in (blob.get("ratio_vs_sf0.1") or {}).values()
+                if isinstance(v, (int, float))
+            )
+            sf1 = {
+                "total_sec": blob.get("total_sec"),
+                "sf01_same_day_total_sec": blob.get("sf01_same_day_total_sec"),
+                "ratio_median": (
+                    round(ratios[len(ratios) // 2], 2) if ratios else None
+                ),
+                "n_queries": len(blob.get("queries", {}) or {}),
+                "date": blob.get("date"),
+                "file": "BENCH_SF1.json",
+            }
         except (OSError, json.JSONDecodeError):
             sf1 = None
     print(

@@ -81,6 +81,13 @@ def clamp(df: DataFrame, col: str, upper: float | None = None, lower: float | No
     return df.withColumn(col, c)
 
 
+# Join modes where salting the left key + replicating the right side keeps
+# the result row-identical to the plain join. right/full outer do NOT: each
+# unmatched right row would surface once per salt replica.
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                  "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -104,7 +111,19 @@ def salted_join(
 
     ``F.rand`` is seeded per-partition deterministically here (seed=42) so
     results are reproducible run-to-run.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported: the
+    right side is replicated once per salt, so ``right``/``full`` outer
+    joins would emit each unmatched right row ``salts`` times — different
+    rows from the plain join. Those modes raise instead of silently
+    diverging.
     """
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join supports how in {sorted(_SALT_SAFE_HOW)}; got "
+            f"{how!r} (right/full outer would duplicate unmatched right "
+            "rows once per salt replica)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = (F.rand(seed=42) * salts).cast("int")
     l = left.withColumn("__salt", salt)
@@ -137,11 +156,21 @@ def auto_salted_join(
 
     The profile collects at most ``top_k`` rows (bounded driver traffic:
     the decision needs only the HEAVIEST keys — if the worst key fits a
-    task, so does every other). Result rows are identical to the plain
-    join for every strategy (salting only re-buckets the shuffle); the
-    oracle-gated ``auto_salted_join_equiv`` certifies that.
+    task, so does every other). For the supported modes (inner / left /
+    left_semi / left_anti) result rows are identical to the plain join —
+    salting only re-buckets the shuffle; the oracle-gated
+    ``auto_salted_join_equiv`` certifies that. ``right``/``full`` outer are
+    rejected up front (see :func:`salted_join`) — rejected *before* the
+    profile runs, so the error does not depend on the data.
     """
     from pharmacodi_spark.operators.profile import skew_profile
+
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"auto_salted_join supports how in {sorted(_SALT_SAFE_HOW)}; "
+            f"got {how!r} — right/full outer joins cannot be salted without "
+            "duplicating unmatched right rows; use a plain join"
+        )
 
     prof = skew_profile(
         left, on, top_k=top_k, target_rows_per_task=target_rows_per_task

@@ -83,7 +83,12 @@ def skew_profile(
     partition; top-k is TakeOrderedAndProject; the table total rides as
     a broadcast 1-row aggregate.
     """
-    assert top_k >= 1 and target_rows_per_task >= 1
+    # Coerce to int BEFORE interpolating into the `div` expression: a float
+    # like 100.5 passes a bare `>= 1` check but renders as a decimal literal,
+    # turning integer `div` into something else entirely.
+    assert top_k >= 1
+    assert target_rows_per_task == int(target_rows_per_task) >= 1
+    target_rows_per_task = int(target_rows_per_task)
     counts = df.groupBy(F.col(key_col)).agg(F.count("*").alias("n_rows"))
     total = df.agg(F.count("*").alias("n_total"))
     return (

@@ -132,7 +132,7 @@ def shuffle_shards(
     start (the writer's split-oversize concern, same straddle semantics
     as :func:`pack_sequences`).
     """
-    assert shard_bytes >= 1
+    assert shard_bytes == int(shard_bytes) and shard_bytes >= 1
     keyed = df.select(
         F.col(id_col),
         F.col(size_col),
@@ -149,5 +149,9 @@ def shuffle_shards(
         F.col("shuffle_key"),
         F.col(size_col).cast("long").alias("n_bytes"),
         F.col("token_start").alias("byte_start"),
-        F.floor(F.col("token_start") / shard_bytes).cast("long").alias("shard_id"),
+        # Integer `div`, not floor(double /): at ~1e14 byte offsets a
+        # double quotient within 1 ulp of an integer can floor into the
+        # wrong shard for non-power-of-two budgets; div matches the
+        # oracle's integer `//` exactly at any magnitude.
+        F.expr(f"token_start div {int(shard_bytes)}").cast("long").alias("shard_id"),
     )

@@ -50,3 +50,21 @@ def test_salt_capped_at_max(spark):
         fact, dim, on="k", target_rows_per_task=1, max_salts=8
     )
     assert _rows(out) == _rows(fact.join(dim, "k"))
+
+
+def test_outer_join_modes_rejected(spark):
+    """right/full outer would emit unmatched right rows once per salt
+    replica — both entry points refuse them up front (ADVICE r5)."""
+    import pytest
+
+    from pharmacodi_spark.operators.joins import auto_salted_join, salted_join
+
+    left = spark.range(10).withColumnRenamed("id", "k")
+    right = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="outer"):
+            salted_join(left, right, "k", salts=4, how=how)
+        with pytest.raises(ValueError, match="outer"):
+            auto_salted_join(left, right, "k", how=how)
+    # supported modes still work
+    assert salted_join(left, right, "k", salts=4, how="left_anti").count() == 5

@@ -1,8 +1,14 @@
 """Always-on plan-regression guards: a fast subset of tools/explain_audit's
-assertions runs in every pytest invocation (sf0.001, explain-only), so a
-plan regression — a lost pushdown, a surprise shuffle, a sort-merge join
-sneaking into a broadcast cascade — fails CI instead of waiting for the
-per-round audit."""
+assertions runs in every pytest invocation (sf0.001), so a plan regression —
+a lost pushdown, a surprise shuffle, a sort-merge join sneaking into a
+broadcast cascade — fails CI instead of waiting for the per-round audit.
+
+Cost note: most cases are explain-only (no jobs run), but building
+``curation_pipeline``'s DataFrame *executes* its survivor-id stage barriers
+(three ~metadata-size localCheckpoint jobs) before explain — that is the very
+property the ``Scan ExistingRDD`` case asserts, so the cost is accepted and
+bounded by running at sf0.001 and caching each query's plan text once per
+session (both curation cases share one build)."""
 
 from __future__ import annotations
 
@@ -35,14 +41,19 @@ CASES = [
 ]
 
 
-def _plan(spark, name: str) -> str:
-    from pharmacodi_spark.plans import QUERIES
+_PLAN_CACHE: dict[str, str] = {}
 
-    df = QUERIES[name][0](spark, SF)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+
+def _plan(spark, name: str) -> str:
+    if name not in _PLAN_CACHE:
+        from pharmacodi_spark.plans import QUERIES
+
+        df = QUERIES[name][0](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        _PLAN_CACHE[name] = buf.getvalue()
+    return _PLAN_CACHE[name]
 
 
 @pytest.mark.parametrize("name,pat,want,why", CASES,
