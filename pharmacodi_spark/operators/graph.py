@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.barrier import stage_barrier
+
 
 def pagerank_int(
     edges: DataFrame,
@@ -35,6 +37,8 @@ def pagerank_int(
     dangling: str = "ignore",
     tol: int | None = None,
     info: dict | None = None,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list. Returns (v, r) with r
     the scaled-integer rank after ``iterations`` steps:
@@ -77,7 +81,10 @@ def pagerank_int(
     # (materialized, partitioned by src) so each iteration is a single
     # edges⋈ranks join instead of two; the join key partitioning carries
     # straight into the contribution shuffle
-    e_deg = e.join(outdeg, "src").localCheckpoint()
+    e_deg = stage_barrier(
+        e.join(outdeg, "src"),
+        mode=barrier, name="pagerank-edges", barrier_dir=barrier_dir,
+    )
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("long"))
     converged = False
     iters_run = iterations
@@ -123,7 +130,10 @@ def pagerank_int(
             )
         at_check = (i + 1) % checkpoint_every == 0
         if at_check and (tol is not None or (i + 1) < iterations):
-            ranks = ranks.localCheckpoint()
+            ranks = stage_barrier(
+                ranks, mode=barrier, name=f"pagerank-iter{i + 1}",
+                barrier_dir=barrier_dir,
+            )
         if tol is not None and at_check:
             delta = (
                 ranks.alias("nw")
@@ -147,6 +157,8 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 4,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation over the
     undirected closure of ``edges``: every node starts labeled with its own
@@ -183,5 +195,8 @@ def label_propagation(
             "v", F.coalesce("new_label", F.col("v")).alias("label")
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            labels = labels.localCheckpoint()
+            labels = stage_barrier(
+                labels, mode=barrier, name=f"lpa-iter{i + 1}",
+                barrier_dir=barrier_dir,
+            )
     return labels

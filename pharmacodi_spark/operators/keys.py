@@ -19,6 +19,8 @@ def surrogate_key(
     order_by: list[str],
     id_col: str = "id",
     dense_global: bool = False,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
 ) -> DataFrame:
     """Assign a deterministic dense ``id = 1..n`` ranked by ``order_by``.
 
@@ -43,20 +45,24 @@ def surrogate_key(
         w = Window.orderBy(*[F.asc_nulls_last(c) for c in order_by])
         return df.withColumn(id_col, F.row_number().over(w))
 
+    from pharmacodi_spark.barrier import stage_barrier
+
     cols = [F.asc_nulls_last(c) for c in order_by]
     n = df.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint is REQUIRED for correctness, not an optimization: the
+    # The barrier is REQUIRED for correctness, not an optimization: the
     # tagged frame is consumed twice (offset counts + final join), and
     # repartitionByRange samples its boundaries per physical evaluation —
     # if the exchange is not reused (e.g. under a composed plan AQE
     # re-plans), two evaluations see different boundaries and the
     # mid-derived ids collide. Freezing one materialized instance makes the
-    # (partition, ordinal) assignment single-valued.
-    tagged = (
+    # (partition, ordinal) assignment single-valued. ``barrier="durable"``
+    # (pharmacodi_spark.barrier) makes the pin survive executor loss on
+    # preemptible clusters.
+    tagged = stage_barrier(
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
-        .select("*", F.monotonically_increasing_id().alias("__mid"))
-        .localCheckpoint()
+        .select("*", F.monotonically_increasing_id().alias("__mid")),
+        mode=barrier, name="surrogate-key-tagged", barrier_dir=barrier_dir,
     )
     pid = F.shiftrightunsigned("__mid", 33)
     counts = tagged.groupBy(pid.alias("__pid")).agg(F.count("*").alias("__cnt"))

@@ -3566,7 +3566,12 @@ def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) % 10000 < rate * 10000
     """,
 )
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
+) -> DataFrame:
     """End-to-end corpus curation — the LLM-data sibling of
     combine_pipeline: Gopher repetition gate ∧ unigram-surprisal gate →
     13-gram benchmark decontamination (doc_id%97==0 as the eval slice) →
@@ -3577,19 +3582,25 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage boundary discipline (the thing that makes a multi-stage cascade
     survive 100 TB): each stage's SURVIVOR ID SET — metadata-scale, ids
-    only — is localCheckpoint-ed, and the next stage joins a FRESH pruned
-    corpus scan against it.  Composing the DataFrames lazily instead
+    only — is pinned with a stage barrier (``barrier='local'`` →
+    localCheckpoint; ``barrier='durable'`` → scratch parquet that survives
+    executor loss, see pharmacodi_spark.barrier), and the next stage joins
+    a FRESH pruned corpus scan against it.  Composing the DataFrames lazily instead
     re-expands every upstream stage at every downstream reference: the
     naive composition of this exact cascade compiled to 116 documents
     scans and 44 sort-merge joins (combinatorial subtree replication);
     with the id-set barriers it is ~12 scans, each stage's shuffle keys
     (id) / (id, gram) / (hash) only, and bodies never shuffle."""
+    from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.operators.sampling import temperature_mixture_sample
     from pharmacodi_spark.text.analysis import repetition_metrics
     from pharmacodi_spark.text.cleaning import decontaminate_against
     from pharmacodi_spark.text.corpus import unigram_surprisal
     from pharmacodi_spark.text.dedup import exact_dedup, passage_dedup_stats
 
+    _b = lambda df, name: stage_barrier(
+        df, mode=barrier, name=name, barrier_dir=barrier_dir
+    )
     d = _t(spark, sf_dir, "documents")
     gop = repetition_metrics(d).where("keep").select("doc_id")
     sur = (
@@ -3597,25 +3608,24 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(100 * F.col("sum_bits") <= 2405 * F.col("n_words"))
         .select("doc_id")
     )
-    s1 = (
-        gop.join(sur, "doc_id")
-        .where(F.col("doc_id") % 97 != 0)
-        .localCheckpoint()
+    s1 = _b(
+        gop.join(sur, "doc_id").where(F.col("doc_id") % 97 != 0),
+        "curation-s1-quality",
     )
     q1 = d.join(s1, "doc_id")
     ev = d.where(F.col("doc_id") % 97 == 0)
-    s2 = (
+    s2 = _b(
         decontaminate_against(q1, ev, n=13)
         .where(~F.col("contaminated"))
-        .select("doc_id")
-        .localCheckpoint()
+        .select("doc_id"),
+        "curation-s2-decontam",
     )
     q2 = d.join(s2, "doc_id")
-    s3 = (
+    s3 = _b(
         passage_dedup_stats(q2, window=16)
         .where("keep")
-        .select("doc_id")
-        .localCheckpoint()
+        .select("doc_id"),
+        "curation-s3-passage",
     )
     q3 = d.join(s3, "doc_id")
     ex = exact_dedup(q3)

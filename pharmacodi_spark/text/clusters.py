@@ -23,27 +23,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.barrier import stage_barrier
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component is
     the min node id reachable — deterministic, engine-independent labels.
 
     Raises if not converged after ``max_iter`` rounds (a pathological
     diameter; near-dup graphs converge in <10)."""
+    _b = lambda df, name: stage_barrier(
+        df, mode=barrier, name=name, barrier_dir=barrier_dir
+    )
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint()
+    sym = _b(sym.distinct(), "cc-edges")
 
-    labels = (
+    labels = _b(
         sym.select(F.col("u").alias("node"))
         .distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint()
+        .withColumn("lab", F.col("node")),
+        "cc-labels0",
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -62,8 +69,8 @@ def connected_components(
                 new_lab.alias("lab"),
                 (new_lab != F.col("lab")).alias("ch"),
             )
-            .localCheckpoint()
         )
+        new_labels = _b(new_labels, "cc-iter")
         changed = new_labels.agg(F.sum(F.col("ch").cast("int"))).first()[0]
         labels = new_labels.drop("ch")
         if not changed:

@@ -25,6 +25,8 @@ def token_offsets(
     count_col: str = "n_tokens",
     id_col: str = "doc_id",
     order_cols: list[str] | None = None,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
 ) -> DataFrame:
     """Add ``token_start`` — the exclusive prefix sum of ``count_col`` in
     ``order_cols`` order (default: ``id_col``) — without a global
@@ -32,17 +34,21 @@ def token_offsets(
     must be a total order (callers append ``id_col`` as a tie-break when
     ordering by a derived key).
 
-    localCheckpoint mirrors surrogate_key's correctness note: the tagged
+    The stage barrier mirrors surrogate_key's correctness note: the tagged
     frame feeds both the per-partition totals and the final assignment;
     repartitionByRange re-samples boundaries per evaluation, so the
-    materialization pins ONE partition assignment."""
+    materialization pins ONE partition assignment. ``barrier="durable"``
+    (pharmacodi_spark.barrier) writes the pin to scratch storage so it
+    survives executor loss on preemptible clusters."""
+    from pharmacodi_spark.barrier import stage_barrier
+
     order_cols = [id_col] if order_cols is None else list(order_cols)
     n = df.sparkSession.sparkContext.defaultParallelism
-    tagged = (
+    tagged = stage_barrier(
         df.repartitionByRange(n, *[F.asc(c) for c in order_cols])
         .sortWithinPartitions(*[F.asc(c) for c in order_cols])
-        .select("*", F.monotonically_increasing_id().alias("__mid"))
-        .localCheckpoint()
+        .select("*", F.monotonically_increasing_id().alias("__mid")),
+        mode=barrier, name="token-offsets-tagged", barrier_dir=barrier_dir,
     )
     pid = F.shiftrightunsigned("__mid", 33)
     totals = tagged.groupBy(pid.alias("__pid")).agg(
@@ -73,6 +79,8 @@ def pack_sequences(
     seq_len: int,
     count_col: str = "n_tokens",
     id_col: str = "doc_id",
+    barrier: str = "local",
+    barrier_dir: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, token_start, first_example, last_example, n_examples):
     which fixed-length training example(s) each document occupies when the
@@ -81,13 +89,18 @@ def pack_sequences(
     ``n_examples > 1``. Empty documents occupy zero examples
     (first == last == the example their offset falls in, n_examples = 0
     tokens contributed — flagged via n_tokens)."""
-    assert seq_len >= 1
-    out = token_offsets(df, count_col, id_col)
+    assert seq_len == int(seq_len) and seq_len >= 1
+    seq_len = int(seq_len)
+    out = token_offsets(
+        df, count_col, id_col, barrier=barrier, barrier_dir=barrier_dir
+    )
     start = F.col("token_start")
     cnt = F.col(count_col)
-    first = F.floor(start / seq_len).cast("long")
-    last = F.floor(
-        (start + F.greatest(cnt, F.lit(1)) - 1) / seq_len
+    # Integer `div` everywhere (same ~1e14-offset ulp hazard as
+    # shuffle_shards): floor(double /) can land one example off.
+    first = F.expr(f"token_start div {seq_len}").cast("long")
+    last = F.expr(
+        f"(token_start + greatest({count_col}, 1) - 1) div {seq_len}"
     ).cast("long")
     return out.select(
         id_col,
@@ -111,6 +124,8 @@ def shuffle_shards(
     size_col: str = "n_chars",
     id_col: str = "doc_id",
     salt: str = "shuf",
+    barrier: str = "local",
+    barrier_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic global training shuffle + byte-budget shard layout.
 
@@ -143,6 +158,7 @@ def shuffle_shards(
     out = token_offsets(
         keyed, count_col=size_col, id_col=id_col,
         order_cols=["shuffle_key", id_col],
+        barrier=barrier, barrier_dir=barrier_dir,
     )
     return out.select(
         F.col(id_col),
