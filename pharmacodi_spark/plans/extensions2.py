@@ -3354,6 +3354,67 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ann_int8_l2_topk",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id,
+             CASE WHEN nrm = 0
+                  THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+             END AS e
+      FROM n
+    ),
+    m AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma
+      FROM nv
+    ),
+    un AS (
+      SELECT vec_id, ma, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+      FROM m
+    ),
+    qv AS (
+      SELECT vec_id, ma, pos,
+             CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(v * 127 / ma + 0.5) AS BIGINT) END AS q
+      FROM un
+    ),
+    dots AS (
+      SELECT vec_id, any_value(ma) AS ma,
+             CAST(sum(q * (((pos * 7) % 13) - 6)) AS BIGINT) AS qdot
+      FROM qv GROUP BY 1
+    )
+    SELECT vec_id, CAST(qdot AS DOUBLE) * ma AS score
+    FROM dots ORDER BY score DESC, vec_id LIMIT 20
+    """,
+)
+def ann_int8_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-exact variant of the int8 probe (VERDICT r5 item 3;
+    text/similarity.py::int8_weighted_topk with ``l2_normalize=True``):
+    vectors are divided by their l2 norm BEFORE max-abs coding — the codes
+    are mathematically unchanged (the norm cancels in x·127/max|x|) but
+    ``q_scale`` becomes the unit vector's max-abs, so the de-scaled score
+    ``qdot·q_scale`` ranks by cosine up to 8-bit rounding instead of by
+    dot/max_abs.  Exactness: sum-of-squares is a left fold (same order in
+    Spark's F.aggregate and DuckDB's list_reduce), sqrt / divide / multiply
+    are correctly-rounded IEEE ops, and the dot stays all-integer — so the
+    double scores are bit-identical across engines.  The plan shape is the
+    same zero-Exchange scan + TakeOrderedAndProject as ann_int8_topk."""
+    from pharmacodi_spark.text.similarity import int8_weighted_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    weights = [((p * 7) % 13) - 6 for p in range(1, 65)]
+    return int8_weighted_topk(e, weights, k=20, l2_normalize=True)
+
+
+@q(
     "training_shuffle_shards",
     """
     WITH k AS (

@@ -435,13 +435,23 @@ def int8_quantize(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "q8",
+    l2_normalize: bool = False,
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization: ``q_i = floor(x_i·127/m +
     0.5)`` with ``m = max_i |x_i|`` (zero vectors quantize to zeros).
 
     The arithmetic is float32→double promotion (exact) followed by one
     multiply, one divide, one add, one floor — all correctly-rounded IEEE
-    ops, so Spark and DuckDB produce bit-identical codes (no libm).
+    ops, so Spark and DuckDB produce bit-identical codes (no libm; the
+    l2 path adds sum-of-squares — a left fold, same order both engines —
+    and one sqrt, also correctly rounded).
+
+    ``l2_normalize=True`` divides by the vector's l2 norm BEFORE max-abs
+    coding. The codes are mathematically unchanged (the norm cancels
+    inside ``x·127/m``), but ``q_scale`` becomes the max-abs of the UNIT
+    vector — so a de-scaled dot ``qdot·q_scale`` ranks by cosine, not by
+    raw dot divided by an arbitrary per-vector max (the recall gap
+    RECALL.md attributes to max-abs normalization).
 
     Scale story: codes are dim×1 B vs dim×4 B floats (4× less shuffle /
     cache traffic for candidate scoring), and downstream dot products
@@ -450,6 +460,18 @@ def int8_quantize(
     to de-quantize scores: ``dot ≈ qdot·(m_a/127)·(m_b/127)``.
     """
     vec = F.col(vec_col)
+    if l2_normalize:
+        n2 = F.aggregate(
+            vec,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+        norm = F.sqrt(n2)
+        vec = F.when(norm == 0.0, F.col(vec_col)).otherwise(
+            F.transform(F.col(vec_col), lambda v: v.cast("double") / norm)
+        )
+        df = df.withColumn("__nvec", vec)
+        vec = F.col("__nvec")
     m = F.aggregate(
         vec, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
     )
@@ -465,7 +487,8 @@ def int8_quantize(
             ).cast("long"),
         )
     )
-    return df.withColumn(out_col, q)
+    out = df.withColumn(out_col, q)
+    return out.drop("__nvec") if l2_normalize else out
 
 
 def int8_weighted_topk(
@@ -474,22 +497,40 @@ def int8_weighted_topk(
     k: int = 20,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    l2_normalize: bool = False,
 ) -> DataFrame:
     """Top-``k`` vectors by integer dot of int8-quantized embeddings
     against an integer query vector — the quantized-index probe path.
+
+    Default ranking is the raw integer ``qdot`` — per-vector max-abs codes,
+    so the implicit score is ``dot/max_abs``: cheap, all-integer, but the
+    per-vector divisor depresses recall vs true cosine (RECALL.md).
+    ``l2_normalize=True`` quantizes against the unit vector and ranks by
+    the de-scaled ``score = qdot·q_scale`` (one double multiply —
+    correctly rounded, so still bit-identical across engines), which is
+    proportional to cosine up to 8-bit rounding: near-exact recall at the
+    same 4×-smaller scan.
 
     The whole probe is narrow: quantize + dot are per-row ``transform`` /
     ``aggregate`` higher-order functions (no explode, no shuffle), and the
     top-k compiles to TakeOrderedAndProject.  At 100 TB this scans the
     (4× smaller, partition-pruned) code column and touches no exchange.
     """
-    q8 = int8_quantize(df, vec_col=vec_col, id_col=id_col)
+    q8 = int8_quantize(
+        df, vec_col=vec_col, id_col=id_col, l2_normalize=l2_normalize
+    )
     w = F.array(*[F.lit(int(x)).cast("long") for x in weights])
     qdot = F.aggregate(
         F.zip_with(F.col("q8"), w, lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    if l2_normalize:
+        scored = q8.select(
+            F.col(id_col),
+            (qdot.cast("double") * F.col("q_scale")).alias("score"),
+        )
+        return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     return (
         q8.select(F.col(id_col), qdot.alias("qdot"))
         .orderBy(F.col("qdot").desc(), F.col(id_col))

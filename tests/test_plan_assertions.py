@@ -28,6 +28,10 @@ CASES = [
      "unused wide column is not read"),
     ("ann_int8_topk", r"\bExchange\b", False,
      "int8 probe is shuffle-free"),
+    ("ann_int8_l2_topk", r"\bExchange\b", False,
+     "l2-normalized int8 probe is equally shuffle-free"),
+    ("ann_int8_l2_topk", r"TakeOrderedAndProject", True,
+     "de-scaled score top-k is heaps, not a global sort"),
     ("ann_int8_topk", r"TakeOrderedAndProject", True,
      "top-k is heaps, not a global sort"),
     ("fk_remap_dense", r"hashpartitioning\(event_id", False,

@@ -100,6 +100,14 @@ def main() -> None:
         "int8_dot": lambda qv: int8_weighted_topk(
             emb, _quantize_query(qv), K, vec_col="embedding"
         ),
+        # int8 + l2 normalization (VERDICT r5 item 3): same codes, but
+        # q_scale is the unit vector's max-abs so the de-scaled score
+        # qdot*q_scale ranks by cosine up to 8-bit rounding (query-side
+        # normalization is a constant factor — ranking-invariant)
+        "int8_l2": lambda qv: int8_weighted_topk(
+            emb, _quantize_query(qv), K, vec_col="embedding",
+            l2_normalize=True
+        ),
     }
     rows = []
     for name, fn in methods.items():
@@ -133,6 +141,8 @@ def main() -> None:
         "pq_adc_rerank": f"PQ top-{10 * K} candidates → exact cosine re-rank",
         "int8_dot": "8-bit max-abs codes both sides, exact integer dot "
         "(full scan, 4× less data than float32)",
+        "int8_l2": "l2-normalize before coding + de-scaled score "
+        "(qdot·q_scale ∝ cosine) — same scan, near-exact ranking",
     }
     for name, rec, dt in rows:
         lines.append(
@@ -150,11 +160,12 @@ def main() -> None:
         "On real embedding corpora (which cluster), the same knobs sit far",
         "higher on the recall/cost curve. Exact brute force is the",
         "recall=1.00 / full-scan reference point.",
-        "The int8_dot row is both the cheapest probe and the highest recall:",
-        "its loss vs ground truth is dominated by the max-abs (vs l2)",
-        "normalization, not the 8-bit codes — with l2-normalized inputs it",
-        "ranks nearly exactly while scanning 4× less data, which is why",
-        "quantize-then-rerank is the default first stage at corpus scale.",
+        "The int8 rows isolate the two quantization error sources: int8_dot",
+        "ranks by dot/max_abs (per-vector divisor — the recall loss), while",
+        "int8_l2 l2-normalizes before coding and de-scales the integer dot",
+        "(score = qdot·q_scale ∝ cosine), leaving only 8-bit rounding error —",
+        "near-exact recall on the SAME 4×-smaller scan, which is why",
+        "l2-quantize-then-rerank is the default first stage at corpus scale.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
