@@ -98,6 +98,11 @@ HEADLINE = HEADLINE_R1 + [
     "training_shuffle_shards",
     "passage_dedup",
     "curation_pipeline",
+    # round-6 additions: near-exact l2 int8 probe, curation audit funnel,
+    # and the diagnose-then-act skew join (profile + strategy pick)
+    "ann_int8_l2_topk",
+    "curation_funnel",
+    "auto_salted_join_equiv",
 ]
 
 

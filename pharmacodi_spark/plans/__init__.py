@@ -79,8 +79,18 @@ _DRIVER_WINDOW = [
     # hash-index anti-join path runs INSIDE the in-window ingest_pipeline
     # E2E; the freed slot goes to curation_pipeline, the five-stage
     # quality→decontam→passage-dedup→exact-dedup→mixture cascade)
-    "exact_dedup", "minhash_band_pairs", "ann_dot_topk",
-    "multimodal_features", "window_tumbling", "fuzzy_dedup_pipeline",
+    # (r6 rotation, VERDICT r5 item 6: four double-covered slots freed —
+    #  - exact_dedup out: the min-id-per-hash keeper runs INSIDE two
+    #    in-window E2Es (curation_pipeline stage 4, ingest_pipeline step 1);
+    #  - minhash_band_pairs out: the LSH band-pair expansion is
+    #    ingest_pipeline's within-batch near-dup stage, in-window;
+    #  - fuzzy_dedup_pipeline out: its pairs→CC→keeper cascade is exactly
+    #    ingest_pipeline's dedup gauntlet, and the CC/keeper path also runs
+    #    inside the in-window semantic_dedup_pipeline;
+    #  - ann_dot_topk out: the brute-force dot/cosine path is the re-rank
+    #    stage of the in-window ann_ivf_pq_topk and the baseline inside both
+    #    int8 probes. All four keep oracle rows in driver-sim + pytest.)
+    "multimodal_features", "window_tumbling",
     "ann_ivf_pq_topk", "curation_pipeline", "ingest_pipeline",
     "vocab_token_count", "semantic_dedup_pipeline", "pagerank_dangling",
     "contamination_safe_split",
@@ -89,6 +99,11 @@ _DRIVER_WINDOW = [
     # epoch-shuffle byte-budget sharder, and CCNet-style passage dedup
     "bm25_topk", "ann_int8_topk", "training_shuffle_shards",
     "passage_dedup",
+    # r6: the freed slots earn hard driver-green rows for the
+    # diagnose-then-act skew loop (profile + strategy pick), the
+    # l2-normalized near-exact int8 probe, and the curation audit funnel
+    "skew_diagnose", "auto_salted_join_equiv", "ann_int8_l2_topk",
+    "curation_funnel",
 ]
 
 

@@ -3659,6 +3659,28 @@ def curation_pipeline(
     from pharmacodi_spark.text.corpus import unigram_surprisal
     from pharmacodi_spark.text.dedup import exact_dedup, passage_dedup_stats
 
+    _stages, final = _curation_cascade(spark, sf_dir, barrier, barrier_dir)
+    return final
+
+
+def _curation_cascade(
+    spark: SparkSession,
+    sf_dir: str,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
+) -> tuple[list[tuple[str, DataFrame]], DataFrame]:
+    """The shared five-stage cascade behind ``curation_pipeline`` (final
+    mixture sample) and ``curation_funnel`` (per-stage audit counts).
+    Returns ``([(stage_name, survivor_id_df), ...], final_df)`` — every
+    survivor set is stage-barrier-pinned (metadata-scale), so the funnel's
+    extra aggregates re-read pinned id sets instead of re-running stages."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.operators.sampling import temperature_mixture_sample
+    from pharmacodi_spark.text.analysis import repetition_metrics
+    from pharmacodi_spark.text.cleaning import decontaminate_against
+    from pharmacodi_spark.text.corpus import unigram_surprisal
+    from pharmacodi_spark.text.dedup import exact_dedup, passage_dedup_stats
+
     _b = lambda df, name: stage_barrier(
         df, mode=barrier, name=name, barrier_dir=barrier_dir
     )
@@ -3689,11 +3711,181 @@ def curation_pipeline(
         "curation-s3-passage",
     )
     q3 = d.join(s3, "doc_id")
-    ex = exact_dedup(q3)
-    return temperature_mixture_sample(
-        ex.select("doc_id", "source"), "source",
+    s4 = _b(exact_dedup(q3).select("doc_id"), "curation-s4-exact")
+    q4 = d.join(s4, "doc_id")
+    final = temperature_mixture_sample(
+        q4.select("doc_id", "source"), "source",
         budget_frac=0.5, alpha=0.5, key_cols=["doc_id"], salt="cur",
     )
+    stages = [
+        ("quality", s1),
+        ("decontam", s2),
+        ("passage_dedup", s3),
+        ("exact_dedup", s4),
+        ("mixture", final.select("doc_id")),
+    ]
+    return stages, final
+
+
+@q(
+    "curation_funnel",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM tok),
+    bits AS (
+      SELECT tok.doc_id,
+             length(bin(((SELECT n FROM tot) * 1048576) // c.c)) - 1 AS bits
+      FROM tok JOIN cnt c USING (token)
+    ),
+    sur_keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(*) AS n_words, sum(bits) AS sum_bits
+        FROM bits GROUP BY 1
+      ) WHERE 100 * sum_bits <= 2405 * n_words
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+    topg AS (SELECT doc_id, max(c) AS top_cnt FROM c2 GROUP BY 1),
+    dupg AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                    sum(c) AS n_grams FROM c3 GROUP BY 1),
+    gop_keep AS (
+      SELECT t.doc_id FROM t
+      LEFT JOIN topg USING (doc_id) LEFT JOIN dupg USING (doc_id)
+      WHERE 200 * coalesce(top_cnt, 0) <= 20 * len(toks)
+        AND 100 * coalesce(dup_occ, 0) <= 30 * coalesce(n_grams, 0)
+    ),
+    s1 AS (
+      SELECT d.doc_id FROM documents d
+      JOIN gop_keep USING (doc_id) JOIN sur_keep USING (doc_id)
+      WHERE d.doc_id % 97 <> 0
+    ),
+    g13 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 12),
+               i -> md5(array_to_string(toks[i:i+12], ' ')))) AS gh
+      FROM t WHERE len(toks) >= 13
+    ),
+    eg AS (SELECT DISTINCT gh FROM g13 WHERE doc_id % 97 = 0),
+    contam AS (
+      SELECT DISTINCT doc_id FROM g13
+      WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM eg)
+    ),
+    s2 AS (
+      SELECT doc_id FROM s1
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    ch AS (
+      SELECT t.doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(floor((len(toks) - 1) / 16.0) AS BIGINT)),
+               i -> md5(array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' '))
+             )) AS h
+      FROM t JOIN s2 USING (doc_id) WHERE len(toks) > 0
+    ),
+    hc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+    pd AS (
+      SELECT ch.doc_id, count(*) AS n_passages,
+             sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM ch JOIN hc USING (h) GROUP BY 1
+    ),
+    s3 AS (
+      SELECT s2.doc_id FROM s2 LEFT JOIN pd USING (doc_id)
+      WHERE 2 * coalesce(n_dup, 0) <= coalesce(n_passages, 0)
+    ),
+    s4 AS (
+      SELECT min(d.doc_id) AS doc_id
+      FROM documents d JOIN s3 USING (doc_id)
+      GROUP BY md5(d.text)
+    ),
+    mc AS (
+      SELECT d.source, count(*) AS n
+      FROM documents d JOIN s4 USING (doc_id) GROUP BY 1
+    ),
+    mt AS (SELECT sum(n) AS nn FROM mc),
+    r AS (
+      SELECT source,
+             least(1.0, 0.5 * sqrt(CAST((SELECT nn FROM mt) AS DOUBLE))
+                          / sqrt(CAST(n AS DOUBLE))) AS rate
+      FROM mc
+    ),
+    samp AS (
+      SELECT d.doc_id
+      FROM documents d JOIN s4 USING (doc_id) JOIN r USING (source)
+      WHERE CAST(('0x' || substr(md5('cur' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10000 < rate * 10000
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage_idx, 'quality' AS stage,
+             CAST((SELECT count(*) FROM documents) AS BIGINT) AS rows_in,
+             CAST((SELECT count(*) FROM s1) AS BIGINT) AS rows_kept
+      UNION ALL SELECT 2, 'decontam',
+             CAST((SELECT count(*) FROM s1) AS BIGINT),
+             CAST((SELECT count(*) FROM s2) AS BIGINT)
+      UNION ALL SELECT 3, 'passage_dedup',
+             CAST((SELECT count(*) FROM s2) AS BIGINT),
+             CAST((SELECT count(*) FROM s3) AS BIGINT)
+      UNION ALL SELECT 4, 'exact_dedup',
+             CAST((SELECT count(*) FROM s3) AS BIGINT),
+             CAST((SELECT count(*) FROM s4) AS BIGINT)
+      UNION ALL SELECT 5, 'mixture',
+             CAST((SELECT count(*) FROM s4) AS BIGINT),
+             CAST((SELECT count(*) FROM samp) AS BIGINT)
+    ) ORDER BY stage_idx
+    """,
+)
+def curation_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
+) -> DataFrame:
+    """Per-stage audit table for the curation cascade (VERDICT r5 item 5):
+    ``(stage_idx, stage, rows_in, rows_kept)`` for quality → decontam →
+    passage-dedup → exact-dedup → mixture — the reference's row-count
+    invariants (SURVEY §5, e.g. the combine pipeline's per-table row
+    audits) applied to the LLM curation E2E.  ``rows_kept`` is monotone
+    non-increasing down the funnel and each stage's ``rows_in`` equals the
+    previous stage's ``rows_kept`` (pytest-guarded).
+
+    Cost shape: the cascade runs ONCE (shared ``_curation_cascade`` —
+    every survivor set is stage-barrier-pinned), and the funnel's counts
+    are 1-row aggregates over those pinned metadata-scale id sets, chained
+    by broadcast-size cross joins."""
+    stages, _final = _curation_cascade(spark, sf_dir, barrier, barrier_dir)
+    d = _t(spark, sf_dir, "documents")
+    prev = d.select("doc_id")
+    rows = []
+    for idx, (name, ids) in enumerate(stages, start=1):
+        row = (
+            prev.agg(F.count("*").cast("long").alias("rows_in"))
+            .crossJoin(ids.agg(F.count("*").cast("long").alias("rows_kept")))
+            .select(
+                F.lit(idx).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                "rows_in",
+                "rows_kept",
+            )
+        )
+        rows.append(row)
+        prev = ids
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_idx")
 
 
 @q(

@@ -39,3 +39,23 @@ def test_curation_funnel_invariants(spark):
     # deterministic: a second run returns the identical set
     again = {r["doc_id"] for r in fn(spark, sf).collect()}
     assert again == ids
+
+
+def test_curation_funnel_audit_table(spark):
+    """curation_funnel (VERDICT r5 item 5): five stages, rows_kept monotone
+    non-increasing, each stage's rows_in = previous stage's rows_kept, and
+    the funnel's terminal count equals the pipeline's actual output."""
+    from pharmacodi_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    funnel = QUERIES["curation_funnel"][0](spark, sf).collect()
+    assert [r["stage"] for r in funnel] == [
+        "quality", "decontam", "passage_dedup", "exact_dedup", "mixture"
+    ]
+    for prev, cur in zip(funnel, funnel[1:]):
+        assert cur["rows_in"] == prev["rows_kept"], (prev, cur)
+    for r in funnel:
+        assert r["rows_kept"] <= r["rows_in"], r
+
+    n_final = QUERIES["curation_pipeline"][0](spark, sf).count()
+    assert funnel[-1]["rows_kept"] == n_final

