@@ -103,6 +103,7 @@ HEADLINE = HEADLINE_R1 + [
     "ann_int8_l2_topk",
     "curation_funnel",
     "auto_salted_join_equiv",
+    "incremental_curation",
 ]
 
 

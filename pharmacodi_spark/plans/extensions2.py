@@ -3912,3 +3912,107 @@ def auto_salted_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto_salted_join(
         li, supp, on="l_suppkey", target_rows_per_task=50
     ).select("l_orderkey", "l_suppkey", "s_name")
+
+
+@q(
+    "incremental_curation",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM tok),
+    bits AS (
+      SELECT tok.doc_id,
+             length(bin(((SELECT n FROM tot) * 1048576) // c.c)) - 1 AS bits
+      FROM tok JOIN cnt c USING (token)
+    ),
+    sur_keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(*) AS n_words, sum(bits) AS sum_bits
+        FROM bits GROUP BY 1
+      ) WHERE 100 * sum_bits <= 2405 * n_words
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+    topg AS (SELECT doc_id, max(c) AS top_cnt FROM c2 GROUP BY 1),
+    dupg AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                    sum(c) AS n_grams FROM c3 GROUP BY 1),
+    gop_keep AS (
+      SELECT t.doc_id FROM t
+      LEFT JOIN topg USING (doc_id) LEFT JOIN dupg USING (doc_id)
+      WHERE 200 * coalesce(top_cnt, 0) <= 20 * len(toks)
+        AND 100 * coalesce(dup_occ, 0) <= 30 * coalesce(n_grams, 0)
+    ),
+    g13 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 12),
+               i -> md5(array_to_string(toks[i:i+12], ' ')))) AS gh
+      FROM t WHERE len(toks) >= 13
+    ),
+    eg AS (SELECT DISTINCT gh FROM g13 WHERE doc_id % 97 = 0),
+    contam AS (
+      SELECT DISTINCT doc_id FROM g13
+      WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM eg)
+    ),
+    s2 AS (
+      SELECT d.doc_id FROM documents d
+      JOIN gop_keep USING (doc_id) JOIN sur_keep USING (doc_id)
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    ch AS (
+      SELECT t.doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(floor((len(toks) - 1) / 16.0) AS BIGINT)),
+               i -> md5(array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' '))
+             )) AS h
+      FROM t JOIN s2 USING (doc_id) WHERE len(toks) > 0
+    ),
+    ow AS (SELECT h, min(doc_id) AS owner FROM ch GROUP BY 1),
+    pd AS (
+      SELECT ch.doc_id, count(*) AS n_passages,
+             sum(CASE WHEN ow.owner < ch.doc_id THEN 1 ELSE 0 END) AS n_dup
+      FROM ch JOIN ow USING (h) GROUP BY 1
+    ),
+    s3 AS (
+      SELECT s2.doc_id FROM s2 LEFT JOIN pd USING (doc_id)
+      WHERE 2 * coalesce(n_dup, 0) <= coalesce(n_passages, 0)
+    ),
+    s4 AS (
+      SELECT min(d.doc_id) AS doc_id
+      FROM documents d JOIN s3 USING (doc_id)
+      GROUP BY md5(d.text)
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN s4 USING (doc_id)
+    """,
+)
+def incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-curation BATCH TWIN (pipelines/curation_stream.py::
+    incremental_curation_batch): gates 1-3 exactly as curation_pipeline,
+    then FIRST-OWNER passage dedup (text/dedup.py::
+    passage_first_owner_stats — a passage instance is duplicated iff its
+    hash's minimum-id owner among entrants precedes this doc; the
+    prefix-consistent semantics a micro-batched pass reproduces
+    byte-identically against a persisted owner index), then min-id exact
+    dedup.  The mixture stage is deliberately absent: its rates need the
+    corpus-global final counts (module docstring).  tests/
+    test_curation_stream.py proves availableNow streaming over ascending
+    id ranges ≡ this query."""
+    from pharmacodi_spark.pipelines.curation_stream import (
+        incremental_curation_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return incremental_curation_batch(spark, d).select("doc_id", "source")

@@ -418,3 +418,77 @@ def passage_dedup_stats(
             ).alias("keep"),
         )
     )
+
+
+def passage_first_owner_stats(
+    df: DataFrame,
+    window: int = 16,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    prior_owned: DataFrame | None = None,
+) -> DataFrame:
+    """Prefix-consistent variant of :func:`passage_dedup_stats` — the
+    passage-dedup semantics a STREAMING curation pass can reproduce
+    exactly: each passage hash is OWNED by the smallest ``id_col`` that
+    contains it (plus, optionally, every hash in ``prior_owned`` — a
+    one-column ``h`` frame of hashes claimed by earlier stream batches,
+    which own unconditionally). A passage instance counts as duplicated
+    iff its hash's owner precedes this document; ``keep`` = duplicated
+    instances ≤ half (integer cross-multiplied).
+
+    Unlike the count-distinct variant (where a doc's verdict depends on
+    LATER documents sharing its passages — inherently corpus-global),
+    first-owner verdicts depend only on the id-order prefix, so a
+    micro-batched run over ascending id ranges with a persisted owner
+    index produces byte-identical keeps (pipelines/curation_stream.py;
+    equivalence pytest-proven). Same scale shape: only (id, 32-byte hash)
+    rows shuffle, the owner table is boilerplate-sized.
+    """
+    assert window >= 1
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(float(window))).cast("int"))
+    chunks = F.transform(
+        idx,
+        lambda i: F.md5(F.array_join(F.slice(toks, i * window + 1, window), " ")),
+    )
+    ch = (
+        df.select(F.col(id_col), F.when(n > 0, chunks).alias("chunks"))
+        .where(F.col("chunks").isNotNull())
+        .select(id_col, F.explode("chunks").alias("h"))
+    )
+    owner = ch.groupBy("h").agg(F.min(F.col(id_col)).alias("owner"))
+    if prior_owned is not None:
+        # hashes owned by earlier batches precede every current id
+        owner = (
+            owner.join(prior_owned.select("h").distinct(), "h", "left_anti")
+            .unionByName(
+                prior_owned.select(
+                    "h", F.lit(None).cast(owner.schema["owner"].dataType).alias("owner")
+                ).distinct()
+            )
+        )
+    dup = F.when(
+        F.col("owner").isNull() | (F.col("owner") < F.col(id_col)), 1
+    ).otherwise(0)
+    per = (
+        ch.join(owner, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(dup).alias("n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_passages", F.lit(0)).cast("long").alias("n_passages"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_passages"),
+            (
+                2 * F.coalesce("n_dup", F.lit(0))
+                <= F.coalesce("n_passages", F.lit(0))
+            ).alias("keep"),
+        )
+    )

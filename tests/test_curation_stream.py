@@ -1,0 +1,103 @@
+"""Streaming curation twin (VERDICT r5 item 9): the availableNow stream over
+ascending doc_id ranges must produce a curated table ROW-IDENTICAL to
+incremental_curation_batch over the whole corpus, and micro-batch replay
+must leave the state unchanged."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = "doc_id long, text string, source string"
+
+
+def _write_stream_files(docs_rows, src_dir, n_files=3):
+    """Ascending doc_id ranges, one json file per micro-batch, mtime-ordered
+    (the file source picks up files by mtime)."""
+    os.makedirs(src_dir)
+    rows = sorted(docs_rows, key=lambda r: r["doc_id"])
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        path = os.path.join(src_dir, f"b{i}.json")
+        with open(path, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(
+                    {"doc_id": r["doc_id"], "text": r["text"],
+                     "source": r["source"]}
+                ) + "\n")
+        os.utime(path, (time.time() + i * 10, time.time() + i * 10))
+
+
+def _setup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.pipelines.curation_stream import (
+        prepare_curation_state,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = str(tmp_path / "state")
+    prepare_curation_state(
+        spark, base, docs, docs.where(F.col("doc_id") % 97 == 0)
+    )
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    rows = [r.asDict() for r in train.select("doc_id", "text", "source").collect()]
+    return docs, base, rows
+
+
+def test_stream_equals_batch_twin(spark, tmp_path):
+    from pharmacodi_spark.pipelines.curation_stream import (
+        incremental_curation_batch, streaming_curation,
+    )
+
+    docs, base, rows = _setup(spark, tmp_path)
+    src = str(tmp_path / "incoming")
+    _write_stream_files(rows, src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = streaming_curation(stream, base, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{base}/curated").collect()
+    }
+    want = {
+        (r.doc_id, r.text)
+        for r in incremental_curation_batch(spark, docs)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert got == want and got, f"stream={len(got)} batch={len(want)}"
+
+
+def test_stream_batch_replay_idempotent(spark, tmp_path):
+    from pharmacodi_spark.pipelines.curation_stream import curate_stream_batch
+
+    docs, base, rows = _setup(spark, tmp_path)
+    half = len(rows) // 2
+    b1 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows[:half]], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows[half:]], SCHEMA
+    )
+    curate_stream_batch(spark, base, b1)
+    curate_stream_batch(spark, base, b2)
+
+    def snap():
+        return (
+            sorted(r.doc_id for r in spark.read.parquet(f"{base}/curated").collect()),
+            sorted(r.h for r in spark.read.parquet(f"{base}/passage_owner").collect()),
+            sorted(r.h for r in spark.read.parquet(f"{base}/hash_index").collect()),
+        )
+
+    before = snap()
+    curate_stream_batch(spark, base, b2)  # replayed micro-batch
+    assert snap() == before
