@@ -104,6 +104,7 @@ HEADLINE = HEADLINE_R1 + [
     "curation_funnel",
     "auto_salted_join_equiv",
     "incremental_curation",
+    "substring_dedup_trim",
 ]
 
 

@@ -4016,3 +4016,134 @@ def incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return incremental_curation_batch(spark, d).select("doc_id", "source")
+
+
+@q(
+    "substring_dup_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               i -> {'pos': i,
+                     'h': CAST(('0x' || substr(md5(array_to_string(
+                            toks[i:i+7], ' ')), 1, 15)) AS BIGINT)})) AS s
+      FROM t WHERE len(toks) >= 8
+    ),
+    ww AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM w),
+    dh AS (SELECT h FROM ww GROUP BY h HAVING count(*) >= 2),
+    dw AS (SELECT * FROM ww WHERE h IN (SELECT h FROM dh)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            + 8
+                  THEN 1 ELSE 0 END AS ns
+      FROM dw
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM fl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+    FROM sp GROUP BY doc_id, span_id
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplicate spans (text/dedup.py::repeated_spans,
+    min_len=8 at fixture scale; Lee et al. 2021's ExactSubstr pass):
+    stride-1 window hashes → corpus-wide ≥2-occurrence test → per-doc
+    interval merge. One shuffle keyed by the 60-bit window hash; the
+    interval merge is a per-doc window (embarrassingly parallel)."""
+    from pharmacodi_spark.text.dedup import repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_spans(d, min_len=8)
+
+
+@q(
+    "substring_dedup_trim",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               i -> {'pos': i,
+                     'h': CAST(('0x' || substr(md5(array_to_string(
+                            toks[i:i+7], ' ')), 1, 15)) AS BIGINT)})) AS s
+      FROM t WHERE len(toks) >= 8
+    ),
+    ww AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM w),
+    dh AS (SELECT h FROM ww GROUP BY h HAVING count(*) >= 2),
+    dw AS (SELECT * FROM ww WHERE h IN (SELECT h FROM dh)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            + 8
+                  THEN 1 ELSE 0 END AS ns
+      FROM dw
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM fl
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      FROM sp GROUP BY doc_id, span_id
+    ),
+    px AS (
+      SELECT doc_id, unnest(toks) AS tkn,
+             generate_subscripts(toks, 1) AS p
+      FROM t
+    ),
+    keepx AS (
+      SELECT px.doc_id, px.tkn, px.p FROM px
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = px.doc_id
+          AND px.p BETWEEN s.span_start AND s.span_end
+      )
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tkn, ' ' ORDER BY p) AS clean_text,
+             count(*) AS n_kept
+      FROM keepx GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply step of ExactSubstr dedup (text/dedup.py::
+    trim_repeated_spans): every repeated span's tokens removed from every
+    occurrence (the Lee et al. remove-all policy — no global ownership
+    pass needed), text rebuilt with a native higher-order filter over the
+    split array. Bodies never shuffle: spans ride to their doc as one
+    aggregated array (metadata-scale), the rebuild happens on the doc's
+    own scan partition."""
+    from pharmacodi_spark.text.dedup import repeated_spans, trim_repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = repeated_spans(d, min_len=8)
+    return trim_repeated_spans(d, spans).select(
+        "doc_id", "clean_text", "n_removed_tokens"
+    )

@@ -492,3 +492,142 @@ def passage_first_owner_stats(
             ).alias("keep"),
         )
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Exact substring-duplicate detection (the ExactSubstr pass of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    find every maximal token span of length ≥ ``min_len`` that occurs ≥ 2
+    times ANYWHERE in the corpus (other documents or the same one), as
+    (doc_id, span_start, span_end) in 1-based inclusive token positions.
+
+    Construction (their suffix-array step re-expressed shuffle-locally):
+    every stride-1 window of ``min_len`` tokens hashes to a 60-bit key; a
+    window is duplicated iff its hash occurs ≥ 2 times corpus-wide; a
+    document's duplicated windows, merged where they overlap or touch
+    (p_next ≤ p_prev + min_len), are exactly its repeated-substring spans.
+
+    Scale shape: the window table is (id, pos, 8-byte hash) — ~24 B per
+    corpus token, the price of stride-1 exactness (suffix arrays pay a
+    comparable working set); ONE shuffle keyed by hash for the duplicate
+    test (map-side partial counts collapse the Zipf head), then a per-doc
+    window (partitioned by id — embarrassingly parallel) merges intervals.
+    ``sample_mod > 1`` is the cost knob: keep only windows with
+    ``hash % sample_mod == 0`` — CONTENT-defined sampling, so both copies
+    of a duplicate select the same windows (winnowing-style); detection
+    becomes probabilistic for spans near ``min_len`` but the table shrinks
+    by the factor. The 60-bit hash is md5-derived for cross-engine oracle
+    parity; a production deployment would swap in ``xxhash64`` (same
+    shape, cheaper CPU).
+    """
+    assert min_len >= 2 and sample_mod >= 1
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    n = F.size(toks)
+    win = F.transform(
+        F.sequence(F.lit(1), n - (min_len - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(toks, i, min_len), " ")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    w = (
+        df.select(F.col(id_col), F.when(n >= min_len, win).alias("ws"))
+        .where(F.col("ws").isNotNull())
+        .select(id_col, F.explode("ws").alias("w"))
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    if sample_mod > 1:
+        w = w.where(F.col("h") % sample_mod == 0)
+    dup_h = w.groupBy("h").agg(F.count("*").alias("c")).where("c >= 2")
+    dup_w = w.join(dup_h.select("h"), "h", "left_semi")
+    ow = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup_w.withColumn(
+        "new_span",
+        F.when(
+            F.lag("pos").over(ow).isNull()
+            | (F.col("pos") > F.lag("pos").over(ow) + min_len),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + min_len - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def trim_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Apply :func:`repeated_spans` output: rebuild each document's text
+    with every repeated span's tokens removed (ALL occurrences — the Lee
+    et al. policy; they measure no loss from dropping the surviving copy
+    too, and remove-all needs no global ownership pass). Documents with no
+    spans pass through unchanged; empty words created by the original
+    tokenization stay collapsed (single-space rejoin).
+
+    The spans ride to their document as one aggregated array column
+    (groupBy id — metadata-scale: spans per doc, not tokens per doc), and
+    the token filter is a native higher-order expression over the split
+    array — no UDF, no token-level shuffle; bodies move only on their own
+    scan partition."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    idxed = F.transform(
+        toks, lambda x, i: F.struct(x.alias("t"), (i + 1).alias("p"))
+    )
+    kept = F.filter(
+        idxed,
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda b: (s["p"] >= b["span_start"]) & (s["p"] <= b["span_end"]),
+        ),
+    )
+    cleaned = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    out = (
+        df.join(sp, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__spans").isNull(), F.array_join(toks, " ")).otherwise(
+                cleaned
+            ),
+        )
+        .withColumn(
+            "n_removed_tokens",
+            F.when(F.col("__spans").isNull(), F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept))
+            .cast("long"),
+        )
+    )
+    return out.drop("__spans")
