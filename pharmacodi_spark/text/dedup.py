@@ -527,15 +527,33 @@ def repeated_spans(
     shape, cheaper CPU).
     """
     assert min_len >= 2 and sample_mod >= 1
+    # Stride-1 hashing is the dominant CPU term (one md5 per corpus token),
+    # so evaluate it exactly once and in parallel:
+    # - a small-file scan can arrive as a handful of partitions (locally:
+    #   ONE) and serialize the hashing; spread it up front — at corpus
+    #   scale the scan is already >= defaultParallelism splits and the
+    #   repartition no-ops (no body shuffle added where it would cost);
+    # - tokenize into a column FIRST (an expression inside the transform
+    #   lambda would re-split the text once per window — measured 3x);
+    # - the >=2-occurrence test is a COUNT OVER (PARTITION BY h), not a
+    #   count-table semi-join, so the window table is evaluated once and
+    #   shuffles once (by h), instead of twice for build + probe.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col), F.col(content_col))
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, F.col(id_col))
     toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
-    n = F.size(toks)
+    base = base.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
     win = F.transform(
         F.sequence(F.lit(1), n - (min_len - 1)),
         lambda i: F.struct(
             i.alias("pos"),
             F.conv(
                 F.substring(
-                    F.md5(F.array_join(F.slice(toks, i, min_len), " ")), 1, 15
+                    F.md5(F.array_join(F.slice(F.col("__tk"), i, min_len), " ")),
+                    1,
+                    15,
                 ),
                 16,
                 10,
@@ -545,15 +563,16 @@ def repeated_spans(
         ),
     )
     w = (
-        df.select(F.col(id_col), F.when(n >= min_len, win).alias("ws"))
+        base.select(F.col(id_col), F.when(n >= min_len, win).alias("ws"))
         .where(F.col("ws").isNotNull())
         .select(id_col, F.explode("ws").alias("w"))
         .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
     if sample_mod > 1:
         w = w.where(F.col("h") % sample_mod == 0)
-    dup_h = w.groupBy("h").agg(F.count("*").alias("c")).where("c >= 2")
-    dup_w = w.join(dup_h.select("h"), "h", "left_semi")
+    dup_w = w.withColumn(
+        "__c", F.count("*").over(Window.partitionBy("h"))
+    ).where("__c >= 2")
     ow = Window.partitionBy(id_col).orderBy("pos")
     flagged = dup_w.withColumn(
         "new_span",
