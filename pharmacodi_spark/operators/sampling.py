@@ -138,3 +138,52 @@ def temperature_mixture_sample(
         F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % _BUCKETS
     )
     return joined.where(bucket.cast("double") < F.col("rate") * _BUCKETS)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    k: int,
+    key_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group reservoir: the ``k`` rows of each group
+    with the smallest ``md5(salt || key)`` draw — a uniform-without-
+    replacement sample that is REPRODUCIBLE (same salt ⇒ same sample on
+    any cluster/partitioning; change the salt to redraw) and
+    oracle-expressible, unlike ``rand()``-based sampling.
+
+    This is the "inspect N examples per source/language/cluster" primitive
+    every curation review loop needs, and the eval-set carve-out that must
+    be stable across pipeline reruns.
+
+    Scale shape: one hash-partition shuffle on the group key + a per-group
+    top-k (``row_number`` over the draw order). Groups are typically many
+    and the per-group heap is k-bounded; a single mega-group degenerates
+    to that group's rows on one task — pair with ``skew_profile`` if group
+    cardinality is suspect.
+    """
+    assert k >= 1
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    keys = key_cols or [c for c in df.columns if c not in groups]
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), *[F.col(c).cast("string") for c in keys]
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy(draw.asc(), *keys)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

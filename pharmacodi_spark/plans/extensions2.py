@@ -4147,3 +4147,120 @@ def substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trim_repeated_spans(d, spans).select(
         "doc_id", "clean_text", "n_removed_tokens"
     )
+
+
+@q(
+    "group_reservoir_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('rs' ||
+                         CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir (operators/sampling.py::
+    sample_per_group, k=5 per source): the k smallest md5 draws per group
+    — a reproducible uniform sample (the inspect-N-per-source /
+    stable-eval-carve-out primitive), one shuffle on the group key +
+    k-bounded per-group heap."""
+    from pharmacodi_spark.operators.sampling import sample_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_per_group(d, "source", 5, key_cols=["doc_id"], salt="rs")
+
+
+@q(
+    "document_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) <= 32 THEN 0
+                    ELSE (len(toks) - 32 + 23) // 24 END)) AS j
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS chunk_id,
+           CAST(j * 24 + 1 AS BIGINT) AS start_token,
+           CAST(least(n - j * 24, 32) AS BIGINT) AS n_tokens,
+           array_to_string(toks[j * 24 + 1 : j * 24 + 32], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks (text/corpus.py::chunk_documents,
+    32-token chunks / 8-token overlap at fixture scale) — the corpus →
+    RAG-index preparation step. Chunk boundaries are the all-integer
+    closed form (final chunk = first to reach the document end, no
+    contained tails); the plan is shuffle-free — tokens split once into
+    an array column, chunks are slice+join over it, one explode."""
+    from pharmacodi_spark.text.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+@q(
+    "source_quality_rollup",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+    topg AS (SELECT doc_id, max(c) AS top_cnt FROM c2 GROUP BY 1),
+    dupg AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                    sum(c) AS n_grams FROM c3 GROUP BY 1),
+    k AS (
+      SELECT t.doc_id, len(toks) AS n_tokens,
+             (200 * coalesce(top_cnt, 0) <= 20 * len(toks)
+              AND 100 * coalesce(dup_occ, 0) <= 30 * coalesce(n_grams, 0))
+               AS keep
+      FROM t LEFT JOIN topg USING (doc_id) LEFT JOIN dupg USING (doc_id)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS keep_ppm,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+             >= 500000 * count(*) AS source_ok
+    FROM documents d JOIN k USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality rollup (text/analysis.py::
+    source_quality_rollup): the per-doc Gopher repetition gate aggregated
+    to each document's SOURCE with an integer keep-ppm and an ok flag —
+    the RefinedWeb/C4 origin-level filter. One aggregate keyed by source
+    after the per-doc gates; the source table is domain-cardinality, and
+    source_level_filter applies it as a broadcast semi-join (corpus never
+    shuffles)."""
+    from pharmacodi_spark.text.analysis import source_quality_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    return source_quality_rollup(d)

@@ -174,3 +174,66 @@ def repetition_metrics(
             )
         ).alias("keep"),
     )
+
+
+def source_quality_rollup(
+    df: DataFrame,
+    group_col: str = "source",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_keep_ppm: int = 500_000,
+) -> DataFrame:
+    """Source/domain-level quality aggregation — the RefinedWeb/C4 idea
+    that document filters should also roll up to their ORIGIN: a source
+    whose documents mostly fail the per-doc gates is itself suspect, and
+    dropping it wholesale removes the long tail its surviving documents
+    would drag in.
+
+    Per ``group_col``: ``n_docs``, ``n_kept`` (the Gopher repetition
+    gate), ``keep_ppm`` (integer parts-per-million), mean token count,
+    and ``source_ok`` = ``keep_ppm ≥ min_keep_ppm`` (integer
+    cross-multiplication — engine-exact). Feed the flagged sources to an
+    anti-join to apply the rollup (:func:`source_level_filter`).
+
+    Scale shape: the per-doc gate pipeline (shuffles keyed by (id, gram)
+    then id), then ONE aggregate keyed by source — the source table is
+    domain-cardinality (tiny); no bodies shuffle.
+    """
+    per_doc = repetition_metrics(df, content_col, id_col).select(
+        id_col, "n_tokens", "keep"
+    )
+    src = df.select(F.col(id_col), F.col(group_col))
+    return (
+        src.join(per_doc, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_kept",
+            "n_tokens",
+            F.expr("(n_kept * 1000000) div n_docs").cast("long").alias(
+                "keep_ppm"
+            ),
+            (
+                F.col("n_kept") * 1_000_000
+                >= F.lit(int(min_keep_ppm)) * F.col("n_docs")
+            ).alias("source_ok"),
+        )
+    )
+
+
+def source_level_filter(
+    df: DataFrame,
+    rollup: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Apply a :func:`source_quality_rollup`: keep only documents whose
+    source passed. The ok-source set is domain-cardinality — the semi-join
+    side broadcasts, so the corpus never shuffles."""
+    ok = rollup.where("source_ok").select(group_col)
+    return df.join(F.broadcast(ok), group_col, "left_semi")

@@ -161,3 +161,64 @@ def unigram_surprisal(
         F.sum("bits").cast("long").alias("sum_bits"),
         (F.sum("bits") / F.count("*")).alias("mean_bits"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping retrieval chunks — the corpus →
+    RAG-index preparation step (pairs with text/similarity.py's ANN
+    probes and text/retrieval.py's BM25): one row per chunk with
+    ``(id, chunk_id, start_token, n_tokens, chunk_text)``.
+
+    Chunk ``j`` starts at token ``1 + j·stride`` (``stride = chunk_tokens
+    − overlap``); the number of chunks is the closed form ``1`` for
+    ``n ≤ chunk_tokens`` else ``1 + ceil((n − chunk_tokens)/stride)`` —
+    i.e. the final chunk is the first one reaching the document's end
+    (no fully-contained tail chunks). Empty documents yield no chunks.
+    All integer arithmetic, so chunk boundaries are engine-exact.
+
+    Scale shape: entirely row-local until the single explode — tokens
+    split once into an array column, chunk texts are ``slice`` +
+    ``array_join`` over it; no shuffle at all (chunking inherits the
+    scan's partitioning; downstream indexing decides its own keying).
+    """
+    assert chunk_tokens >= 1 and 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"(size(__tk) - {chunk_tokens} + {stride} - 1) div {stride}"
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_id"),
+            (j * stride + 1).cast("long").alias("start_token"),
+            F.array_join(
+                F.slice(F.col("__tk"), j * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - j * stride, F.lit(chunk_tokens))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return (
+        base.where(n > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            "c.chunk_id",
+            "c.start_token",
+            "c.n_tokens",
+            "c.chunk_text",
+        )
+    )
