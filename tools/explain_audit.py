@@ -303,6 +303,51 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"ReadSchema: struct<doc_id:bigint,text:string>", True,
          "chunk scans pruned to (doc_id, text)"),
     ],
+    # round-6 family
+    "ann_int8_l2_topk": [
+        (r"TakeOrderedAndProject", True,
+         "de-scaled score top-k is partial heaps"),
+        (r"\bExchange\b", False,
+         "l2 normalization adds only per-row fold/sqrt — the probe stays "
+         "ZERO-shuffle like the max-abs variant"),
+    ],
+    "substring_dup_spans": [
+        (r"hashpartitioning\(h#", True,
+         "the >=2-occurrence test shuffles the 60-bit window hash — the "
+         "window table is evaluated ONCE (COUNT OVER h, not a count-table "
+         "semi-join that would rebuild it for the probe side)"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "window scans pruned to (doc_id, text)"),
+        (r"SortMergeJoin", False, "no join at all — window + aggregate"),
+    ],
+    "document_chunks": [
+        (r"\bExchange\b", False,
+         "chunking is ZERO-shuffle: tokens split once into an array "
+         "column, chunks are slice+join, one explode on the scan's own "
+         "partitions"),
+        (r"ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "only (doc_id, text) read"),
+    ],
+    "group_reservoir_sample": [
+        (r"hashpartitioning\(source", True,
+         "one shuffle on the group key"),
+        (r"ReadSchema: struct<doc_id:bigint,source:string>", True,
+         "draw is computed from keys only — text never read"),
+        (r"SortMergeJoin", False, "no join"),
+    ],
+    "source_quality_rollup": [
+        (r"partial_count", True,
+         "per-doc gate counts collapse map-side"),
+        (r"SortMergeJoin", False,
+         "doc->source attach and gate joins stay broadcast/hash"),
+    ],
+    "incremental_curation": [
+        (r"Scan ExistingRDD", True,
+         "the entrant id-set barrier pins gates 1-3 before the "
+         "prefix-consistent passage/exact stages"),
+        (r"SortMergeJoin", False,
+         "survivor joins broadcast — bodies never shuffle"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan

@@ -225,6 +225,33 @@ def ops(spark, mult: int) -> dict[str, float]:
         )
 
     out["curation_pipeline"] = timed(curation)
+
+    # round-6 family: ExactSubstr spans (dup-dense 10x is its WORST case —
+    # every window is duplicated, so the per-doc interval merge sees every
+    # token), detect+trim, shuffle-free chunking, per-group reservoir,
+    # origin-level rollup
+    from pharmacodi_spark.operators.sampling import sample_per_group
+    from pharmacodi_spark.text.analysis import source_quality_rollup
+    from pharmacodi_spark.text.corpus import chunk_documents
+    from pharmacodi_spark.text.dedup import repeated_spans, trim_repeated_spans
+
+    out["substring_spans"] = timed(lambda: repeated_spans(docs, min_len=8))
+    out["substring_trim"] = timed(
+        lambda: trim_repeated_spans(docs, repeated_spans(docs, min_len=8))
+    )
+    out["document_chunks"] = timed(
+        lambda: chunk_documents(docs, chunk_tokens=128, overlap=32)
+    )
+    out["group_reservoir"] = timed(
+        lambda: sample_per_group(
+            srcd, "source", 100, key_cols=["doc_id"], salt="rs"
+        )
+    )
+    out["source_rollup"] = timed(
+        lambda: source_quality_rollup(
+            docs.withColumn("source", (F.col("doc_id") % 8).cast("string"))
+        )
+    )
     return out
 
 
@@ -424,6 +451,34 @@ def main() -> None:
             f"| {label} (at 10x) | — | — | "
             f"{p10[num] / p10[den]:.2f} of baseline |"
         )
+    lines += [
+        "",
+        "## Stage barriers: local vs durable",
+        "",
+        "Every multi-stage cascade (curation_pipeline, token_offsets /",
+        "surrogate_key range-partition pinning, connected-components and",
+        "PageRank loops) pins stage boundaries via",
+        "`pharmacodi_spark.barrier.stage_barrier`:",
+        "",
+        '- `barrier="local"` (default): `localCheckpoint()` — eager,',
+        "  truncates lineage, executor-local unreplicated blocks. Correct",
+        "  and fastest on a single JVM / stable cluster, but a preempted",
+        "  executor loses its blocks with NO recompute path (lineage",
+        "  truncated).",
+        '- `barrier="durable"`: write the frame to `barrier_dir` (or the',
+        "  `spark.pharmacodi.barrierDir` conf) as parquet and read it back.",
+        "  Same plan containment (fresh scan ⇒ lineage truncated), but",
+        "  blocks live in the job's scratch filesystem (HDFS/S3) — executor",
+        "  loss recovers by re-reading. The pinned frames are",
+        "  metadata-scale (survivor-id sets, #partitions-row offset",
+        "  tables), so the write is noise at 100 TB relative to the stages",
+        "  it protects; barrier files are TTL'd job scratch.",
+        "",
+        "`tests/test_durable_barrier.py` asserts row-identical results in",
+        "both modes for curation_pipeline, surrogate_key (fact path),",
+        "connected_components, and pagerank_int, plus the fail-fast when",
+        "durable mode has no scratch root.",
+    ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
