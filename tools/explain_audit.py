@@ -345,8 +345,13 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"Scan ExistingRDD", True,
          "the entrant id-set barrier pins gates 1-3 before the "
          "prefix-consistent passage/exact stages"),
-        (r"SortMergeJoin", False,
-         "survivor joins broadcast — bodies never shuffle"),
+        (r"hashpartitioning\(h#", True,
+         "the passage/exact stages shuffle 32-byte hashes only — the "
+         "owner join is hash-keyed fact⋈fact (SMJ/shuffled-hash is the "
+         "CORRECT physical shape at corpus scale; the owner table is not "
+         "broadcastable at 100 TB), and bodies never enter an exchange"),
+        (r"hashpartitioning\(text#", False,
+         "no exchange is keyed by the document body"),
     ],
 }
 
