@@ -4264,3 +4264,48 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return source_quality_rollup(d)
+
+
+@q(
+    "vocab_growth_curve",
+    """
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+    n AS (SELECT count(*) AS nd FROM ids),
+    rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r FROM ids),
+    b AS (
+      SELECT doc_id, ((r - 1) * 10) // (SELECT nd FROM n) AS bucket FROM rk
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    tb AS (SELECT tok.token, b.bucket, tok.doc_id FROM tok JOIN b USING (doc_id)),
+    fb AS (SELECT token, min(bucket) AS fb FROM tb GROUP BY 1),
+    pd AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY 1),
+    pt AS (SELECT bucket, count(*) AS n_tokens FROM tb GROUP BY 1),
+    pv AS (SELECT fb AS bucket, count(*) AS new_vocab FROM fb GROUP BY 1)
+    SELECT CAST(pd.bucket AS BIGINT) AS bucket,
+           CAST(sum(pd.n_docs) OVER (ORDER BY pd.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs_cum,
+           CAST(sum(coalesce(pt.n_tokens, 0)) OVER (ORDER BY pd.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens_cum,
+           CAST(sum(coalesce(pv.new_vocab, 0)) OVER (ORDER BY pd.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+    FROM pd LEFT JOIN pt USING (bucket) LEFT JOIN pv USING (bucket)
+    ORDER BY bucket
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (text/corpus.py::vocab_growth, 10
+    buckets): cumulative distinct-token count over ascending doc-id
+    prefixes — the is-this-natural-text sanity curve (linear growth ⇒
+    id/hash pollution; the bend locates the bad ingest). Doc ranking
+    rides the fact-scale surrogate-id topology (no single-task window);
+    the only corpus-scale shuffle is keyed by token with map-side min
+    collapse."""
+    from pharmacodi_spark.text.corpus import vocab_growth
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_growth(d, buckets=10)

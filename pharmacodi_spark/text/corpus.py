@@ -222,3 +222,77 @@ def chunk_documents(
             "c.chunk_text",
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    buckets: int = 10,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: documents are ranked by
+    ``id_col`` and cut into ``buckets`` equal-count prefixes; for each
+    bucket the CUMULATIVE corpus statistics up to and including it —
+    ``(bucket, n_docs_cum, n_tokens_cum, vocab_cum)`` — where
+    ``vocab_cum`` counts distinct tokens whose FIRST occurrence (minimum
+    doc rank) falls at or before the bucket.
+
+    Why a pipeline wants it: sublinear vocabulary growth (Heaps' law) is
+    the sanity signature of natural text — a corpus whose curve goes
+    linear is id-/hash-/boilerplate-polluted, and the bucket where it
+    bends is where ingestion went wrong.
+
+    Scale shape: one shuffle keyed by token (min-rank per token collapses
+    map-side), document ranking rides the fact-scale surrogate-id
+    machinery (operators/keys.py::surrogate_key dense_global — range
+    partition + broadcast offsets, NO single-task window over the ids),
+    and the cumulative sum runs over ``buckets`` rows. All integer
+    arithmetic; bucket cut is ``(rank-1)·buckets div n_docs``.
+    """
+    assert buckets >= 1
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.operators.keys import surrogate_key
+
+    ids = df.select(F.col(id_col)).distinct()
+    n_docs = ids.count()  # one metadata action; plan literal below
+    ranked = surrogate_key(
+        ids, order_by=[id_col], id_col="__rank", dense_global=True
+    ).withColumn(
+        "__bucket",
+        F.expr(f"((__rank - 1) * {int(buckets)}) div {int(n_docs)}").cast(
+            "long"
+        ),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(content_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tb = toks.join(ranked, id_col)
+    first_b = tb.groupBy("token").agg(F.min("__bucket").alias("fb"))
+    per_bucket = (
+        ranked.groupBy("__bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .join(
+            tb.groupBy("__bucket").agg(F.count("*").alias("n_tokens")),
+            "__bucket",
+            "left",
+        )
+        .join(
+            first_b.groupBy(F.col("fb").alias("__bucket")).agg(
+                F.count("*").alias("new_vocab")
+            ),
+            "__bucket",
+            "left",
+        )
+    )
+    w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        F.col("__bucket").alias("bucket"),
+        F.sum("n_docs").over(w).cast("long").alias("n_docs_cum"),
+        F.sum(F.coalesce("n_tokens", F.lit(0))).over(w).cast("long").alias(
+            "n_tokens_cum"
+        ),
+        F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).cast("long").alias(
+            "vocab_cum"
+        ),
+    ).orderBy("bucket")
