@@ -4309,3 +4309,85 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return vocab_growth(d, buckets=10)
+
+
+@q(
+    "quality_classifier_score",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w' ||
+               CAST(CAST(('0x' || substr(md5('q' || token), 1, 15)) AS BIGINT)
+                    % 4096 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000
+               AS wt
+      FROM tok
+    ),
+    s AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           coalesce(s.score, 0) AS score_centi,
+           CASE WHEN len(t.toks) > 0
+                THEN 100 * coalesce(s.score, 0) >= 0 * len(t.toks)
+                ELSE FALSE END AS keep
+    FROM t LEFT JOIN s USING (doc_id)
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (text/analysis.py::hashed_linear_score):
+    a linear classifier over hashing-trick bag-of-words features — the
+    fasttext/DCLM quality-classifier shape — run as a native per-document
+    fold (no explode, no join, no shuffle to score; the corpus never
+    leaves its scan partitions). The derived-weight mode keeps the whole
+    path oracle-expressible; production swaps in exported fasttext or
+    logistic-regression weights via the ``weights`` array (one broadcast
+    literal, element_at per token)."""
+    from pharmacodi_spark.text.analysis import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(d, weights=None, dim=4096, salt="q")
+
+
+@q(
+    "bigram_surprisal",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> {'x': toks[i], 'y': toks[i+1]})) AS g
+      FROM t WHERE len(toks) >= 2
+    ),
+    tt AS (SELECT doc_id, g.x AS x, g.y AS y FROM tr),
+    c2 AS (SELECT x, y, count(*) AS c2 FROM tt GROUP BY 1, 2),
+    c1 AS (SELECT x, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    b AS (
+      SELECT tt.doc_id,
+             length(bin((c1 * 1048576) // c2)) - 1 AS bits
+      FROM tt JOIN c2 USING (x, y) JOIN c1 USING (x)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+    FROM b GROUP BY doc_id
+    """,
+)
+def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order-Markov perplexity gate (text/corpus.py::
+    bigram_surprisal): per-transition conditional surprisal
+    −log2 p̂(y|x) with the corpus itself as the bigram LM, integer log2
+    via length(bin(·))−1 so the score is cross-engine exact. One order
+    deeper than the in-window unigram gate — catches incoherent token
+    ORDER that unigram statistics cannot see."""
+    from pharmacodi_spark.text.corpus import bigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(d)

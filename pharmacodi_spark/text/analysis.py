@@ -237,3 +237,80 @@ def source_level_filter(
     side broadcasts, so the corpus never shuffles."""
     ok = rollup.where("source_ok").select(group_col)
     return df.join(F.broadcast(ok), group_col, "left_semi")
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[int] | None = None,
+    dim: int = 4096,
+    salt: str = "q",
+    threshold_centi: int = 0,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering, fasttext/DCLM-style: a LINEAR
+    classifier over hashing-trick bag-of-words features, run as columnar
+    expressions — the shape under every "quality classifier" stage in
+    modern pretraining pipelines (fasttext is exactly a linear model over
+    hashed n-gram features).
+
+    Each token maps to feature ``idx = md5(salt‖token) mod dim``; the
+    document score is the mean feature weight over token occurrences
+    (integer centi-units), and ``keep`` = ``mean ≥ threshold_centi/100``
+    evaluated as the integer cross-multiplication ``100·sum ≥ t·n``.
+
+    ``weights``: the trained weight vector (length ``dim``, centi-unit
+    ints) — rides as ONE array literal, indexed per token with
+    ``element_at`` (no join at all). ``weights=None`` derives each
+    weight deterministically from its index hash (``md5`` again) — a
+    random-projection stand-in that keeps the whole path oracle-
+    expressible end-to-end; swap in real exported fasttext/logreg
+    weights for production.
+
+    Scale shape: ZERO shuffles to score (hash + element_at + per-row
+    fold would need the token array only; the per-doc aggregate after
+    explode shuffles (id, int) pairs) — here we keep it explode-free:
+    tokens stay in their array and the score is a native ``aggregate``
+    fold per document, so the corpus never leaves its scan partitions.
+    """
+    assert dim >= 1
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+
+    def idx_of(tok) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 15), 16, 10
+        ).cast("long") % dim
+
+    if weights is not None:
+        assert len(weights) == dim
+        warr = F.array(*[F.lit(int(w)) for w in weights])
+        weight_of = lambda tok: F.element_at(warr, (idx_of(tok) + 1).cast("int"))
+    else:
+        # derived weight in [-1000, 1000] centi-units from the index hash
+        weight_of = lambda tok: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w"), idx_of(tok).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight_of(t)
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        score.alias("score_centi"),
+        F.when(
+            n > 0, 100 * score >= F.lit(int(threshold_centi)) * n
+        )
+        .otherwise(F.lit(False))
+        .alias("keep"),
+    )

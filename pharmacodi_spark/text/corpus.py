@@ -296,3 +296,61 @@ def vocab_growth(
             "vocab_cum"
         ),
     ).orderBy("bucket")
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Bigram-LM conditional surprisal — one order deeper than
+    :func:`unigram_surprisal` (the corpus as a first-order Markov LM):
+    each transition ``x→y`` scores ``floor(log2(c(x)·2^scale_bits /
+    c(x,y)))`` bits (``-log2 p̂(y|x)``, integer log2 via
+    ``length(bin(·))−1`` — exact in every engine); a document reports
+    ``(n_transitions, sum_bits, mean_bits)`` over its adjacent pairs.
+    Low mean ⇒ high-probability transitions (templated/boilerplate
+    text); high mean ⇒ incoherent token order — the two tails a
+    perplexity gate cuts. Documents with < 2 tokens report no row (no
+    transitions to score), mirroring unigram_surprisal's empty-doc rule.
+
+    Scale shape: the bigram count table collapses map-side (corpus
+    bigram vocabulary — Zipf-small vs the transition stream); scoring
+    joins each transition against it plus the unigram table (AQE
+    broadcasts both when they fit; hot-gram skew splits under the
+    skew-join rule); no driver action, no window.
+    """
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__tk") - 1),
+        lambda i: F.struct(
+            F.element_at("__tk", i.cast("int")).alias("x"),
+            F.element_at("__tk", (i + 1).cast("int")).alias("y"),
+        ),
+    )
+    tr = (
+        base.where(F.size("__tk") >= 2)
+        .select(id_col, F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.x").alias("x"), F.col("g.y").alias("y"))
+    )
+    c2 = tr.groupBy("x", "y").agg(F.count("*").alias("c2"))
+    # unigram counts of the CONDITIONING position (all tokens except each
+    # doc's last) = sum of outgoing bigram counts per x
+    c1 = c2.groupBy("x").agg(F.sum("c2").alias("c1"))
+    scored = (
+        tr.join(c2, ["x", "y"])
+        .join(c1, "x")
+        .select(
+            id_col,
+            (
+                F.length(F.bin(F.expr(f"(c1 * {1 << scale_bits}) div c2"))) - 1
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        F.sum("bits").cast("long").alias("sum_bits"),
+        (F.sum("bits") / F.count("*")).alias("mean_bits"),
+    )
