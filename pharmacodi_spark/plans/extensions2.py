@@ -4391,3 +4391,108 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bigram_surprisal(d)
+
+
+@q(
+    "hybrid_rrf_topk",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS t_tokens FROM tok),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('table', 'scan', 'window', 'merge') GROUP BY 1, 2),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    j AS (
+      SELECT tf.doc_id, tf.tf, dft.df, dl.dl,
+             (SELECT t_tokens FROM tot) AS t_tokens,
+             (SELECT n_docs FROM nd) AS n_docs
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id)
+    ),
+    terms AS (
+      SELECT doc_id,
+             greatest(CAST(((2 * n_docs + 2) * 1024) // (2 * df + 1)
+                           AS BIGINT), 1) AS x,
+             CAST((22 * tf * t_tokens * 1024)
+                  // (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)
+                  AS BIGINT) AS tfn
+      FROM j
+    ),
+    scored AS (
+      SELECT doc_id,
+             ((((length(bin(x)) - 1) * 1024)
+               + (((x - (CAST(1 AS BIGINT) << (length(bin(x)) - 1))) * 1024)
+                  >> (length(bin(x)) - 1)))
+              - 10240) * tfn AS term_score
+      FROM terms
+    ),
+    bm AS (
+      SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_fp
+      FROM scored GROUP BY 1
+      ORDER BY score_fp DESC, doc_id LIMIT 50
+    ),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score_fp DESC, doc_id) AS text_rank
+      FROM bm
+    ),
+    m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS ma
+      FROM embeddings
+    ),
+    un0 AS (
+      SELECT vec_id, ma,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM m
+    ),
+    un AS (
+      SELECT vec_id, pos,
+             CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(v * 127 / ma + 0.5) AS BIGINT) END AS qv
+      FROM un0
+    ),
+    dots AS (
+      SELECT vec_id, CAST(sum(qv * (((pos * 7) % 13) - 6)) AS BIGINT) AS qdot
+      FROM un GROUP BY 1
+    ),
+    ann AS (
+      SELECT vec_id, qdot FROM dots ORDER BY qdot DESC, vec_id LIMIT 50
+    ),
+    annr AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY qdot DESC, vec_id) AS vec_rank
+      FROM ann
+    )
+    SELECT doc_id,
+           text_rank,
+           vec_rank,
+           CAST(coalesce(1048576 // (60 + text_rank), 0)
+                + coalesce(1048576 // (60 + vec_rank), 0) AS BIGINT)
+             AS rrf_fp
+    FROM bmr FULL OUTER JOIN annr USING (doc_id)
+    ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with Reciprocal Rank Fusion
+    (text/retrieval.py::hybrid_rrf_topk): BM25 top-50 and int8-dot top-50
+    candidate lists fused by integer fixed-point ``2^20 div (60+rank)``
+    sums — no score calibration between systems, engine-exact arithmetic.
+    The rank windows run over the 50-row candidate lists, not the corpus;
+    both retrievers end in TakeOrderedAndProject heaps, so the fusion
+    stage is metadata-scale at any corpus size."""
+    from pharmacodi_spark.text.retrieval import hybrid_rrf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    weights = [((p * 7) % 13) - 6 for p in range(1, 65)]
+    return hybrid_rrf_topk(
+        d, e, ["table", "scan", "window", "merge"], weights, k=10, cand=50
+    )

@@ -145,3 +145,67 @@ def bm25_scores(
         F.sum("term_score").cast("long").alias("score_fp"),
     )
     return agg.orderBy(F.col("score_fp").desc(), F.col(id_col)).limit(k)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: "Sequence[str]",
+    query_weights: "Sequence[int]",
+    *,
+    k: int = 10,
+    cand: int = 50,
+    rrf_k: int = 60,
+    rrf_scale_bits: int = 20,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical (BM25) and vector (int8 dot)
+    candidate lists with Reciprocal Rank Fusion — the standard production
+    shape for RAG search (sparse catches exact terms, dense catches
+    paraphrase; RRF needs no score calibration between the two systems).
+
+    Each retriever contributes its top-``cand`` candidates; a document's
+    fused score is ``Σ_systems 2^rrf_scale_bits div (rrf_k + rank)``
+    (integer fixed point — engine-exact, unlike float 1/(k+r) sums whose
+    addition order varies). Documents found by only one system get only
+    that term. Ties break (fused desc, id).
+
+    Scale shape: both retrievers end in TakeOrderedAndProject heaps; the
+    fusion operates on 2·``cand`` rows — driver-bounded by construction
+    (the single-task rank windows are over the candidate lists, NOT the
+    corpus), so the whole fusion stage is metadata-scale regardless of
+    corpus size.
+    """
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.text.similarity import int8_weighted_topk
+
+    scale = 1 << rrf_scale_bits
+    bm = bm25_scores(docs, query_terms, k=cand, id_col=id_col)
+    wb = Window.orderBy(F.col("score_fp").desc(), F.col(id_col))
+    bm_r = bm.select(
+        F.col(id_col), F.row_number().over(wb).cast("long").alias("text_rank")
+    )
+    ann = int8_weighted_topk(emb, list(query_weights), k=cand, id_col=vec_id_col)
+    wa = Window.orderBy(F.col("qdot").desc(), F.col(vec_id_col))
+    ann_r = ann.select(
+        F.col(vec_id_col).alias(id_col),
+        F.row_number().over(wa).cast("long").alias("vec_rank"),
+    )
+    fused = bm_r.join(ann_r, id_col, "full_outer").select(
+        id_col,
+        "text_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr(f"{scale} div ({int(rrf_k)} + text_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{scale} div ({int(rrf_k)} + vec_rank)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_fp"),
+    )
+    return fused.orderBy(F.col("rrf_fp").desc(), F.col(id_col)).limit(k)

@@ -83,3 +83,35 @@ def test_bm25_matches_python_reference(spark):
     # rarer-term doc ranks above the stopword-free doc set floor:
     # every returned score is positive (Lucene idf is non-negative)
     assert all(s > 0 for _, _, s in got)
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF must surface docs ranked well by EITHER system, and a doc in
+    both lists must beat a doc at the same rank in only one."""
+    from pharmacodi_spark.text.retrieval import bm25_scores, hybrid_rrf_topk
+    from pharmacodi_spark.text.similarity import int8_weighted_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    terms = ["table", "scan", "window", "merge"]
+    weights = [((p * 7) % 13) - 6 for p in range(1, 65)]
+    out = hybrid_rrf_topk(docs, emb, terms, weights, k=10, cand=20).collect()
+    assert len(out) == 10
+    # fused order is non-increasing, ids break ties ascending
+    for a, b in zip(out, out[1:]):
+        assert (a.rrf_fp, -a.doc_id) >= (b.rrf_fp, -b.doc_id)
+    # every fused doc came from at least one candidate list
+    bm_ids = {r.doc_id for r in bm25_scores(docs, terms, k=20).collect()}
+    ann_ids = {
+        r.vec_id for r in int8_weighted_topk(emb, weights, k=20).collect()
+    }
+    for r in out:
+        assert r.doc_id in bm_ids | ann_ids
+        in_both = r.doc_id in bm_ids and r.doc_id in ann_ids
+        if in_both:
+            assert r.text_rank is not None and r.vec_rank is not None
+    # a doc present in BOTH lists outscores one with only its text rank
+    both = [r for r in out if r.text_rank and r.vec_rank]
+    only = [r for r in out if (r.text_rank is None) ^ (r.vec_rank is None)]
+    if both and only:
+        assert max(r.rrf_fp for r in both) > min(r.rrf_fp for r in only)
