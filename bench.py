@@ -105,6 +105,12 @@ HEADLINE = HEADLINE_R1 + [
     "auto_salted_join_equiv",
     "incremental_curation",
     "substring_dedup_trim",
+    # round-6 late additions: corpus statistics, model-based filtering,
+    # bigram LM gate, hybrid RAG retrieval
+    "vocab_growth_curve",
+    "quality_classifier_score",
+    "bigram_surprisal",
+    "hybrid_rrf_topk",
 ]
 
 
