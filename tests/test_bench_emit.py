@@ -28,20 +28,26 @@ def _emit_line(timings):
 
 
 def test_headline_line_compact_and_parseable():
-    # Worst realistic case: every registry query present with a timing.
-    from pharmacodi_spark.plans import QUERIES
-
-    timings = {name: 123.456 for name in QUERIES}
+    # The real emission: exactly the HEADLINE list (what run_suite passes).
+    timings = {name: 123.456 for name in bench.HEADLINE}
     line = _emit_line(timings)
     assert len(line.encode()) <= LINE_BUDGET_BYTES, (
         f"headline line is {len(line.encode())} bytes > {LINE_BUDGET_BYTES}; "
-        "did something inline a large blob into _emit again?"
+        "did something inline a large blob into _emit again, or did the "
+        "HEADLINE list outgrow the budget?"
     )
     obj = json.loads(line)
     assert obj["metric"] == "headline_queries_total_sec"
     assert isinstance(obj["value"], float)
     assert obj["queries"] == timings
     assert obj["sf"] == 0.1
+    # absolute bound even if someone ever emits the WHOLE registry: stay
+    # far inside the driver's tail-capture window
+    from pharmacodi_spark.plans import QUERIES
+
+    full = _emit_line({name: 123.456 for name in QUERIES})
+    assert len(full.encode()) <= 2 * LINE_BUDGET_BYTES
+    json.loads(full)
     # sf1 evidence is attached by summary + path, never inlined.
     if "sf1" in obj:
         sf1 = obj["sf1"]
