@@ -38,7 +38,11 @@ _DRIVER_WINDOW = [
     # (broadcast nested loop), J11's literal-map path via clamp_recode's
     # recode map; both keep oracle rows in the driver-sim + pytest mirror)
     "broadcast_left_join", "composite_key_join", "fk_remap_dense",
-    "update_join_coalesce", "dim_preserving_join", "semi_join",
+    # (r6 cont.: semi_join rotated out — J9's left-semi path keeps hard
+    # driver evidence via ingest_pipeline's semi-join survivor stages and
+    # incremental_curation's entrant semi-joins, both in-window; its
+    # oracle row stays green in the driver-sim + pytest mirror)
+    "update_join_coalesce", "dim_preserving_join",
     # aggregation / audit (A1-A8). Round-4 rotation (VERDICT r3 item 10):
     # table_stats (A5) and group_concat (A7) yield their slots to extension
     # queries — A5 stays driver-covered via null_counts/cube_stats-style
@@ -51,7 +55,10 @@ _DRIVER_WINDOW = [
     # in-window; both keep oracle rows in the driver-sim + pytest mirror)
     "first_per_group", "fk_unmatched_audit",
     # ids / sort / limit (W1/W2, O1-O5)
-    "surrogate_key_dim", "surrogate_key_fact", "top_k_orders",
+    # (r6 cont.: top_k_orders rotated out — O5's limit/top-k shape is
+    # exercised in-window by every TakeOrderedAndProject query (bm25_topk,
+    # both int8 probes, skew_diagnose); oracle row stays in the mirror)
+    "surrogate_key_dim", "surrogate_key_fact",
     # set ops (U1-U3) (r5: except_distinct rotated out — U3 keeps hard
     # evidence via incremental_dedup's new-vs-corpus difference; union_dedup
     # stays for U1/U2)
@@ -104,6 +111,10 @@ _DRIVER_WINDOW = [
     # l2-normalized near-exact int8 probe, and the curation audit funnel
     "skew_diagnose", "auto_salted_join_equiv", "ann_int8_l2_topk",
     "curation_funnel",
+    # r6 cont.: the two freed slots give hard driver rows to the round's
+    # flagships — ExactSubstr substring dedup (detect+trim) and the
+    # streaming-curation batch anchor (first-owner passage semantics)
+    "substring_dedup_trim", "incremental_curation",
 ]
 
 
