@@ -398,3 +398,77 @@ def bpe_vocab(
             seen.add(ch)
             out.append(ch)
     return out
+
+
+def encode_token_ids(
+    df: DataFrame,
+    vocab: "Sequence[str]",
+    content_col: str = "text",
+    id_cols: "Sequence[str]" = ("doc_id",),
+    out_col: str = "token_ids",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode documents to MODEL TOKEN ID arrays — the step that turns a
+    curated corpus into trainable sequences (compose with
+    text/packing.py::pack_sequences on ``size(token_ids)``).
+
+    Greedy longest-prefix matching over the trie (same walk
+    :func:`greedy_encode` prices), but emitting the matched piece's id
+    (its index in ``vocab``) instead of a count; unmatched characters
+    emit ``unk_id``. One ``mapInPandas`` pass with a per-batch word→ids
+    memo — the same zero-shuffle / Zipf-bounded shape as
+    :func:`vocab_token_counts`; the vocab broadcasts once.
+    """
+    sc = df.sparkSession.sparkContext
+    bc_vocab = sc.broadcast(list(vocab))
+    ids = list(id_cols)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*ids).schema.fields
+    )
+    schema += f", {out_col} array<long>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab_l = bc_vocab.value
+        piece_id = {p: i for i, p in enumerate(vocab_l)}
+        trie = build_trie(vocab_l)
+        memo: dict[str, list[int]] = {}
+
+        def word_ids(word: str) -> list[int]:
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            out: list[int] = []
+            n, pos = len(word), 0
+            while pos < n:
+                node, best, i = trie, 0, pos
+                while i < n:
+                    nxt = node.get(word[i])
+                    if nxt is None:
+                        break
+                    node = nxt
+                    i += 1
+                    if _END in node:
+                        best = i - pos
+                if best:
+                    out.append(piece_id[word[pos : pos + best]])
+                    pos += best
+                else:
+                    out.append(unk_id)
+                    pos += 1
+            memo[word] = out
+            return out
+
+        for pdf in batches:
+            col = []
+            for t in pdf[content_col]:
+                doc: list[int] = []
+                if isinstance(t, str) and t:
+                    for w in t.split():
+                        doc.extend(word_ids(w))
+                col.append(doc)
+            out = pdf[ids].copy()
+            out[out_col] = col
+            yield out
+
+    return df.select(*ids, content_col).mapInPandas(run, schema)

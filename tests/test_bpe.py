@@ -142,3 +142,71 @@ def test_bpe_compresses_at_least_as_well_as_substring_vocab(spark):
     t_bpe = total_tokens(bpe_pieces)
     t_sub = total_tokens(sub_pieces)
     assert t_bpe <= t_sub, f"BPE {t_bpe} tokens vs substring {t_sub}"
+
+
+def test_encode_token_ids_e2e_with_bpe_vocab(spark):
+    """The full training-prep chain: train BPE on the corpus, build the
+    vocab, encode to id arrays, and feed the counts into pack_sequences —
+    with the ids validated against a pure-Python greedy replay."""
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.text.packing import pack_sequences
+    from pharmacodi_spark.text.tokenizer import (
+        bpe_vocab, encode_token_ids, train_bpe, vocab_token_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe(docs, num_merges=60, max_batch=8)
+    base = sorted({ch for m in merges for s in (m[0], m[1]) for ch in s})
+    vocab = bpe_vocab(merges, base_chars=base)
+
+    enc = encode_token_ids(docs, vocab)
+    cnt = vocab_token_counts(docs, vocab)
+    joined = enc.join(cnt, "doc_id").select(
+        "doc_id",
+        F.size("token_ids").alias("n_ids"),
+        (F.col("n_vocab_tokens")).alias("n_total"),
+        F.size(F.filter("token_ids", lambda i: i == -1)).alias("n_unk_ids"),
+        "n_unk",
+    )
+    for r in joined.collect():
+        # id stream length == total token count; unk ids == unk count
+        assert r.n_ids == r.n_total, r
+        assert r.n_unk_ids == r.n_unk, r
+
+    # pure-Python greedy replay on a sample of docs
+    sample = docs.limit(5).collect()
+    ids_by_doc = {
+        r.doc_id: r.token_ids
+        for r in enc.join(
+            docs.limit(5).select("doc_id"), "doc_id", "left_semi"
+        ).collect()
+    }
+    piece_id = {p: i for i, p in enumerate(vocab)}
+    pieces_sorted = sorted(vocab, key=len, reverse=True)
+
+    def py_encode(text):
+        out = []
+        for w in text.split():
+            pos = 0
+            while pos < len(w):
+                m = next(
+                    (p for p in pieces_sorted if w.startswith(p, pos)), None
+                )
+                if m:
+                    out.append(piece_id[m])
+                    pos += len(m)
+                else:
+                    out.append(-1)
+                    pos += 1
+        return out
+
+    for r in sample:
+        assert ids_by_doc[r.doc_id] == py_encode(r.text), r.doc_id
+
+    # ids feed straight into sequence packing
+    counted = enc.select("doc_id", F.size("token_ids").alias("n_tokens"))
+    packed = pack_sequences(counted, seq_len=64)
+    total = counted.agg(F.sum("n_tokens")).first()[0]
+    last = packed.orderBy(F.col("token_start").desc()).first()
+    assert last.token_start + last.n_tokens == total
