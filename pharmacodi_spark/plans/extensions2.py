@@ -4496,3 +4496,97 @@ def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf_topk(
         d, e, ["table", "scan", "window", "merge"], weights, k=10, cand=50
     )
+
+
+@q(
+    "minhash_jaccard_est",
+    """
+    WITH sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks)-4, 1))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents))
+    ),
+    sig AS (
+      SELECT doc_id,
+             min(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)) AS h0,
+             min(CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)) AS h1,
+             min(CAST(('0x' || substr(md5(shingle), 17, 8)) AS BIGINT)) AS h2,
+             min(CAST(('0x' || substr(md5(shingle), 25, 8)) AS BIGINT)) AS h3
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS v1, h1 AS v2 FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 AS v1, h3 AS v2 FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+                + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT AS BIGINT)
+             AS n_equal,
+           CAST((((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+                  + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT)
+                 * 1000000) // 4 AS BIGINT) AS est_ppm
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    """,
+)
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimation over the LSH candidate pairs
+    (text/dedup.py::estimate_jaccard): the referee between candidate
+    generation and exact verification — Ĵ = matching signature components
+    / k, as integer ppm. The signature is computed ONCE and
+    stage-barrier-pinned (metadata-scale: id + k longs), then feeds both
+    the band-bucket pair expansion and the two estimator joins — the lazy
+    alternative re-runs the shingle+md5 subplan three times."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.plans.extensions import _signature
+    from pharmacodi_spark.text.dedup import estimate_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    sig = stage_barrier(_signature(d), name="jacc-sig")
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("h0").alias("v1"),
+                         F.col("h1").alias("v2")),
+                F.struct(F.lit(1).alias("band"), F.col("h2").alias("v1"),
+                         F.col("h3").alias("v2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.v1", "b.v2")
+    buckets = (
+        bands.groupBy("band", "v1", "v2")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .where(F.size("members") > 1)
+    )
+    ms = F.col("members")
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ms,
+                        lambda x, i: F.transform(
+                            F.slice(ms, i + 2, F.size(ms)),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return estimate_jaccard(sig, pairs, num_hashes=4)

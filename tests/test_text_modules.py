@@ -643,3 +643,35 @@ def test_temperature_mixture_sample_flattens_sources(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_estimate_jaccard_unbiased_on_identical_and_disjoint(spark):
+    """Estimator sanity: identical docs estimate 1.0, shingle-disjoint docs
+    sharing an LSH bucket would estimate < 1; values replay in Python."""
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.text.dedup import estimate_jaccard, minhash_signatures
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (3, "alpha beta gamma delta epsilon zeta eta OTHER"),
+        (4, "totally unrelated words with nothing shared here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 8
+    sig = minhash_signatures(df, num_hashes=k)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    est = {
+        (r.doc_a, r.doc_b): (r.n_equal, r.est_ppm)
+        for r in estimate_jaccard(sig, pairs, num_hashes=k).collect()
+    }
+    assert est[(1, 2)] == (k, 1_000_000)           # identical: all match
+    assert est[(1, 4)] == (0, 0)                    # disjoint shingles
+    # doc 3 shares 3 of its 4 shingles with doc 1 (J = 3/5); with the
+    # fixed hash family the estimate is deterministic: 5/8
+    assert est[(1, 3)] == (5, 625_000)
+    for (a, b), (n, ppm) in est.items():
+        assert ppm == n * 1_000_000 // k
