@@ -1,0 +1,234 @@
+"""Third batch of north-star extension queries (round 6, late): targeted
+data SELECTION — the stage after cleaning where a pipeline decides which
+surviving documents to actually train on — plus training-side observability
+(tokenizer fertility, padding efficiency, dedup attribution).
+
+Same cross-engine determinism strategy as plans/extensions2.py: md5-derived
+integer hashes, fixed-point integer log2 (retrieval.ilog2_fp), exact
+integer-ratio arithmetic, floor rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.plans.queries import q, _t
+
+_FP = 1 << 10  # 10 fractional bits, shared with retrieval.FP_BITS
+
+
+def _il(x: str) -> str:
+    """DuckDB twin of retrieval.ilog2_fp (10 fractional bits): exponent via
+    length(bin(x))-1, linear mantissa via shifted division by 2^e."""
+    e = f"(length(bin({x})) - 1)"
+    return (
+        f"(({e} * {_FP}) + "
+        f"((({x} - (CAST(1 AS BIGINT) << {e})) * {_FP}) >> {e}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (text/selection.py)
+# ---------------------------------------------------------------------------
+
+_DSIR_DIM = 1024
+_DSIR_SALT = "d"
+_DSIR_K = 50
+
+
+@q(
+    "dsir_select",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substr(md5('{_DSIR_SALT}' || token), 1, 15))
+                  AS BIGINT) % {_DSIR_DIM} AS bucket
+      FROM tok
+    ),
+    c AS (
+      SELECT bucket, count(*) AS cr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      FROM bk GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(cr) + {_DSIR_DIM} AS tr, sum(ct) + {_DSIR_DIM} AS tt FROM c
+    ),
+    lam AS (
+      SELECT bucket,
+             ({_il("ct + 1")} - {_il("tt")}
+              - {_il("cr + 1")} + {_il("tr")}) AS lam
+      FROM c, tot
+    ),
+    s AS (
+      SELECT bk.doc_id, count(*) AS n_tokens, sum(lam.lam) AS dsir_fp
+      FROM bk JOIN lam USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.dsir_fp, 0) AS BIGINT) AS dsir_fp
+    FROM documents d LEFT JOIN s USING (doc_id)
+    ORDER BY dsir_fp DESC, d.doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (text/selection.py, Xie et al. 2023): hashed
+    bag-of-words importance log-ratio between a target domain (here
+    ``lang='en'``) and the raw corpus, fixed-point integer log2, top-k
+    most-target-like docs.  Training shuffles ≤dim bucket rows; scoring is
+    a ZERO-shuffle native fold (λ rides as one array literal); selection is
+    TakeOrderedAndProject."""
+    from pharmacodi_spark.text.selection import dsir_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_topk(d, target=F.col("lang") == "en", k=_DSIR_K, dim=_DSIR_DIM,
+                     salt=_DSIR_SALT)
+
+
+# ---------------------------------------------------------------------------
+# Training-side observability (text/analysis.py, text/packing.py,
+# text/dedup.py) + the exact percentile gate (text/selection.py)
+# ---------------------------------------------------------------------------
+
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@q(
+    "tokenizer_fertility",
+    f"""
+    WITH p AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+             len(regexp_extract_all(text, '{_BPE_PAT}')) AS t,
+             length(text) AS c
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(t) AS BIGINT) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST((sum(t) * 100) // greatest(sum(w), 1) AS BIGINT)
+             AS tokens_per_100_words,
+           CAST((sum(c) * 100) // greatest(sum(t), 1) AS BIGINT)
+             AS chars_per_100_tokens
+    FROM p GROUP BY 1
+    """,
+)
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source (text/analysis.py::tokenizer_fertility):
+    subword-ish tokens per 100 whitespace words and chars per 100 tokens,
+    integer fixed-point — the tokenizer-evaluation table that catches
+    sources whose scripts/markup fragment the tokenizer. Per-row native
+    counting (no explode), one domain-cardinality aggregate."""
+    from pharmacodi_spark.text.analysis import tokenizer_fertility
+
+    d = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(d)
+
+
+@q(
+    "length_buckets",
+    """
+    WITH p AS (
+      SELECT CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END
+               AS bucket_len,
+             n
+      FROM (SELECT CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n
+            FROM documents)
+    )
+    SELECT bucket_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) * bucket_len - sum(n) AS BIGINT) AS pad_tokens,
+           CAST((100 * sum(n)) // (count(*) * bucket_len) AS BIGINT)
+             AS efficiency_pct
+    FROM p GROUP BY 1
+    """,
+)
+def length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit (text/packing.py::length_buckets): docs
+    binned to next-power-of-two token-length buckets (exact integer
+    ``1 << length(bin(n−1))``), per-bucket padding waste and integer
+    efficiency percent — the dynamic-batching planning table. Per-row
+    native binning, one ~40-row aggregate."""
+    from pharmacodi_spark.text.packing import length_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return length_buckets(d)
+
+
+@q(
+    "quality_percentile_gate",
+    """
+    WITH h AS (SELECT n_chars AS score, count(*) AS n FROM documents GROUP BY 1),
+    c AS (SELECT score, n,
+                 sum(n) OVER (ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h),
+    tot AS (SELECT sum(n) AS nt FROM h),
+    thr AS (SELECT min(score) AS thr FROM c, tot
+            WHERE cum - n < (nt * 30) // 100)
+    SELECT d.doc_id, d.n_chars, d.source
+    FROM documents d, thr WHERE d.n_chars >= thr.thr
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-p% gate (text/selection.py::percentile_gate,
+    p=30 on n_chars): integer scores collapse to a distinct-score
+    histogram, the cumulative count from the top finds the threshold on
+    that metadata-scale table, the 1-row threshold broadcasts back — the
+    DCLM keep-top-p%-by-classifier-score shape with NO global sort and no
+    row_number lottery (ties at the threshold all survive)."""
+    from pharmacodi_spark.text.selection import percentile_gate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    return percentile_gate(d, "n_chars", 30)
+
+
+@q(
+    "dedup_attribution",
+    """
+    WITH k AS (
+      SELECT source, doc_id,
+             md5(array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> '')[1:20],
+               ' ')) AS h
+      FROM documents
+    ),
+    f AS (
+      SELECT source,
+             (row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1)
+               AS keep
+      FROM k
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS rows_in,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_kept,
+           CAST(((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))
+                 * 1000000) // count(*) AS BIGINT) AS dup_ppm
+    FROM f GROUP BY 1
+    """,
+)
+def dedup_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup attribution (text/dedup.py::dedup_attribution):
+    the funnel row per origin — rows_in/rows_kept/dup_ppm under the
+    min-id keeper, here keyed on the 20-token leading-passage prefix
+    (news-style title dedup). Only (source, id, 32-byte hash) shuffles;
+    the rollup aggregate is domain-cardinality."""
+    from pharmacodi_spark.text.dedup import dedup_attribution
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    prefix = F.array_join(F.slice(toks, 1, 20), " ")
+    return dedup_attribution(d, key=prefix)

@@ -314,3 +314,56 @@ def hashed_linear_score(
         .otherwise(F.lit(False))
         .alias("keep"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    token_pattern: str = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]",
+    group_col: str = "source",
+    content_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit per origin: how many subword-ish tokens
+    the pre-tokenizer emits per whitespace word and how many characters
+    each token covers — THE tokenizer-evaluation table (a source whose
+    fertility spikes is script/markup the tokenizer fragments, and its
+    token budget is under-counted by word-level estimates).
+
+    Per ``group_col``: doc/word/token/char totals plus two integer
+    fixed-point ratios (×100, floor): ``tokens_per_100_words`` and
+    ``chars_per_100_tokens`` — integer division keeps every engine
+    bit-identical.
+
+    Scale shape: counting is per-row native expressions (regexp count +
+    size; the token arrays never leave the scan), then ONE aggregate keyed
+    by the domain-cardinality group — no explode, no fact-scale shuffle.
+    """
+    toks = F.regexp_extract_all(content_col, F.lit(token_pattern), 0)
+    words = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    per_doc = df.select(
+        F.col(group_col),
+        F.size(words).cast("long").alias("__w"),
+        F.size(toks).cast("long").alias("__t"),
+        F.length(content_col).cast("long").alias("__c"),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("n_words"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.sum("__c").cast("long").alias("n_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("(n_tokens * 100) div greatest(n_words, 1)")
+            .cast("long")
+            .alias("tokens_per_100_words"),
+            F.expr("(n_chars * 100) div greatest(n_tokens, 1)")
+            .cast("long")
+            .alias("chars_per_100_tokens"),
+        )
+    )

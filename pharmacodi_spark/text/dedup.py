@@ -699,3 +699,50 @@ def estimate_jaccard(
             .alias("est_ppm"),
         )
     )
+
+
+def dedup_attribution(
+    df: DataFrame,
+    group_col: str = "source",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | None = None,
+) -> DataFrame:
+    """Dedup ATTRIBUTION: which origins lose how much to exact dedup — the
+    per-source funnel row every curation report carries (a source with a
+    high duplicate rate is a crawler trap or a mirror, and its effective
+    token contribution is far below its raw size).
+
+    Keeper rule matches :func:`exact_dedup` (min id per md5(content)); a
+    duplicate is ATTRIBUTED to the source of the dropped row, so a mirror
+    that re-hosts another source's documents shows the loss, not the
+    original.  ``key`` (optional Column) swaps the dedup key — e.g. a
+    normalized body or a leading-passage prefix (news-style title dedup)
+    — while keeping the same keeper/attribution semantics.  Output per
+    group: ``rows_in``, ``rows_kept``, ``dup_ppm`` (integer
+    parts-per-million, floor).
+
+    Scale shape: one shuffle keyed by the 32-byte key hash carrying
+    ``(hash, id, source)`` — never bodies — then one aggregate keyed by
+    the domain-cardinality group.
+    """
+    k = F.md5(key if key is not None else F.col(content_col))
+    # hash in the scan projection so only (group, id, 32-byte key) shuffles
+    slim = df.select(F.col(group_col), F.col(id_col), k.alias("__k"))
+    w = Window.partitionBy("__k").orderBy(F.col(id_col))
+    flagged = slim.withColumn("__keep", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("rows_in"),
+            F.sum(F.col("__keep").cast("int")).cast("long").alias("rows_kept"),
+        )
+        .select(
+            group_col,
+            "rows_in",
+            "rows_kept",
+            F.expr("((rows_in - rows_kept) * 1000000) div rows_in")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )

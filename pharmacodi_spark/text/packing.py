@@ -171,3 +171,55 @@ def shuffle_shards(
         # oracle's integer `//` exactly at any magnitude.
         F.expr(f"token_start div {int(shard_bytes)}").cast("long").alias("shard_id"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    max_len: int | None = None,
+    content_col: str = "text",
+) -> DataFrame:
+    """Padding-efficiency audit for length-bucketed batching: assign every
+    document to the next power-of-two token-length bucket (the standard
+    dynamic-batching binning) and measure what fixed-shape batches would
+    waste on padding.
+
+    Per bucket: ``bucket_len`` (the padded sequence length), ``n_docs``,
+    ``n_tokens``, ``pad_tokens`` = ``n_docs·bucket_len − n_tokens``, and
+    integer-percent ``efficiency_pct`` = ``(100·n_tokens) div
+    (n_docs·bucket_len)``.  ``max_len`` (optional) truncates: lengths are
+    clamped before binning, modelling a model-context cap.
+
+    The bucket index is exact integer math — next power of two ≥ n is
+    ``1 << length(bin(n−1))`` for n ≥ 2 (and 1 for n ≤ 1) — so Spark and
+    the SQL oracle agree bit-for-bit.  Scale shape: per-row native
+    expressions, then ONE aggregate keyed by bucket (≤ ~40 distinct
+    buckets for any real corpus); no explode, no fact-scale shuffle.
+    """
+    n = F.size(F.filter(F.split(F.col(content_col), " "), lambda x: x != ""))
+    n = n.cast("long")
+    if max_len is not None:
+        n = F.least(n, F.lit(int(max_len)).cast("long"))
+    bucket = F.when(n <= 1, F.lit(1).cast("long")).otherwise(
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.length(F.bin(n - 1)).cast("int")
+        )
+    )
+    return (
+        df.select(bucket.alias("bucket_len"), n.alias("__n"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") * F.col("bucket_len") - F.col("n_tokens"))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.expr("(100 * n_tokens) div (n_docs * bucket_len)")
+            .cast("long")
+            .alias("efficiency_pct"),
+        )
+    )

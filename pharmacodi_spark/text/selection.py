@@ -1,0 +1,207 @@
+"""Targeted data selection (north star: choosing WHICH documents to train
+on, not just cleaning them).
+
+DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) — scores every raw document by how target-like it is
+under two hashed bag-of-words language models:
+
+    log w(doc) = Σ_tokens  log p̂_target(bucket(tok)) − log p̂_raw(bucket(tok))
+
+with add-one smoothing over ``dim`` hash buckets.  Documents with the
+highest importance weight are the ones whose token distribution looks most
+like the target domain (here: a predicate over the corpus, e.g.
+``lang = 'en'`` or a curated seed set).
+
+Cross-engine exactness: the log-ratio is computed in fixed-point integer
+arithmetic (``retrieval.ilog2_fp`` — ``length(bin(x))-1`` exponent plus a
+shifted linear mantissa), so Spark, DuckDB, and the driver-side trainer
+agree bit-for-bit.  All four ilog2 inputs (``ct+1``, ``Tt+dim``, ``cr+1``,
+``Tr+dim``) are ≥ 1 by construction.
+
+Scale shape (100 TB):
+ - TRAIN: the token stream collapses map-side to per-bucket counts — the
+   only shuffle is keyed by ``bucket`` and the result is ≤ ``dim`` rows
+   (index metadata, like ANN centroids).  The λ vector is a few KB and
+   ships back to executors as ONE array literal.
+ - SCORE: zero shuffles — tokens stay in their arrays and the importance
+   weight is a native ``aggregate`` fold with ``element_at`` into the
+   broadcast λ literal (same seam as ``analysis.hashed_linear_score``);
+   the corpus never leaves its scan partitions.
+ - SELECT: ``TakeOrderedAndProject`` per-partition heaps for top-k — no
+   global sort.  (True importance RESAMPLING — Gumbel-top-k on the same
+   weights — rides ``operators/sampling.py``'s md5-draw machinery; the
+   deterministic top-k here is the oracle-exact gate.)
+
+No reference counterpart (the reference has no data-selection stage);
+cited method is public literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.text.retrieval import FP_BITS, ilog2_fp
+
+
+def _bucket_of(tok: Column | str, dim: int, salt: str) -> Column:
+    """Hashing-trick feature index: md5(salt‖token) → 60-bit int → mod dim
+    (same family as analysis.hashed_linear_score, so buckets are
+    oracle-expressible: DuckDB ``('0x'||substr(md5(..),1,15))::BIGINT``)."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 15), 16, 10
+    ).cast("long") % dim
+
+
+def ilog2_fp_int(x: int, frac_bits: int = FP_BITS) -> int:
+    """Driver-side integer twin of ``retrieval.ilog2_fp`` (bit-identical:
+    same exponent/mantissa split, same shift-first overflow guard)."""
+    assert x >= 1
+    e = x.bit_length() - 1
+    m = x - (1 << e)
+    frac = (m << (frac_bits - e)) if e <= frac_bits else (m >> (e - frac_bits))
+    return (e << frac_bits) + frac
+
+
+def dsir_train_weights(
+    df: DataFrame,
+    target: Column,
+    dim: int = 1024,
+    frac_bits: int = FP_BITS,
+    salt: str = "d",
+    content_col: str = "text",
+) -> list[int]:
+    """Fit the DSIR importance log-ratio vector λ from the corpus itself.
+
+    ``target`` is a boolean Column marking the target-domain rows (the
+    "high quality seed" — a language, a source allowlist, a curated id
+    set).  Returns ``λ[b] = il(ct_b+1) − il(Tt+dim) − il(cr_b+1) +
+    il(Tr+dim)`` for every bucket, fixed-point with ``frac_bits``
+    fractional bits; unseen buckets get the smoothing-only value.
+
+    The collect is bounded: ≤ ``dim`` rows of three longs (same budget
+    class as ANN centroid matrices)."""
+    assert dim >= 1
+    toks = df.select(
+        target.alias("is_t"),
+        F.explode(
+            F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    counts = (
+        toks.select(_bucket_of("tok", dim, salt).alias("bucket"), "is_t")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        )
+        .collect()
+    )
+    t_raw = sum(r["cr"] for r in counts) + dim
+    t_tgt = sum(r["ct"] for r in counts) + dim
+    il = lambda x: ilog2_fp_int(x, frac_bits)
+    base = il(t_raw) - il(t_tgt)  # λ of a bucket nothing hashed into
+    lam = [base] * dim
+    for r in counts:
+        lam[r["bucket"]] = base + il(r["ct"] + 1) - il(r["cr"] + 1)
+    return lam
+
+
+def dsir_score(
+    df: DataFrame,
+    weights: list[int],
+    dim: int = 1024,
+    salt: str = "d",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: a zero-shuffle native fold
+    of λ over the token array (``element_at`` into the broadcast literal).
+    Output: ``(id_col, n_tokens, dsir_fp)``; empty docs score 0."""
+    assert len(weights) == dim
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    warr = F.array(*[F.lit(int(w)) for w in weights])
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, (_bucket_of(t, dim, salt) + 1).cast("int")),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.cast("long").alias("dsir_fp"),
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target: Column,
+    k: int = 50,
+    dim: int = 1024,
+    frac_bits: int = FP_BITS,
+    salt: str = "d",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-then-select in one call: fit λ on the corpus, score every
+    document, keep the k most target-like (ties → lower id; deterministic
+    in every engine)."""
+    lam = dsir_train_weights(
+        df, target, dim=dim, frac_bits=frac_bits, salt=salt, content_col=content_col
+    )
+    scored = dsir_score(
+        df, lam, dim=dim, salt=salt, content_col=content_col, id_col=id_col
+    )
+    return scored.orderBy(F.desc("dsir_fp"), F.asc(id_col)).limit(k)
+
+
+def percentile_gate(
+    df: DataFrame,
+    score_col: str,
+    keep_pct: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the documents whose integer score falls in the global top
+    ``keep_pct`` percent — the "threshold at the P-th percentile" gate
+    under quality-classifier filtering (DCLM/fasttext pipelines keep the
+    top-p% by classifier score, not score > const).
+
+    EXACT at scale without a global sort: integer scores collapse to a
+    score histogram (one shuffle keyed by ``score_col``, output rows =
+    distinct scores « corpus), the cumulative count from the top finds the
+    threshold on that metadata-scale table, and the threshold broadcasts
+    back as a 1-row join.  Tie policy: every doc at the threshold score is
+    kept (so ≥ ⌊N·p/100⌋ rows survive — deterministic, no row_number
+    lottery).  Fully lazy — the quota ⌊N·p/100⌋ is derived in-plan from
+    the histogram itself, no driver-side count.  ``keep_pct`` small enough
+    that ⌊N·p/100⌋ = 0 keeps nothing (floor semantics, like DCLM's
+    top-p%).
+    """
+    assert 0 <= keep_pct <= 100
+    hist = df.groupBy(score_col).agg(F.count("*").alias("n"))
+    # histogram is metadata-scale; the window runs over distinct scores,
+    # not the corpus (same budget class as the barrier id-sets)
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy(F.desc(score_col)).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    tot = hist.agg(F.sum("n").alias("n_total"))
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("cum") - F.col("n"))
+            < F.expr(f"(n_total * {int(keep_pct)}) div 100")
+        )
+        .agg(F.min(score_col).alias("thr"))
+    )
+    return df.join(F.broadcast(thr), F.col(score_col) >= F.col("thr"), "inner").drop(
+        "thr"
+    )

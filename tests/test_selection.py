@@ -1,0 +1,168 @@
+"""Targeted data selection (text/selection.py): DSIR importance weights
+against a pure-Python replay, ranking semantics, the zero-join scoring
+plan, and the exact percentile gate."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_dsir(docs, targets, dim, salt, frac_bits=10):
+    """Independent replay: bucket counts, add-one smoothed fixed-point
+    log-ratio, per-doc sum."""
+    from pharmacodi_spark.text.selection import ilog2_fp_int
+
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for i, text in docs:
+        for t in text.split():
+            if not t:
+                continue
+            b = _md5int(salt + t) % dim
+            cr[b] = cr.get(b, 0) + 1
+            if i in targets:
+                ct[b] = ct.get(b, 0) + 1
+    tr = sum(cr.values()) + dim
+    tt = sum(ct.values()) + dim
+    il = lambda x: ilog2_fp_int(x, frac_bits)
+    lam = {
+        b: il(ct.get(b, 0) + 1) - il(tt) - il(cr[b] + 1) + il(tr) for b in cr
+    }
+    return {
+        i: sum(lam[_md5int(salt + t) % dim] for t in text.split() if t)
+        for i, text in docs
+    }
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "der schnelle braune fuchs springt"),
+    (3, "the dog sleeps while the fox runs"),
+    (4, "le renard brun rapide saute"),
+    (5, "quick quick fox fox the the"),
+    (6, ""),
+]
+TARGETS = {1, 3, 5}  # the "english-like" seed
+
+
+def test_dsir_matches_python_replay(spark):
+    from pharmacodi_spark.text.selection import dsir_score, dsir_train_weights
+
+    dim, salt = 128, "t"
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lam = dsir_train_weights(df, F.col("doc_id").isin(*TARGETS), dim=dim, salt=salt)
+    got = {
+        r.doc_id: r.dsir_fp
+        for r in dsir_score(df, lam, dim=dim, salt=salt).collect()
+    }
+    want = _py_dsir(DOCS, TARGETS, dim, salt)
+    assert got == want, (got, want)
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Every target-seed doc shares vocabulary with doc 5's token multiset;
+    the French/German docs share none — DSIR must rank the in-domain docs
+    strictly above the out-of-domain ones."""
+    from pharmacodi_spark.text.selection import dsir_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    ranked = [
+        r.doc_id
+        for r in dsir_topk(
+            df, F.col("doc_id").isin(*TARGETS), k=6, dim=128, salt="t"
+        ).collect()
+    ]
+    top3 = set(ranked[:3])
+    assert top3 == TARGETS, ranked
+    assert ranked.index(6) > 2  # empty doc scores 0, never first
+
+
+def test_dsir_scoring_plan_is_zero_join(spark):
+    """The λ vector rides as an array literal — scoring must compile with
+    no Join operator and no Exchange (the corpus never leaves its scan)."""
+    from pharmacodi_spark.text.selection import dsir_score
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = dsir_score(df, [0] * 64, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_percentile_gate_exact_with_ties(spark):
+    from pharmacodi_spark.text.selection import percentile_gate
+
+    rows = [(i, s) for i, s in enumerate([10, 20, 20, 30, 40, 40, 40, 50, 60, 70])]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    # top 30% of 10 rows → quota 3 → threshold = 3rd-highest score = 50
+    kept = sorted(r.score for r in percentile_gate(df, "score", 30).collect())
+    assert kept == [50, 60, 70]
+    # quota lands inside the 40-tie block → all ties kept
+    kept = sorted(r.score for r in percentile_gate(df, "score", 50).collect())
+    assert kept == [40, 40, 40, 50, 60, 70]
+    # floor semantics: p small enough that quota = 0 keeps nothing
+    assert percentile_gate(df, "score", 5).count() == 0
+    # p = 100 keeps everything
+    assert percentile_gate(df, "score", 100).count() == len(rows)
+
+
+def test_tokenizer_fertility_counts(spark):
+    from pharmacodi_spark.text.analysis import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "a"),      # 2 words, 2 tokens, 11 chars
+            (2, "can't stop", "a"),       # 2 words, 4 tokens (can ' t stop)
+            (3, "", "b"),                 # empty
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in tokenizer_fertility(df).collect()}
+    a = out["a"]
+    assert (a.n_docs, a.n_words, a.n_tokens) == (2, 4, 6)
+    assert a.tokens_per_100_words == 150  # 6*100 // 4
+    b = out["b"]
+    assert (b.n_words, b.n_tokens, b.n_chars) == (0, 0, 0)
+    assert b.tokens_per_100_words == 0  # greatest(n,1) guard, no div-by-zero
+
+
+def test_length_buckets_pow2_and_waste(spark):
+    from pharmacodi_spark.text.packing import length_buckets
+
+    texts = {1: "a", 2: "a b", 3: "a b c d", 4: "a b c d e", 5: ""}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {r.bucket_len: r for r in length_buckets(df).collect()}
+    # n=1 and n=0 → bucket 1; n=2 → 2; n=4 → 4; n=5 → 8
+    assert out[1].n_docs == 2 and out[1].pad_tokens == 1
+    assert out[2].n_docs == 1 and out[2].pad_tokens == 0
+    assert out[4].efficiency_pct == 100
+    assert out[8].n_tokens == 5 and out[8].pad_tokens == 3
+    assert out[8].efficiency_pct == 62  # floor(500/8)
+    # max_len clamps before binning
+    capped = {r.bucket_len: r for r in length_buckets(df, max_len=2).collect()}
+    assert set(capped) == {1, 2} and capped[2].n_docs == 3
+
+
+def test_dedup_attribution_blames_the_dropping_source(spark):
+    from pharmacodi_spark.text.dedup import dedup_attribution
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "orig"),
+            (2, "same text", "mirror"),   # duplicate, higher id → dropped
+            (3, "same text", "mirror"),
+            (4, "unique here", "mirror"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in dedup_attribution(df).collect()}
+    assert out["orig"].rows_kept == 1 and out["orig"].dup_ppm == 0
+    assert out["mirror"].rows_in == 3 and out["mirror"].rows_kept == 1
+    assert out["mirror"].dup_ppm == 666_666  # floor(2e6/3)
