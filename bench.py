@@ -111,6 +111,10 @@ HEADLINE = HEADLINE_R1 + [
     "quality_classifier_score",
     "bigram_surprisal",
     "hybrid_rrf_topk",
+    # round-6 selection batch: DSIR importance selection and the exact
+    # global percentile gate (the post-cleaning "what do we train on" stage)
+    "dsir_select",
+    "quality_percentile_gate",
 ]
 
 

@@ -42,6 +42,16 @@ CASES = [
      "stage barriers keep the cascade broadcast-only"),
     ("curation_pipeline", r"Scan ExistingRDD", True,
      "survivor-id checkpoints exist between stages"),
+    ("dsir_select", r"TakeOrderedAndProject", True,
+     "DSIR selection is per-partition heaps, not a global sort"),
+    ("dsir_select", r"SortMergeJoin", False,
+     "λ rides as a literal — no join anywhere in train or score"),
+    ("quality_percentile_gate", r"SortMergeJoin", False,
+     "threshold broadcasts back; the corpus never sort-merge-joins"),
+    ("tokenizer_fertility", r"\bGenerate\b", False,
+     "fertility counts are per-row native exprs — no explode"),
+    ("length_buckets", r"\bGenerate\b", False,
+     "bucket binning is per-row native exprs — no explode"),
 ]
 
 

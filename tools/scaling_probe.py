@@ -252,6 +252,28 @@ def ops(spark, mult: int) -> dict[str, float]:
             docs.withColumn("source", (F.col("doc_id") % 8).cast("string"))
         )
     )
+
+    # round-6 selection batch: DSIR (≤dim-row training shuffle + zero-shuffle
+    # λ-literal scoring), the exact histogram percentile gate, and the three
+    # observability rollups — all expected ~linear (per-row native exprs +
+    # domain-cardinality aggregates)
+    from pharmacodi_spark.text.analysis import tokenizer_fertility
+    from pharmacodi_spark.text.dedup import dedup_attribution
+    from pharmacodi_spark.text.packing import length_buckets
+    from pharmacodi_spark.text.selection import dsir_topk, percentile_gate
+
+    out["dsir_select"] = timed(
+        lambda: dsir_topk(docs, F.col("doc_id") % 5 == 0, k=50, dim=1024)
+    )
+    out["percentile_gate"] = timed(
+        lambda: percentile_gate(
+            docs.select("doc_id", F.length("text").alias("nc")), "nc", 30
+        )
+    )
+    srctext = docs.withColumn("source", (F.col("doc_id") % 8).cast("string"))
+    out["tokenizer_fertility"] = timed(lambda: tokenizer_fertility(srctext))
+    out["length_buckets"] = timed(lambda: length_buckets(docs))
+    out["dedup_attribution"] = timed(lambda: dedup_attribution(srctext))
     return out
 
 
