@@ -232,3 +232,91 @@ def dedup_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     prefix = F.array_join(F.slice(toks, 1, 20), " ")
     return dedup_attribution(d, key=prefix)
+
+
+# ---------------------------------------------------------------------------
+# Source signatures (text/corpus.py) + embedding prototypicality
+# (text/selection.py) — corpus understanding and pruning scores
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "source_signature_terms",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    sfq AS (SELECT term, count(*) AS sf FROM tf GROUP BY 1),
+    ng AS (SELECT count(DISTINCT source) AS s FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+             CAST(tf.tf * ({_il("ng.s")} - {_il("sfq.sf")}) AS BIGINT)
+               AS ctfidf_fp
+      FROM tf JOIN sfq USING (term), ng
+    )
+    SELECT source, term, tf, ctfidf_fp, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY ctfidf_fp DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def source_signature_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF signature terms per source (text/corpus.py::
+    source_signature_terms, BERTopic shape): top-5 most distinctive terms
+    per origin under tf·(il(S)−il(sf)) fixed-point scoring — terms in
+    every source score exactly 0. Token stream collapses map-side to
+    (source, term) counts; ranking runs on the vocab-scale table."""
+    from pharmacodi_spark.text.corpus import source_signature_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return source_signature_terms(d, k=5)
+
+
+@q(
+    "embedding_prototypicality",
+    """
+    WITH qv AS (
+      SELECT label, vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    u AS (
+      SELECT label,
+             unnest(list_transform(generate_series(1, len(q)),
+               i -> {'pos': i, 'v': q[i]})) AS e
+      FROM qv
+    ),
+    s AS (
+      SELECT label, e.pos AS pos, sum(e.v) AS s, count(*) AS n
+      FROM u GROUP BY 1, 2
+    ),
+    sl AS (
+      SELECT label, list(s ORDER BY pos) AS sarr, max(n) AS n
+      FROM s GROUP BY 1
+    )
+    SELECT qv.label, qv.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, len(qv.q)),
+                i -> (sl.n * qv.q[i] - sl.sarr[i])
+                     * (sl.n * qv.q[i] - sl.sarr[i]))) AS BIGINT)
+             AS dist2_scaled
+    FROM qv JOIN sl USING (label)
+    """,
+)
+def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning scores (text/selection.py::prototypicality,
+    Sorscher et al. 2022): all-integer ‖n·q − S‖² distance from the
+    own-group centroid, no ratio ever materializes. Group sums are
+    (groups × dim) index metadata collected once; scoring is a
+    zero-shuffle fold over the map literal."""
+    from pharmacodi_spark.text.selection import prototypicality
+
+    e = _t(spark, sf_dir, "embeddings")
+    return prototypicality(e)

@@ -354,3 +354,53 @@ def bigram_surprisal(
         F.sum("bits").cast("long").alias("sum_bits"),
         (F.sum("bits") / F.count("*")).alias("mean_bits"),
     )
+
+
+def source_signature_terms(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    content_col: str = "text",
+    frac_bits: int = 10,
+) -> DataFrame:
+    """Class-TF-IDF signature terms (the BERTopic c-TF-IDF shape): the k
+    most DISTINCTIVE terms per origin — high frequency inside the group,
+    present in few other groups.  The what-is-this-source-actually-made-of
+    table a curation report prints next to the quality rollup (a "news"
+    source whose signature terms are casino vocabulary is mislabeled).
+
+    Score = ``tf_group · (il(S) − il(sf))`` where S = number of groups,
+    sf = groups containing the term, and ``il`` is the fixed-point integer
+    log2 (retrieval.ilog2_fp) — so a term in every group scores exactly 0
+    and every engine agrees bit-for-bit.  Ties → lexicographic term.
+
+    Scale shape: the token stream collapses map-side to (group, term)
+    counts — the only fact-scale shuffle; group-frequency and the
+    per-group top-k ranking run on the vocab-scale count table (second
+    shuffle keyed by term, window partitioned by the domain-cardinality
+    group)."""
+    from pharmacodi_spark.text.retrieval import ilog2_fp
+
+    toks = _tokens(df, content_col, group_col).withColumnRenamed(
+        "token", "term"
+    )
+    tf = toks.groupBy(group_col, "term").agg(F.count("*").alias("tf"))
+    sf = tf.groupBy("term").agg(F.count("*").alias("sf"))
+    n_groups = df.select(group_col).distinct().count()
+    idf = ilog2_fp(F.lit(int(n_groups)), frac_bits) - ilog2_fp(
+        F.col("sf"), frac_bits
+    )
+    scored = tf.join(sf, "term").select(
+        group_col,
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        (F.col("tf") * idf).cast("long").alias("ctfidf_fp"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("ctfidf_fp"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

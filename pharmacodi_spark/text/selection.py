@@ -205,3 +205,76 @@ def percentile_gate(
     return df.join(F.broadcast(thr), F.col(score_col) >= F.col("thr"), "inner").drop(
         "thr"
     )
+
+
+def prototypicality(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototypicality scoring for embedding-space data pruning (Sorscher
+    et al. 2022, "Beyond neural scaling laws"): distance of every example
+    from its group centroid — far-from-centroid examples are the hard /
+    outlier candidates (keep under data pruning), near-centroid ones the
+    prototypical redundant mass (drop first at high pruning rates).
+
+    EXACT cross-engine math: vectors quantize to integers
+    (``floor(x·scale + 0.5)``) and the centroid never materializes as a
+    ratio — the score is ``‖n·q − S‖²`` (n = group size, S = group
+    integer sum), an all-integer expansion of n²·‖q − S/n‖², monotone in
+    the true distance within each group.
+
+    Scale shape (100 TB): the per-group sums are (groups × dim) integers —
+    index metadata, like ANN centroids — collected once and shipped back
+    as ONE map literal; scoring is then a ZERO-shuffle native fold (the
+    embeddings never leave their scan partitions).  Int64 bound:
+    ``dim·(n·scale)²`` — safe past 10⁸ rows per group at scale=10⁴,
+    dim≤64; shrink ``scale`` beyond that.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    sums = (
+        df.select(F.col(group_col), F.posexplode(q).alias("pos", "qv"))
+        .groupBy(group_col, "pos")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in sums:
+        g = by_group.setdefault(r[group_col], {"n": r["n"], "s": {}})
+        g["s"][r["pos"]] = r["s"]
+    smap = F.create_map(
+        *[
+            c
+            for g, v in sorted(by_group.items())
+            for c in (
+                F.lit(g),
+                F.array(
+                    *[F.lit(int(v["s"][p])) for p in range(len(v["s"]))]
+                ),
+            )
+        ]
+    )
+    nmap = F.create_map(
+        *[
+            c
+            for g, v in sorted(by_group.items())
+            for c in (F.lit(g), F.lit(int(v["n"])))
+        ]
+    )
+    n = F.element_at(nmap, F.col(group_col))
+    s_arr = F.element_at(smap, F.col(group_col))
+    dist2 = F.aggregate(
+        F.zip_with(q, s_arr, lambda x, s: (n * x - s) * (n * x - s)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        dist2.cast("long").alias("dist2_scaled"),
+    )

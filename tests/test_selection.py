@@ -166,3 +166,59 @@ def test_dedup_attribution_blames_the_dropping_source(spark):
     assert out["orig"].rows_kept == 1 and out["orig"].dup_ppm == 0
     assert out["mirror"].rows_in == 3 and out["mirror"].rows_kept == 1
     assert out["mirror"].dup_ppm == 666_666  # floor(2e6/3)
+
+
+def test_prototypicality_python_replay_and_plan(spark):
+    from pharmacodi_spark.text.selection import prototypicality
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.1, 0.1], 0),
+        (3, [5.0, 5.0], 0),   # far from group-0 centroid → outlier
+        (4, [0.0, 2.0], 1),
+        (5, [0.0, 2.2], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = prototypicality(df, id_col="vec_id")
+    got = {r.vec_id: r.dist2_scaled for r in out.collect()}
+
+    import collections
+    q = {i: [int((x * 10_000 + 0.5) // 1) for x in v] for i, v, _ in rows}
+    groups = collections.defaultdict(list)
+    for i, _, g in rows:
+        groups[g].append(i)
+    for g, ids in groups.items():
+        n = len(ids)
+        s = [sum(q[i][p] for i in ids) for p in range(2)]
+        for i in ids:
+            want = sum((n * q[i][p] - s[p]) ** 2 for p in range(2))
+            assert got[i] == want, (i, got[i], want)
+    # the planted outlier dominates its group
+    g0 = sorted(groups[0], key=lambda i: -got[i])
+    assert g0[0] == 3
+    # scoring plan: map-literal fold — no join, no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_source_signature_terms_semantics(spark):
+    from pharmacodi_spark.text.corpus import source_signature_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common casino jackpot", "gamble"),
+            (2, "common casino slots", "gamble"),
+            (3, "common election senate", "news"),
+            (4, "common election court", "news"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = source_signature_terms(df, k=2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # 'common' appears in both sources → ctfidf exactly 0, never ranked
+    assert all(r.term != "common" for r in out)
+    assert by_src["gamble"][0].term == "casino"  # tf 2, distinctive
+    assert by_src["news"][0].term == "election"
+    assert all(r.ctfidf_fp > 0 for r in out)
