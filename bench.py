@@ -115,6 +115,8 @@ HEADLINE = HEADLINE_R1 + [
     # global percentile gate (the post-cleaning "what do we train on" stage)
     "dsir_select",
     "quality_percentile_gate",
+    "selection_pipeline",
+    "source_overlap_minhash",
 ]
 
 

@@ -320,3 +320,139 @@ def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return prototypicality(e)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source overlap (text/dedup.py::source_overlap_minhash)
+# ---------------------------------------------------------------------------
+
+_SO_K = 32
+_SO_DIGESTS = "".join(
+    f",\n             md5('so{j}:' || sh) AS m{j}" for j in range(_SO_K // 4)
+)
+_SO_MINS = ",\n             ".join(
+    f"min(CAST(('0x' || substr(m{i // 4}, {1 + 8 * (i % 4)}, 8)) AS BIGINT))"
+    f" AS h{i}"
+    for i in range(_SO_K)
+)
+_SO_MATCH = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_SO_K)
+)
+
+
+@q(
+    "source_overlap_minhash",
+    f"""
+    WITH sh AS (
+      SELECT source, array_to_string(toks[i:i+4], ' ') AS sh
+      FROM (SELECT source, toks,
+                   unnest(generate_series(1, greatest(len(toks)-4, 1))) AS i
+            FROM (SELECT source, string_split(text, ' ') AS toks
+                  FROM documents))
+    ),
+    d AS (
+      SELECT source{_SO_DIGESTS}
+      FROM sh
+    ),
+    sig AS (
+      SELECT source,
+             {_SO_MINS}
+      FROM d GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST({_SO_MATCH} AS BIGINT) AS matching_seeds,
+           CAST((({_SO_MATCH}) * 1000000) // {_SO_K} AS BIGINT)
+             AS est_jaccard_ppm
+    FROM sig a JOIN sig b ON a.source < b.source
+    """,
+)
+def source_overlap_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair overlap matrix (text/dedup.py::source_overlap_minhash):
+    MinHash-estimated Jaccard between the shingle sets of every origin
+    pair — the mirror detector. One fact-scale stage (shingle explode →
+    map-side-collapsing k-min aggregate keyed by source); the pair matrix
+    runs on the groups × k metadata table."""
+    from pharmacodi_spark.text.dedup import source_overlap_minhash
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap_minhash(d, num_hashes=_SO_K)
+
+
+# ---------------------------------------------------------------------------
+# Targeted-selection E2E (text/selection.py::selection_pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_sql(src: str, dim: int, salt: str) -> str:
+    """DSIR CTE chain over an arbitrary source CTE (columns doc_id, text,
+    lang) — the oracle twin of dsir_train_weights + dsir_score."""
+    return f"""
+    tok AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM {src}
+    ),
+    bk AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substr(md5('{salt}' || token), 1, 15))
+                  AS BIGINT) % {dim} AS bucket
+      FROM tok
+    ),
+    cc AS (
+      SELECT bucket, count(*) AS cr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      FROM bk GROUP BY 1
+    ),
+    tot2 AS (
+      SELECT sum(cr) + {dim} AS tr, sum(ct) + {dim} AS tt FROM cc
+    ),
+    lam AS (
+      SELECT bucket,
+             ({_il("ct + 1")} - {_il("tt")}
+              - {_il("cr + 1")} + {_il("tr")}) AS lam
+      FROM cc, tot2
+    ),
+    sc AS (
+      SELECT bk.doc_id, count(*) AS n_tokens, sum(lam.lam) AS dsir_fp
+      FROM bk JOIN lam USING (bucket) GROUP BY 1
+    )"""
+
+
+@q(
+    "selection_pipeline",
+    f"""
+    WITH h AS (SELECT n_chars AS score, count(*) AS n
+               FROM documents GROUP BY 1),
+    c AS (SELECT score, n,
+                 sum(n) OVER (ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h),
+    tot AS (SELECT sum(n) AS nt FROM h),
+    thr AS (SELECT min(score) AS thr FROM c, tot
+            WHERE cum - n < (nt * 70) // 100),
+    surv AS (SELECT d.doc_id, d.text, d.lang
+             FROM documents d, thr WHERE d.n_chars >= thr.thr),
+    {_dsir_sql("surv", _DSIR_DIM, _DSIR_SALT)}
+    SELECT surv.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sc.dsir_fp, 0) AS BIGINT) AS dsir_fp
+    FROM surv LEFT JOIN sc USING (doc_id)
+    ORDER BY dsir_fp DESC, surv.doc_id
+    LIMIT 200
+    """,
+)
+def selection_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-selection E2E (text/selection.py::selection_pipeline):
+    exact top-70% percentile gate on n_chars → survivor-id stage barrier
+    → DSIR (λ trained on the survivors, target lang='en') → top-200.
+    DSIR consumes the survivors twice, so the gate's id set is pinned
+    (stage_barrier) and both passes broadcast-join fresh pruned scans —
+    the anti-plan-blowup discipline from the curation cascade."""
+    from pharmacodi_spark.text.selection import selection_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    return selection_pipeline(
+        d, target=F.col("lang") == "en", keep_pct=70, k=200,
+        dim=_DSIR_DIM, salt=_DSIR_SALT,
+    )

@@ -746,3 +746,74 @@ def dedup_attribution(
             .alias("dup_ppm"),
         )
     )
+
+
+def source_overlap_minhash(
+    df: DataFrame,
+    group_col: str = "source",
+    content_col: str = "text",
+    num_hashes: int = 32,
+    shingle_len: int = 5,
+    salt: str = "so",
+) -> DataFrame:
+    """Corpus-level overlap matrix: MinHash-estimated Jaccard similarity
+    between the shingle SETS of every pair of origins — the
+    are-these-two-sources-mirrors diagnostic (a high off-diagonal entry
+    means one "source" largely re-hosts another, and per-source token
+    budgets double-count it).
+
+    Single-permutation-per-seed MinHash at GROUP granularity: per
+    (group, seed) the min of an md5-slice hash over every shingle the
+    group contains (set semantics — duplicated shingles collapse in the
+    min).  ``est_jaccard_ppm`` = matching seeds · 10⁶ / num_hashes,
+    integer floor.  md5 slices (not xxhash64) keep the whole op
+    oracle-expressible.
+
+    Scale shape (100 TB): ONE fact-scale stage — shingle explode feeding
+    a groupBy(``group_col``) whose k min-aggregates collapse map-side, so
+    the shuffle carries (group, k longs) partial rows; everything after
+    (the pair matrix) runs on a groups × k table — pure metadata.  The
+    quadratic term is group-pairs, not documents.
+    """
+    n_digests = (num_hashes + 3) // 4
+    shing = df.select(
+        F.col(group_col), F.explode(_shingle_col(content_col, shingle_len)).alias("sh")
+    ).select(
+        group_col,
+        # one md5 per 4 hash families (32-bit hex slices), computed in an
+        # explicit projection so each digest is evaluated once per shingle
+        *[
+            F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col("sh"))).alias(f"m{j}")
+            for j in range(n_digests)
+        ],
+    )
+    aggs = [
+        F.min(
+            F.conv(F.substring(F.col(f"m{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10)
+            .cast("long")
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = shing.groupBy(group_col).agg(*aggs)
+    harr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    slim = sigs.select(F.col(group_col).alias("g"), harr.alias("hs"))
+    a, b = slim.alias("a"), slim.alias("b")
+    matching = F.aggregate(
+        F.zip_with(
+            F.col("a.hs"), F.col("b.hs"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + m,
+    )
+    return (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .select(
+            F.col("a.g").alias("src_a"),
+            F.col("b.g").alias("src_b"),
+            matching.alias("matching_seeds"),
+            F.expr(f"(matching_seeds * 1000000) div {num_hashes}")
+            .cast("long")
+            .alias("est_jaccard_ppm"),
+        )
+    )

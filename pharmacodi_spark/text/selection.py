@@ -278,3 +278,51 @@ def prototypicality(
         F.col(id_col),
         dist2.cast("long").alias("dist2_scaled"),
     )
+
+
+def selection_pipeline(
+    df: DataFrame,
+    target: Column,
+    score_col: str = "n_chars",
+    keep_pct: int = 70,
+    k: int = 200,
+    dim: int = 1024,
+    salt: str = "d",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    barrier: str = "local",
+    barrier_dir: str | None = None,
+) -> DataFrame:
+    """Two-stage targeted-selection E2E: the exact global percentile gate
+    (drop the bottom ``100−keep_pct``% by ``score_col``) feeding DSIR
+    importance selection TRAINED ON THE SURVIVORS — the realistic order
+    (quality-gate first so junk doesn't pollute the raw-distribution side
+    of the importance ratio), ending in the k most target-like documents.
+
+    Stage boundary discipline (the round-5 lesson): DSIR consumes the
+    survivor set TWICE (λ training pass + scoring pass), so the gate's
+    survivor-id set is pinned with :func:`pharmacodi_spark.barrier.
+    stage_barrier` (``barrier=`` / ``barrier_dir=`` thread through) and
+    both passes broadcast-join a fresh pruned scan against it — lazily
+    composing would re-expand the histogram-threshold subplan per pass.
+
+    Output: ``(id_col, n_tokens, dsir_fp)`` for the k selected docs.
+    """
+    from pharmacodi_spark.barrier import stage_barrier
+
+    gated = percentile_gate(
+        df.select(F.col(id_col), F.col(score_col)), score_col, keep_pct,
+        id_col=id_col,
+    )
+    ids = stage_barrier(
+        gated.select(id_col), mode=barrier, name="selection-gate",
+        barrier_dir=barrier_dir,
+    )
+    surv = df.join(F.broadcast(ids), id_col, "inner")
+    lam = dsir_train_weights(
+        surv, target, dim=dim, salt=salt, content_col=content_col
+    )
+    scored = dsir_score(
+        surv, lam, dim=dim, salt=salt, content_col=content_col, id_col=id_col
+    )
+    return scored.orderBy(F.desc("dsir_fp"), F.asc(id_col)).limit(k)

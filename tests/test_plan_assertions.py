@@ -50,6 +50,10 @@ CASES = [
      "threshold broadcasts back; the corpus never sort-merge-joins"),
     ("tokenizer_fertility", r"\bGenerate\b", False,
      "fertility counts are per-row native exprs — no explode"),
+    ("selection_pipeline", r"SortMergeJoin", False,
+     "gate survivors broadcast back — the corpus never sort-merge-joins"),
+    ("selection_pipeline", r"Scan ExistingRDD", True,
+     "the gate's survivor-id set is barrier-pinned before DSIR's two passes"),
     ("length_buckets", r"\bGenerate\b", False,
      "bucket binning is per-row native exprs — no explode"),
 ]

@@ -222,3 +222,54 @@ def test_source_signature_terms_semantics(spark):
     assert by_src["gamble"][0].term == "casino"  # tf 2, distinctive
     assert by_src["news"][0].term == "election"
     assert all(r.ctfidf_fp > 0 for r in out)
+
+
+def test_source_overlap_minhash_detects_mirrors(spark):
+    from pharmacodi_spark.text.dedup import source_overlap_minhash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(10):
+        body = f"{base} tail{i} filler{i} pad{i} end{i}"
+        rows.append((i, body, "orig"))
+        rows.append((100 + i, body, "mirror"))          # exact re-host
+        rows.append((200 + i, f"uno dos tres cuatro cinco seis w{i} x{i} y{i} z{i}", "other"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        tuple(sorted((r.src_a, r.src_b))): r.est_jaccard_ppm
+        for r in source_overlap_minhash(df, num_hashes=32).collect()
+    }
+    # identical shingle sets → every seed matches
+    assert out[("mirror", "orig")] == 1_000_000
+    assert out[("mirror", "other")] < 200_000
+    assert out[("orig", "other")] < 200_000
+
+
+def test_selection_pipeline_durable_barrier_equivalence(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from pharmacodi_spark.text.selection import selection_pipeline
+
+    rows = [
+        (i,
+         ("the quick brown fox " * 3 if i % 2 else "der schnelle fuchs lauf ") + f"tail{i}",
+         "en" if i % 2 else "de",
+         40 + (i % 7) * 10)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    kw = dict(target=SF.col("lang") == "en", keep_pct=50, k=10, dim=128, salt="s")
+    local = selection_pipeline(df, **kw).collect()
+    durable = selection_pipeline(
+        df, barrier="durable", barrier_dir=str(tmp_path), **kw
+    ).collect()
+    assert local == durable
+    # gate-then-train is visible: every selected doc survived the gate
+    from pharmacodi_spark.text.selection import percentile_gate
+
+    surv = {r.doc_id for r in percentile_gate(
+        df.select("doc_id", "n_chars"), "n_chars", 50).collect()}
+    assert {r.doc_id for r in local} <= surv
+    # target-language docs dominate the selection
+    langs = {i: l for i, _, l, _ in rows}
+    assert sum(langs[r.doc_id] == "en" for r in local) >= 8

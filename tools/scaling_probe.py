@@ -258,9 +258,13 @@ def ops(spark, mult: int) -> dict[str, float]:
     # observability rollups — all expected ~linear (per-row native exprs +
     # domain-cardinality aggregates)
     from pharmacodi_spark.text.analysis import tokenizer_fertility
-    from pharmacodi_spark.text.dedup import dedup_attribution
+    from pharmacodi_spark.text.dedup import dedup_attribution, source_overlap_minhash
     from pharmacodi_spark.text.packing import length_buckets
-    from pharmacodi_spark.text.selection import dsir_topk, percentile_gate
+    from pharmacodi_spark.text.selection import (
+        dsir_topk,
+        percentile_gate,
+        selection_pipeline,
+    )
 
     out["dsir_select"] = timed(
         lambda: dsir_topk(docs, F.col("doc_id") % 5 == 0, k=50, dim=1024)
@@ -274,6 +278,17 @@ def ops(spark, mult: int) -> dict[str, float]:
     out["tokenizer_fertility"] = timed(lambda: tokenizer_fertility(srctext))
     out["length_buckets"] = timed(lambda: length_buckets(docs))
     out["dedup_attribution"] = timed(lambda: dedup_attribution(srctext))
+    out["source_overlap_minhash"] = timed(
+        lambda: source_overlap_minhash(srctext, num_hashes=32)
+    )
+    langd = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("xx")
+    ).withColumn("n_chars", F.length("text"))
+    out["selection_pipeline"] = timed(
+        lambda: selection_pipeline(
+            langd, F.col("lang") == "en", keep_pct=70, k=200, dim=1024
+        )
+    )
     return out
 
 
