@@ -105,8 +105,15 @@ _DRIVER_WINDOW = [
     # r5 continuation: the four freed slots go to the new capabilities —
     # fixed-point BM25 retrieval, the int8 zero-shuffle ANN probe, the
     # epoch-shuffle byte-budget sharder, and CCNet-style passage dedup
-    "bm25_topk", "ann_int8_topk", "training_shuffle_shards",
-    "passage_dedup",
+    # (r6 late rotation: ann_int8_topk out — the max-abs probe is the
+    # strictly-weaker sibling of the in-window ann_int8_l2_topk (same
+    # quantize/de-scale machinery, same zero-Exchange plan) and the
+    # re-rank baseline inside ann_ivf_pq_topk; passage_dedup out — the
+    # CCNet passage-dedup stage runs INSIDE the in-window
+    # curation_pipeline (stage 3) and its first-owner variant anchors the
+    # in-window incremental_curation. Both keep oracle rows in the
+    # driver-sim + pytest mirror.)
+    "bm25_topk", "training_shuffle_shards",
     # r6: the freed slots earn hard driver-green rows for the
     # diagnose-then-act skew loop (profile + strategy pick), the
     # l2-normalized near-exact int8 probe, and the curation audit funnel
@@ -116,6 +123,10 @@ _DRIVER_WINDOW = [
     # flagships — ExactSubstr substring dedup (detect+trim) and the
     # streaming-curation batch anchor (first-owner passage semantics)
     "substring_dedup_trim", "incremental_curation",
+    # r6 late: the two freed slots give hard driver rows to the selection
+    # batch's flagships — DSIR importance selection and the gate→barrier→
+    # DSIR targeted-selection E2E
+    "dsir_select", "selection_pipeline",
 ]
 
 
