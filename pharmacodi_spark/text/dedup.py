@@ -776,7 +776,16 @@ def source_overlap_minhash(
     quadratic term is group-pairs, not documents.
     """
     n_digests = (num_hashes + 3) // 4
-    shing = df.select(
+    # shingle+md5 is the dominant CPU term; a small-file scan can arrive as
+    # ONE partition and serialize it. Round-robin (NOT by group: only
+    # #groups partitions would fill) — min is commutative, so partitioning
+    # doesn't affect results; at corpus scale the scan is already split and
+    # this no-ops.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(group_col), F.col(content_col))
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    shing = base.select(
         F.col(group_col), F.explode(_shingle_col(content_col, shingle_len)).alias("sh")
     ).select(
         group_col,

@@ -83,8 +83,14 @@ def dsir_train_weights(
     The collect is bounded: ≤ ``dim`` rows of three longs (same budget
     class as ANN centroid matrices)."""
     assert dim >= 1
-    toks = df.select(
-        target.alias("is_t"),
+    # token explode + md5 bucketing is the CPU term; spread a single-split
+    # scan before it (no-op at corpus scale — see dedup.repeated_spans)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(target.alias("is_t"), F.col(content_col))
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    toks = base.select(
+        "is_t",
         F.explode(
             F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
         ).alias("tok"),
