@@ -805,7 +805,15 @@ def source_overlap_minhash(
     ]
     sigs = shing.groupBy(group_col).agg(*aggs)
     harr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
-    slim = sigs.select(F.col(group_col).alias("g"), harr.alias("hs"))
+    # the pair matrix references the signature table TWICE (a/b sides of
+    # the self-join); pin the groups × k result — pure metadata — so the
+    # fact-scale shingle+hash stage runs once, not per side
+    from pharmacodi_spark.barrier import stage_barrier
+
+    slim = stage_barrier(
+        sigs.select(F.col(group_col).alias("g"), harr.alias("hs")),
+        name="source-overlap-sigs",
+    )
     a, b = slim.alias("a"), slim.alias("b")
     matching = F.aggregate(
         F.zip_with(

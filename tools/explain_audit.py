@@ -353,6 +353,76 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"hashpartitioning\(text#", False,
          "no exchange is keyed by the document body"),
     ],
+    "dsir_select": [
+        (r"\bJoin\b", False,
+         "λ rides as ONE array literal: training collects ≤dim bucket "
+         "rows (index metadata), scoring is an element_at fold — no join "
+         "anywhere in the final plan"),
+        (r"TakeOrderedAndProject", True,
+         "selection is per-partition heaps, not a global sort"),
+    ],
+    "quality_percentile_gate": [
+        (r"SortMergeJoin", False,
+         "the 1-row threshold broadcasts back (non-equi BNLJ); the corpus "
+         "never sort-merge-joins"),
+        (r"hashpartitioning\(n_chars#", True,
+         "the only fact-keyed exchange builds the distinct-score "
+         "histogram; the global window then runs over distinct scores, "
+         "not the corpus"),
+    ],
+    "selection_pipeline": [
+        (r"Scan ExistingRDD", True,
+         "the gate's survivor-id set is barrier-pinned before DSIR's two "
+         "passes — lazy composition would re-expand the histogram "
+         "threshold subplan per pass"),
+        (r"SortMergeJoin", False,
+         "survivors broadcast back into a fresh pruned scan"),
+    ],
+    "tokenizer_fertility": [
+        (r"\bGenerate\b", False,
+         "tokens/words/chars are counted with per-row native expressions "
+         "— the token arrays never explode"),
+        (r"partial_sum", True, "totals collapse map-side before the "
+         "domain-cardinality source aggregate"),
+    ],
+    "length_buckets": [
+        (r"\bGenerate\b", False, "pow2 binning is per-row native exprs"),
+        (r"partial_sum", True,
+         "bucket totals collapse map-side; the shuffle carries ≤ ~40 "
+         "bucket rows per task"),
+    ],
+    "dedup_attribution": [
+        (r"hashpartitioning\(__k#", True,
+         "the keeper window shuffles the 32-byte key hash, projected in "
+         "the scan stage"),
+        (r"hashpartitioning\(text#", False,
+         "document bodies never enter an exchange"),
+    ],
+    "source_overlap_minhash": [
+        (r"Scan ExistingRDD", True,
+         "the groups × k signature table is barrier-pinned so the "
+         "fact-scale shingle+hash stage runs once, not per self-join "
+         "side"),
+        (r"SortMergeJoin", False,
+         "the pair matrix is a nested-loop over the pinned metadata "
+         "table"),
+    ],
+    "embedding_prototypicality": [
+        (r"\bJoin\b", False,
+         "group sums ride as map literals — scoring is a zip_with fold "
+         "with no join"),
+        (r"\bExchange\b", False,
+         "zero-shuffle: the embeddings never leave their scan "
+         "partitions"),
+    ],
+    "source_signature_terms": [
+        (r"partial_count", True,
+         "(source, term) counts collapse map-side — the only fact-scale "
+         "shuffle"),
+        (r"SortMergeJoin", False,
+         "the sf join runs on the vocab-scale count table "
+         "(broadcast/hash)"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
