@@ -117,6 +117,7 @@ HEADLINE = HEADLINE_R1 + [
     "quality_percentile_gate",
     "selection_pipeline",
     "source_overlap_minhash",
+    "token_budget_report",
 ]
 
 

@@ -456,3 +456,57 @@ def selection_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, target=F.col("lang") == "en", keep_pct=70, k=200,
         dim=_DSIR_DIM, salt=_DSIR_SALT,
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-run token budget (text/selection.py::token_budget_report)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "token_budget_report",
+    """
+    WITH slim AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS nt,
+             md5(text) AS k
+      FROM documents
+    ),
+    f AS (
+      SELECT source, nt,
+             (row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1) AS keep
+      FROM slim
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS raw_docs,
+             CAST(sum(nt) AS BIGINT) AS raw_tokens,
+             CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+      FROM f GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS t FROM per)
+    SELECT source, raw_docs, raw_tokens, kept_tokens,
+           CAST(((raw_tokens - kept_tokens) * 1000000) // raw_tokens
+                AS BIGINT) AS dup_ppm,
+           least(1.0, 0.5 * sqrt(CAST(t AS DOUBLE))
+                       / sqrt(CAST(kept_tokens AS DOUBLE))) AS rate,
+           CAST(floor(least(1.0, 0.5 * sqrt(CAST(t AS DOUBLE))
+                             / sqrt(CAST(kept_tokens AS DOUBLE)))
+                      * CAST(kept_tokens AS DOUBLE)) AS BIGINT)
+             AS expected_tokens
+    FROM per, tot
+    """,
+)
+def token_budget_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-run planning table (text/selection.py::token_budget_report):
+    per-origin raw/deduped token mass, duplicate loss, the α=0.5
+    temperature sampling rate over KEPT tokens (sqrt/mult/div only —
+    bit-identical IEEE), and the expected token contribution. One corpus
+    pass: keeper window + token count share a (group, id, hash, int)
+    projection; the total is an integer window-sum over #groups rows."""
+    from pharmacodi_spark.text.selection import token_budget_report
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_report(d, budget_frac=0.5)

@@ -332,3 +332,70 @@ def selection_pipeline(
         surv, lam, dim=dim, salt=salt, content_col=content_col, id_col=id_col
     )
     return scored.orderBy(F.desc("dsir_fp"), F.asc(id_col)).limit(k)
+
+
+def token_budget_report(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    group_col: str = "source",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The training-run planning table: for every origin, how many tokens
+    it REALLY contributes after dedup and temperature mixing — raw size,
+    deduped size, duplicate loss, the α=0.5 temperature sampling rate, and
+    the expected token contribution.  This is the sheet a data lead reads
+    before committing a mixture (a source whose raw share is 30% but whose
+    expected share is 4% is being paid for storage, not training signal).
+
+    Per group: ``raw_docs``, ``raw_tokens``, ``kept_tokens`` (exact-dedup
+    min-id keeper, duplicate tokens attributed to the dropping origin),
+    ``dup_ppm``, ``rate`` = ``min(1, budget_frac·√T/√t_s)`` over KEPT
+    tokens (sqrt/mult/div only — correctly-rounded IEEE, bit-identical
+    across engines; the token-weighted ``temperature_mixture_sample``
+    law), and ``expected_tokens`` = ``floor(rate·t_s)``.
+
+    Scale shape: ONE pass over the corpus — the keeper window and the
+    token count ride the same (group, id, 32-byte hash, int) projection,
+    one shuffle keyed by the content hash, one aggregate keyed by the
+    domain-cardinality group; the corpus total is an integer window-sum
+    over the #groups rows (bounded metadata).  Bodies never shuffle.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    slim = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__nt"),
+        F.md5(F.col(content_col)).alias("__k"),
+    )
+    w = Window.partitionBy("__k").orderBy(F.col(id_col))
+    flagged = slim.withColumn("__keep", F.row_number().over(w) == 1)
+    per = flagged.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("raw_docs"),
+        F.sum("__nt").cast("long").alias("raw_tokens"),
+        F.sum(F.when(F.col("__keep"), F.col("__nt")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    total = F.sum("kept_tokens").over(Window.partitionBy()).cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_frac))
+        * F.sqrt(total)
+        / F.sqrt(F.col("kept_tokens").cast("double")),
+    )
+    return per.select(
+        group_col,
+        "raw_docs",
+        "raw_tokens",
+        "kept_tokens",
+        F.expr("((raw_tokens - kept_tokens) * 1000000) div raw_tokens")
+        .cast("long")
+        .alias("dup_ppm"),
+        rate.alias("rate"),
+        F.floor(rate * F.col("kept_tokens").cast("double"))
+        .cast("long")
+        .alias("expected_tokens"),
+    )

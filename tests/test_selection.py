@@ -273,3 +273,30 @@ def test_selection_pipeline_durable_barrier_equivalence(spark, tmp_path):
     # target-language docs dominate the selection
     langs = {i: l for i, _, l, _ in rows}
     assert sum(langs[r.doc_id] == "en" for r in local) >= 8
+
+
+def test_token_budget_report_invariants(spark):
+    import math
+
+    from pharmacodi_spark.text.selection import token_budget_report
+
+    rows = []
+    for i in range(40):          # big source with duplicates
+        rows.append((i, "alpha beta gamma" if i % 4 == 0 else f"text body {i}", "big"))
+    for i in range(100, 105):    # small source, unique docs
+        rows.append((i, f"tiny unique {i}", "small"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in token_budget_report(df, budget_frac=0.5).collect()}
+    big, small = out["big"], out["small"]
+    # dedup: 10 copies of the same 3-token doc keep one
+    assert big.raw_docs == 40 and big.kept_tokens == big.raw_tokens - 9 * 3
+    assert small.dup_ppm == 0
+    # temperature flattening: the small source samples at a HIGHER rate
+    assert small.rate > big.rate
+    assert small.rate <= 1.0 and big.rate <= 1.0
+    # expected tokens: exact IEEE replay
+    t = big.kept_tokens + small.kept_tokens
+    for r in (big, small):
+        want_rate = min(1.0, 0.5 * math.sqrt(t) / math.sqrt(r.kept_tokens))
+        assert r.rate == want_rate
+        assert r.expected_tokens == math.floor(want_rate * r.kept_tokens)

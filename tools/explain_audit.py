@@ -423,6 +423,17 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the sf join runs on the vocab-scale count table "
          "(broadcast/hash)"),
     ],
+    "token_budget_report": [
+        (r"hashpartitioning\(__k#", True,
+         "the keeper window and the token count share ONE projection — "
+         "the only fact-scale exchange is keyed by the 32-byte content "
+         "hash"),
+        (r"hashpartitioning\(text#", False,
+         "document bodies never enter an exchange"),
+        (r"\bJoin\b", False,
+         "the corpus total is an integer window-sum over the #groups "
+         "rows — no join anywhere"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan

@@ -289,6 +289,11 @@ def ops(spark, mult: int) -> dict[str, float]:
             langd, F.col("lang") == "en", keep_pct=70, k=200, dim=1024
         )
     )
+    from pharmacodi_spark.text.selection import token_budget_report
+
+    out["token_budget_report"] = timed(
+        lambda: token_budget_report(srctext, budget_frac=0.5)
+    )
     return out
 
 
