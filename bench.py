@@ -118,6 +118,7 @@ HEADLINE = HEADLINE_R1 + [
     "selection_pipeline",
     "source_overlap_minhash",
     "token_budget_report",
+    "lang_confusion",
 ]
 
 

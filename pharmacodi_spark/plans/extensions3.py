@@ -510,3 +510,66 @@ def token_budget_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return token_budget_report(d, budget_frac=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Language confusion audit (text/analysis.py::lang_confusion)
+# ---------------------------------------------------------------------------
+
+_LC_SW = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "un", "por", "con"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+}
+_LC_HITS = ",\n             ".join(
+    f"sum(CASE WHEN token IN ({', '.join(repr(s) for s in sws)}) "
+    f"THEN 1 ELSE 0 END) AS h_{lang}"
+    for lang, sws in _LC_SW.items()
+)
+
+
+@q(
+    "lang_confusion",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             {_LC_HITS}
+      FROM tok GROUP BY doc_id, lang
+    ),
+    p AS (
+      SELECT lang,
+             CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'unknown'
+                  WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr
+                    THEN 'en'
+                  WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+                  WHEN h_de >= h_fr THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM h
+    ),
+    r AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY 1, 2
+    )
+    SELECT lang, pred_lang, n_docs,
+           CAST((n_docs * 1000000) //
+                sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+    FROM r
+    """,
+)
+def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claimed-vs-detected language confusion (text/analysis.py::
+    lang_confusion): the stopword detector's argmax (dict-order
+    tie-break, zero hits → 'unknown') rolled into per-claimed-label ppm
+    shares — mislabeled-crawl audit. Detector is explode-free; the
+    rollup and share window run on label-cardinality² rows. The fixture's
+    'zh' rows (no detector coverage) surface as an 'unknown' block, not
+    silent pollution."""
+    from pharmacodi_spark.text.analysis import lang_confusion
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_confusion(d)

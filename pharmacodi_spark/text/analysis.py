@@ -367,3 +367,41 @@ def tokenizer_fertility(
             .alias("chars_per_100_tokens"),
         )
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    claimed_col: str = "lang",
+    content_col: str = "text",
+    stopwords: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Claimed-vs-detected language confusion rollup: run the stopword
+    language-ID (:func:`language_scores`) and aggregate into a confusion
+    table per claimed label — the catch-the-mislabeled-crawl audit (a
+    "de" source whose rows mostly detect as "en" was tagged by TLD, not
+    content; a language with no detector coverage shows up as a solid
+    ``unknown`` row rather than silently polluting another bucket).
+
+    Per (claimed, predicted): ``n_docs`` and ``share_ppm`` — the integer
+    parts-per-million share within the claimed label.
+
+    Scale shape: the per-doc detector is explode-free (filtered array
+    sizes in the scan stage); ONE aggregate keyed by the (claimed,
+    predicted) pair — label-cardinality² rows — then the share window
+    runs on that metadata-scale rollup.
+    """
+    scored = language_scores(df, content_col=content_col, stopwords=stopwords)
+    roll = scored.groupBy(F.col(claimed_col), F.col("pred_lang")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return roll.select(
+        F.col(claimed_col),
+        "pred_lang",
+        "n_docs",
+        F.expr(
+            f"(n_docs * 1000000) div sum(n_docs) over "
+            f"(partition by {claimed_col})"
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )

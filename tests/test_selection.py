@@ -300,3 +300,23 @@ def test_token_budget_report_invariants(spark):
         want_rate = min(1.0, 0.5 * math.sqrt(t) / math.sqrt(r.kept_tokens))
         assert r.rate == want_rate
         assert r.expected_tokens == math.floor(want_rate * r.kept_tokens)
+
+
+def test_lang_confusion_diagonal_and_unknown(spark):
+    from pharmacodi_spark.text.analysis import lang_confusion
+
+    rows = [
+        (1, "the cat is on the mat with a dog", "en"),
+        (2, "el perro y la casa de los gatos", "es"),
+        (3, "der hund und die katze ist mit", "de"),
+        (4, "le chien et les chats du parc", "fr"),
+        (5, "mislabeled the dog and the cat", "de"),   # claimed de, english text
+        (6, "zzz qqq xxx", "zh"),                      # no detector coverage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.lang, r.pred_lang): r for r in lang_confusion(df).collect()}
+    for l in ("en", "es", "fr"):
+        assert out[(l, l)].share_ppm == 1_000_000
+    assert out[("de", "de")].n_docs == 1 and out[("de", "en")].n_docs == 1
+    assert out[("de", "de")].share_ppm == 500_000
+    assert out[("zh", "unknown")].share_ppm == 1_000_000
