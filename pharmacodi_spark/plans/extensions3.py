@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pharmacodi_spark.plans.queries import q, _t
+from pharmacodi_spark.plans.queries import q, _rnd, _t
 
 _FP = 1 << 10  # 10 fractional bits, shared with retrieval.FP_BITS
 
@@ -573,3 +573,126 @@ def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return lang_confusion(d)
+
+
+# ---------------------------------------------------------------------------
+# Dedup observability: cluster-size distribution + threshold-tuning curve
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dup_cluster_histogram",
+    """
+    WITH RECURSIVE edges0 AS (
+      SELECT d.doc_id AS u, d.doc_id + 1 AS v
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE (d.doc_id + 1) % 5 != 0
+        AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 4 != 0
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def dup_cluster_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (text/clusters.py::
+    dup_cluster_histogram): CC over the deterministic fixture graph (the
+    near_dup_droplist chain fixture) rolled into (cluster_size,
+    n_clusters, n_docs) — separates "many mirrored pairs" from "one
+    boilerplate storm" and sizes the triangle-block cap. n_docs sums to
+    the corpus (singletons are size-1 rows). The oracle re-derives the
+    histogram through the recursive-CTE closure."""
+    from pharmacodi_spark.text.clusters import dup_cluster_histogram
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    nxt = (F.col("doc_id") + 1).alias("v")
+    knock = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 4 != 0
+    )
+    pairs = (
+        ids.select("doc_id", nxt)
+        .where((F.col("v") % 5 != 0) & knock)
+        .join(ids.select(F.col("doc_id").alias("v")), "v")
+        .select(F.col("doc_id").alias("doc_a"), F.col("v").alias("doc_b"))
+    )
+    return dup_cluster_histogram(ids, pairs)
+
+
+@q(
+    "neardup_threshold_histogram",
+    """
+    WITH un AS (
+      SELECT vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS qv,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE vec_id < 200
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+      FROM un a JOIN un b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n2
+              FROM un GROUP BY vec_id)
+    SELECT CAST(floor((CAST(d.dot AS DOUBLE)
+                       / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+                      * 20) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM dots d
+    JOIN norms na ON d.vec_a = na.vec_id
+    JOIN norms nb ON d.vec_b = nb.vec_id
+    GROUP BY 1
+    """,
+)
+def neardup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup threshold-tuning curve: the FULL pairwise cosine
+    histogram (0.05-wide bins, exact integer dot/norm math) over the
+    bounded brute-force referee window — read the valley between the
+    near-dup mode and the background mode to pick the dedup threshold,
+    instead of guessing 0.3. Same all-pairs referee scope as
+    embedding_near_dup (vec_id < 200); the scale path bins LSH/IVF
+    candidate pairs the same way."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    un = e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id",
+        "pos",
+        _rnd(F.col("val").cast("double") * 10000).cast("long").alias("qv"),
+    )
+    a, b = un.alias("a"), un.alias("b")
+    dots = (
+        a.join(b, on="pos")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("dot"))
+    )
+    norms = un.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("n2")
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cosine = F.col("dot").cast("double") / F.sqrt(
+        F.col("na.n2").cast("double") * F.col("nb.n2").cast("double")
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("vec_a") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("vec_b") == F.col("nb.vec_id"))
+        .groupBy(F.floor(cosine * 20).cast("long").alias("bin"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

@@ -125,3 +125,39 @@ def contamination_safe_splits(
     comp = near_dup_droplist(df.select(id_col), pairs, id_col=id_col, src=src, dst=dst)
     keyed = df.join(comp.select(id_col, "component"), id_col)
     return hash_split(keyed, "component", fractions, salt)
+
+
+def dup_cluster_histogram(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph: how much of the
+    corpus sits in how-big duplicate clusters — the curation-report table
+    that separates "a few mirrored pages" (many size-2 clusters) from "a
+    boilerplate storm" (one giant component), and the input to sizing the
+    hot-cell guard (``triangle_blocks``' cap should exceed the typical
+    cluster, not the pathological one).
+
+    Per ``cluster_size``: ``n_clusters`` and ``n_docs`` (= size ×
+    clusters; singletons are size-1 rows, so the column sums to the
+    corpus).  Scale shape: the CC loop's shuffles are edge-scale; the two
+    rollups (component → size, size → histogram) collapse map-side and
+    end metadata-scale."""
+    keep = near_dup_droplist(ids, pairs, id_col=id_col, src=src, dst=dst)
+    sizes = keep.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

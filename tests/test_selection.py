@@ -320,3 +320,17 @@ def test_lang_confusion_diagonal_and_unknown(spark):
     assert out[("de", "de")].n_docs == 1 and out[("de", "en")].n_docs == 1
     assert out[("de", "de")].share_ppm == 500_000
     assert out[("zh", "unknown")].share_ppm == 1_000_000
+
+
+def test_dup_cluster_histogram_partitions_corpus(spark):
+    from pharmacodi_spark.text.clusters import dup_cluster_histogram
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.cluster_size: r for r in dup_cluster_histogram(ids, pairs).collect()}
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3   # chain 1-2-3
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2   # pair 5-6
+    assert out[1].n_clusters == 2 and out[1].n_docs == 2   # singletons 4, 7
+    assert sum(r.n_docs for r in out.values()) == 7        # partitions corpus
