@@ -423,6 +423,14 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the sf join runs on the vocab-scale count table "
          "(broadcast/hash)"),
     ],
+    "lang_confusion": [
+        (r"\bGenerate\b", False,
+         "the stopword detector is filtered array sizes in the scan "
+         "stage — no explode"),
+        (r"partial_count", True,
+         "the (claimed, predicted) rollup collapses map-side; the share "
+         "window runs on label-cardinality² rows"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "
