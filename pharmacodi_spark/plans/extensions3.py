@@ -696,3 +696,49 @@ def neardup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(cosine * 20).cast("long").alias("bin"))
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (text/incremental.py::corpus_diff)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corpus_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 != 3
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 2 THEN text || ' v2' ELSE text END)
+               AS h
+      FROM documents WHERE doc_id % 17 != 5
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.h IS NULL THEN 'added'
+                WHEN new.h IS NULL THEN 'removed'
+                WHEN old.h = new.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    """,
+)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl snapshot diff (text/incremental.py::corpus_diff):
+    added/removed/changed/unchanged per id from two fixture-derived
+    snapshot views (old misses doc_id%11=3; new rewrites doc_id%13=2 and
+    drops doc_id%17=5). Both sides collapse to (id, 32-byte hash) at the
+    scan; one id-keyed full-outer fact⋈fact join; bodies never shuffle.
+    Feed added ∪ changed to the ingest gauntlet, retire removed from the
+    index sidecars."""
+    from pharmacodi_spark.text.incremental import corpus_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 11 != 3)
+    new = d.where(F.col("doc_id") % 17 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)

@@ -100,3 +100,33 @@ def incremental_near_dup_flags(
             ),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per id, ``added`` (new
+    only), ``removed`` (old only), ``changed`` (both, content hash
+    differs), or ``unchanged`` — the crawl-over-crawl changelog that
+    decides what an incremental pipeline actually has to reprocess (feed
+    ``added`` ∪ ``changed`` to the ingest gauntlet; retire ``removed``
+    ids from the index sidecars).
+
+    Scale shape: both sides collapse to ``(id, 32-byte hash)`` in their
+    scan projections; ONE id-keyed full-outer join (fact⋈fact —
+    SMJ/shuffled-hash is the correct physical shape; neither snapshot
+    broadcasts at corpus scale) and bodies never shuffle.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(content_col)).alias("__ho"))
+    n = new.select(F.col(id_col), F.md5(F.col(content_col)).alias("__hn"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), "added")
+        .when(F.col("__hn").isNull(), "removed")
+        .when(F.col("__ho") == F.col("__hn"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(F.col(id_col), status.alias("status"))

@@ -334,3 +334,16 @@ def test_dup_cluster_histogram_partitions_corpus(spark):
     assert out[2].n_clusters == 1 and out[2].n_docs == 2   # pair 5-6
     assert out[1].n_clusters == 2 and out[1].n_docs == 2   # singletons 4, 7
     assert sum(r.n_docs for r in out.values()) == 7        # partitions corpus
+
+
+def test_corpus_diff_statuses(spark):
+    from pharmacodi_spark.text.incremental import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
