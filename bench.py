@@ -119,6 +119,7 @@ HEADLINE = HEADLINE_R1 + [
     "source_overlap_minhash",
     "token_budget_report",
     "lang_confusion",
+    "dsir_resample",
 ]
 
 

@@ -20,12 +20,28 @@ _FP = 1 << 10  # 10 fractional bits, shared with retrieval.FP_BITS
 
 def _il(x: str) -> str:
     """DuckDB twin of retrieval.ilog2_fp (10 fractional bits): exponent via
-    length(bin(x))-1, linear mantissa via shifted division by 2^e."""
+    length(bin(x))-1, linear mantissa via shifted division by 2^e.
+    Valid for x < 2^53 (mantissa·1024 must fit int64); use :func:`_il_g`
+    for full-domain inputs like 60-bit hash draws."""
     e = f"(length(bin({x})) - 1)"
     return (
         f"(({e} * {_FP}) + "
         f"((({x} - (CAST(1 AS BIGINT) << {e})) * {_FP}) >> {e}))"
     )
+
+
+def _il_g(x: str) -> str:
+    """Full-int64-domain DuckDB twin of retrieval.ilog2_fp: the same
+    shift-first overflow guard as the Spark column version (shift the
+    mantissa excess out BEFORE scaling when e > frac_bits — exact, since
+    floor(m·2^s/2^e) = floor(m/2^(e−s)))."""
+    e = f"(length(bin({x})) - 1)"
+    m = f"({x} - (CAST(1 AS BIGINT) << {e}))"
+    frac = (
+        f"(CASE WHEN {e} <= 10 THEN ({m} << (10 - {e})) "
+        f"ELSE ({m} >> ({e} - 10)) END)"
+    )
+    return f"(({e} * {_FP}) + {frac})"
 
 
 # ---------------------------------------------------------------------------
@@ -742,3 +758,50 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return corpus_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance RESAMPLING (the "R": Gumbel-max race, all-integer base-2)
+# ---------------------------------------------------------------------------
+
+_GU = ("(CAST(('0x' || substr(md5('g' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+       "AS BIGINT) + 1)")
+
+
+@q(
+    "dsir_resample",
+    f"""
+    WITH {_dsir_sql("documents", _DSIR_DIM, _DSIR_SALT).lstrip()},
+    scored AS (
+      SELECT d.doc_id,
+             CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sc.dsir_fp, 0) AS BIGINT) AS dsir_fp
+      FROM documents d LEFT JOIN sc USING (doc_id)
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens, dsir_fp,
+             CAST(dsir_fp + (10240 - {_il(f"greatest(61440 - {_il_g(_GU)}, 1)")})
+                  AS BIGINT) AS gumbel_key
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, dsir_fp, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (text/selection.py::gumbel_topk_resample):
+    k docs drawn ∝ softmax of the importance log-weight via the base-2
+    Gumbel-max race — both logs in integer fixed point (md5 draw → 60-bit
+    u; G₂ = (10≪10) − il((60≪10) − il(u+1))), so the race is bit-identical
+    across engines. The paper's resampling step, not a threshold gate;
+    zero shuffles + TakeOrderedAndProject."""
+    from pharmacodi_spark.text.selection import (
+        dsir_score, dsir_train_weights, gumbel_topk_resample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lam = dsir_train_weights(
+        d, F.col("lang") == "en", dim=_DSIR_DIM, salt=_DSIR_SALT
+    )
+    scored = dsir_score(d, lam, dim=_DSIR_DIM, salt=_DSIR_SALT)
+    return gumbel_topk_resample(scored, k=100, salt="g")

@@ -399,3 +399,58 @@ def token_budget_report(
         .cast("long")
         .alias("expected_tokens"),
     )
+
+
+def gumbel_topk_resample(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "dsir_fp",
+    salt: str = "g",
+    id_col: str = "doc_id",
+    frac_bits: int = FP_BITS,
+) -> DataFrame:
+    """Importance RESAMPLING via the Gumbel-max trick, all-integer: draw k
+    documents without replacement with probability ∝ w (the softmax of the
+    fixed-point log2-score), by taking the top-k of
+
+        key = score_fp + G₂_fp,   G₂ = −log₂(−log₂ u)
+
+    — the base-2 Gumbel race.  Base-2 is EXACTLY proportional sampling:
+    ``log₂w + G/ln2 = (ln w + G)/ln 2`` is a monotone transform of the
+    standard Gumbel key, so the argmax distribution is unchanged; using
+    ``ilog2_fp`` (linear-mantissa, < 0.087-bit error) makes the race
+    deterministic and bit-identical across engines at the cost of that
+    quantization bias (documented; production can swap in libm log for
+    statistical exactness at the cost of oracle parity).
+
+    ``u`` is the md5 draw of ``salt‖id`` — a 60-bit integer, so both logs
+    run in pure integer fixed point: ``a = (60≪s) − il(u+1)`` (≈ −log₂u′
+    in fp units, clamped ≥ 1) and ``G₂_fp = (s≪s)... = (10≪10) − il(a)``.
+
+    This is the "R" in DSIR — the paper resamples rather than truncating
+    at a threshold; :func:`dsir_topk` is the deterministic-gate sibling.
+    Scale shape: per-row hashing + fold, then ``TakeOrderedAndProject``
+    heaps — zero shuffles.
+    """
+    assert frac_bits == 10, "fixed-point layout is tuned for 10 bits"
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    a = F.greatest(F.lit(60 << frac_bits) - ilog2_fp(u, frac_bits), F.lit(1))
+    g2 = F.lit(10 << frac_bits) - ilog2_fp(a, frac_bits)
+    return (
+        scored.withColumn(
+            "gumbel_key", (F.col(score_col) + g2).cast("long")
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

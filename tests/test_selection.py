@@ -347,3 +347,25 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_gumbel_resample_proportional_and_deterministic(spark):
+    """The base-2 Gumbel race: same salt → identical draw; across salts the
+    heavy doc (2^10 fp ≈ 2x weight per 1024 units) wins k=1 far more often;
+    draws are without replacement."""
+    from pharmacodi_spark.text.selection import gumbel_topk_resample
+
+    # log2-weights in fp units: doc 1 carries 4096 (16x weight), docs 2-9: 0
+    rows = [(1, 4096)] + [(i, 0) for i in range(2, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, dsir_fp long")
+    wins = 0
+    for s in range(30):
+        pick = gumbel_topk_resample(df, k=1, salt=f"s{s}").collect()[0].doc_id
+        if pick == 1:
+            wins += 1
+    # true proportional odds: 16/24 = 2/3; allow wide slack for quantization
+    assert wins >= 12, wins
+    # determinism + without-replacement
+    a = [r.doc_id for r in gumbel_topk_resample(df, k=5, salt="x").collect()]
+    b = [r.doc_id for r in gumbel_topk_resample(df, k=5, salt="x").collect()]
+    assert a == b and len(set(a)) == 5
