@@ -504,8 +504,8 @@ def selection_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS t FROM per)
     SELECT source, raw_docs, raw_tokens, kept_tokens,
-           CAST(((raw_tokens - kept_tokens) * 1000000) // raw_tokens
-                AS BIGINT) AS dup_ppm,
+           CAST(((raw_tokens - kept_tokens) * 1000000)
+                // greatest(raw_tokens, 1) AS BIGINT) AS dup_ppm,
            least(1.0, 0.5 * sqrt(CAST(t AS DOUBLE))
                        / sqrt(CAST(kept_tokens AS DOUBLE))) AS rate,
            CAST(floor(least(1.0, 0.5 * sqrt(CAST(t AS DOUBLE))

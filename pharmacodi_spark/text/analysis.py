@@ -390,6 +390,10 @@ def lang_confusion(
     predicted) pair — label-cardinality² rows — then the share window
     runs on that metadata-scale rollup.
     """
+    # claimed_col is interpolated into a SQL window expression (integer
+    # `div` has no Column API) — reject non-identifier names instead of
+    # emitting malformed SQL (the r5 skew_profile interpolation lesson)
+    assert claimed_col.isidentifier(), claimed_col
     scored = language_scores(df, content_col=content_col, stopwords=stopwords)
     roll = scored.groupBy(F.col(claimed_col), F.col("pred_lang")).agg(
         F.count("*").cast("long").alias("n_docs")

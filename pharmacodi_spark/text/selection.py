@@ -391,7 +391,9 @@ def token_budget_report(
         "raw_docs",
         "raw_tokens",
         "kept_tokens",
-        F.expr("((raw_tokens - kept_tokens) * 1000000) div raw_tokens")
+        # greatest() guard: a source of only empty docs has 0 raw tokens —
+        # Spark's div would NULL but DuckDB's // errors, so never divide by 0
+        F.expr("((raw_tokens - kept_tokens) * 1000000) div greatest(raw_tokens, 1)")
         .cast("long")
         .alias("dup_ppm"),
         rate.alias("rate"),
