@@ -120,6 +120,7 @@ HEADLINE = HEADLINE_R1 + [
     "token_budget_report",
     "lang_confusion",
     "dsir_resample",
+    "unimax_allocation",
 ]
 
 

@@ -805,3 +805,64 @@ def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = dsir_score(d, lam, dim=_DSIR_DIM, salt=_DSIR_SALT)
     return gumbel_topk_resample(scored, k=100, salt="g")
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (text/selection.py::unimax_allocation)
+# ---------------------------------------------------------------------------
+
+_UM_B = 20_000
+_UM_E = 2
+
+
+@q(
+    "unimax_allocation",
+    f"""
+    WITH c AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    r AS (
+      SELECT source, n_tokens, n_tokens * {_UM_E} AS cap,
+             row_number() OVER (ORDER BY n_tokens * {_UM_E}, source) AS i,
+             sum(n_tokens * {_UM_E}) OVER (ORDER BY n_tokens * {_UM_E}, source
+               ROWS UNBOUNDED PRECEDING) AS p,
+             count(*) OVER () AS m
+      FROM c
+    ),
+    rr AS (
+      SELECT *, ((p - cap) + (m - i + 1) * cap <= {_UM_B}) AS ok FROM r
+    ),
+    a AS (
+      SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS istar,
+             CAST(max(CASE WHEN ok THEN p ELSE 0 END) AS BIGINT) AS pistar,
+             CAST(max(m) AS BIGINT) AS mm
+      FROM rr
+    )
+    SELECT rr.source, rr.n_tokens, CAST(rr.cap AS BIGINT) AS cap,
+           CAST(CASE WHEN a.istar >= a.mm THEN rr.cap
+                ELSE least(rr.cap,
+                           ({_UM_B} - a.pistar) // (a.mm - a.istar)) END
+                AS BIGINT) AS alloc,
+           CAST((CASE WHEN a.istar >= a.mm THEN rr.cap
+                 ELSE least(rr.cap,
+                            ({_UM_B} - a.pistar) // (a.mm - a.istar)) END
+                 * 1000000) // greatest(rr.n_tokens, 1) AS BIGINT)
+             AS epochs_ppm
+    FROM rr, a
+    """,
+)
+def unimax_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation (text/selection.py::
+    unimax_allocation, Chung et al. 2023): exact integer water-filling of
+    a 20k-token budget across origins with a 2-epoch cap — the
+    uniform-up-to-epoch-cap mixture law. One fact-scale aggregate; every
+    window after runs on #origins rows. (At sf0.001 the budget exceeds
+    Σcap and every origin allocates its cap — the degenerate branch; at
+    sf0.01 the waterline branch engages.)"""
+    from pharmacodi_spark.text.selection import unimax_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    return unimax_allocation(d, budget_tokens=_UM_B, max_epochs=_UM_E)

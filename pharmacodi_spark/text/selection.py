@@ -456,3 +456,85 @@ def gumbel_topk_resample(
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    content_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): split
+    a total training-token budget across origins as UNIFORMLY as possible,
+    capping every origin at ``max_epochs`` passes over its data — the
+    mixture law PaLM-2/mT5-style multilingual runs use instead of
+    temperature sampling (no head language starves the tail, no tail
+    language over-epochs into memorization).
+
+    Exact integer water-filling: with per-origin caps ``cap_s = n_s·E``
+    sorted ascending, the waterline ``W`` is the largest integer with
+    ``Σ min(cap_s, W) ≤ B``: find the longest feasible prefix i* (every
+    origin in it fully capped), then ``W = (B − P_{i*}) div (m − i*)``.
+    Per origin: ``n_tokens``, ``cap``, ``alloc = min(cap, W)``, and
+    ``epochs_ppm = alloc·10⁶ div n_tokens``.  ``Σ alloc ≤ B`` always;
+    if ``B ≥ Σ cap`` every origin allocates its cap and the remainder is
+    reported by the caller's sum.
+
+    Scale shape: ONE fact-scale aggregate (per-origin token counts,
+    map-side collapse); every window after runs on the #origins rows —
+    pure metadata, the percentile_gate/mixture_sample precedent.
+    """
+    from pyspark.sql import Window
+
+    assert budget_tokens >= 0 and max_epochs >= 1
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    counts = (
+        df.select(F.col(group_col), F.size(toks).cast("long").alias("__nt"))
+        .groupBy(group_col)
+        .agg(F.sum("__nt").cast("long").alias("n_tokens"))
+        .withColumn(
+            "cap", (F.col("n_tokens") * F.lit(int(max_epochs))).cast("long")
+        )
+    )
+    w = Window.orderBy("cap", group_col)  # deterministic tie-break
+    m = F.count("*").over(Window.partitionBy())
+    idx = F.row_number().over(w)
+    pfx = F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    b = int(budget_tokens)
+    ranked = counts.select(
+        group_col,
+        "n_tokens",
+        "cap",
+        idx.alias("__i"),
+        pfx.alias("__p"),
+        m.alias("__m"),
+        # feasible ⇔ waterline can sit at or above this cap; monotone in i
+        (
+            (pfx - F.col("cap"))
+            + (m - idx + 1) * F.col("cap")
+            <= F.lit(b)
+        ).alias("__ok"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("__ok").cast("int")).alias("__istar"),
+        F.max(F.when(F.col("__ok"), F.col("__p")).otherwise(0)).alias("__pistar"),
+        F.max("__m").alias("__mm"),
+    )
+    alloc = F.when(
+        F.col("__istar") >= F.col("__mm"), F.col("cap")
+    ).otherwise(
+        F.least(
+            F.col("cap"),
+            F.expr(f"({b} - __pistar) div (__mm - __istar)").cast("long"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(agg))
+        .select(group_col, "n_tokens", "cap", alloc.cast("long").alias("alloc"))
+        # double division would drift past 2^53 — stay on integer `div`
+        .withColumn(
+            "epochs_ppm",
+            F.expr("(alloc * 1000000) div greatest(n_tokens, 1)").cast("long"),
+        )
+    )

@@ -369,3 +369,26 @@ def test_gumbel_resample_proportional_and_deterministic(spark):
     a = [r.doc_id for r in gumbel_topk_resample(df, k=5, salt="x").collect()]
     b = [r.doc_id for r in gumbel_topk_resample(df, k=5, salt="x").collect()]
     assert a == b and len(set(a)) == 5
+
+
+def test_unimax_allocation_waterfill_invariants(spark):
+    from pharmacodi_spark.text.selection import unimax_allocation
+
+    rows = []
+    sizes = {"tiny": 5, "small": 20, "big": 200}
+    for src, n in sizes.items():
+        rows.append((src, " ".join(["w"] * n)))
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(r for r in rows)],
+        "doc_id long, text string, source string",
+    )
+    # budget 100, cap = 2 epochs: tiny caps at 10, small caps at 40,
+    # big gets the waterline (100-50) div 1 = 50
+    out = {r.source: r for r in unimax_allocation(df, 100, max_epochs=2).collect()}
+    assert out["tiny"].alloc == 10 and out["tiny"].epochs_ppm == 2_000_000
+    assert out["small"].alloc == 40
+    assert out["big"].alloc == 50 and out["big"].cap == 400
+    assert sum(r.alloc for r in out.values()) <= 100
+    # budget >= sum(caps): everyone allocates the cap
+    full = {r.source: r for r in unimax_allocation(df, 10_000, max_epochs=2).collect()}
+    assert all(full[s].alloc == full[s].cap for s in sizes)
