@@ -423,6 +423,20 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the sf join runs on the vocab-scale count table "
          "(broadcast/hash)"),
     ],
+    "dsir_resample": [
+        (r"\bJoin\b", False,
+         "the Gumbel race is per-row hashing + the λ-literal fold — no "
+         "join in the final plan"),
+        (r"TakeOrderedAndProject", True,
+         "the race resolves in per-partition heaps, not a global sort"),
+    ],
+    "unimax_allocation": [
+        (r"partial_sum", True,
+         "per-origin token counts collapse map-side — the only "
+         "fact-scale stage"),
+        (r"SortMergeJoin", False,
+         "the waterline aggregate broadcasts back (1-row cross join)"),
+    ],
     "lang_confusion": [
         (r"\bGenerate\b", False,
          "the stopword detector is filtered array sizes in the scan "
