@@ -536,3 +536,85 @@ def int8_weighted_topk(
         .orderBy(F.col("qdot").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    lam_pct: int = 70,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10_000,
+) -> list[tuple]:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): pick k
+    results that are RELEVANT to the query but DIVERSE among themselves —
+    greedily maximize ``λ·rel(v) − (1−λ)·max_{s∈S} sim(v, s)``.  The
+    de-duplicating re-rank step of a RAG stack (plain top-k returns five
+    near-copies of the same passage; MMR returns one plus four distinct
+    angles).
+
+    All-integer: vectors quantize to ints (``floor(x·scale + 0.5)``),
+    relevance and pairwise similarity are integer dot products, the key is
+    ``lam_pct·rel − (100−lam_pct)·max_sim`` with ties to the lower id —
+    deterministic on any engine/partitioning.
+
+    Scale shape: run it on the BOUNDED candidate set an ANN probe
+    returns (N ≈ 100–1000), not the corpus — each of the k rounds is one
+    scan of the candidates with the selected vectors riding as plan
+    literals, resolved by ``TakeOrderedAndProject`` heaps and a ONE-row
+    collect.  Driver traffic is k rows + k·dim ints (index metadata).
+    Returns the ordered ``[(id, rel_scaled, mmr_key), ...]`` selection —
+    a list, not a DataFrame, because the selection IS driver-state
+    (ships onward as a literal filter).
+    """
+    assert 1 <= lam_pct <= 100 and k >= 1
+    q = [int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
+         for x in query_vec]
+    qarr = F.array(*[F.lit(int(x)) for x in q])
+    v = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    base = df.select(F.col(id_col), v.alias("__v")).localCheckpoint()
+
+    def dot(a, b) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    rel = base.withColumn("__rel", dot(F.col("__v"), qarr))
+    chosen: list[tuple] = []
+    chosen_vecs: list[list[int]] = []
+    for _ in range(k):
+        if chosen_vecs:
+            sims = [
+                dot(F.col("__v"), F.array(*[F.lit(int(x)) for x in s]))
+                for s in chosen_vecs
+            ]
+            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            max_sim = F.lit(0).cast("long")
+        key = (
+            F.lit(int(lam_pct)) * F.col("__rel")
+            - F.lit(int(100 - lam_pct)) * max_sim
+        )
+        cand = (
+            rel.where(~F.col(id_col).isin([c[0] for c in chosen]))
+            if chosen
+            else rel
+        )
+        row = (
+            cand.withColumn("__key", key.cast("long"))
+            .orderBy(F.desc("__key"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        r = row[0]
+        chosen.append((r[id_col], int(r["__rel"]), int(r["__key"])))
+        chosen_vecs.append([int(x) for x in r["__v"]])
+    return chosen

@@ -1,0 +1,67 @@
+"""MMR diversified retrieval: equality with a pure-Python greedy replay,
+and the diversity property (a plain-top-k near-duplicate is displaced by a
+distinct-but-relevant result)."""
+
+from __future__ import annotations
+
+
+def _py_mmr(vecs, q, k, lam_pct, scale=10_000):
+    qi = [int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5) for x in q]
+    vi = {
+        i: [int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5) for x in v]
+        for i, v in vecs.items()
+    }
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))
+    chosen = []
+    while len(chosen) < k and len(chosen) < len(vecs):
+        best = None
+        for i, v in vi.items():
+            if i in [c[0] for c in chosen]:
+                continue
+            rel = dot(v, qi)
+            pen = max((dot(v, vi[j]) for j, *_ in chosen), default=0)
+            key = lam_pct * rel - (100 - lam_pct) * pen
+            cand = (key, -i)
+            if best is None or cand > best[0]:
+                best = (cand, i, rel, key)
+        chosen.append((best[1], best[2], best[3]))
+    return chosen
+
+
+VECS = {
+    1: [1.0, 0.0, 0.0],     # most relevant
+    2: [0.99, 0.01, 0.0],   # near-copy of 1
+    3: [0.7, 0.7, 0.0],     # relevant, different angle
+    4: [0.0, 1.0, 0.0],     # orthogonal to the query
+    5: [0.6, 0.0, 0.6],     # relevant, third angle
+}
+Q = [1.0, 0.3, 0.3]
+# NOTE: q must not equal any doc vector, else rel(v) == sim(v, chosen) and
+# every MMR key collapses to 0 at λ=50 (ties resolve by id, not diversity)
+
+
+def test_mmr_matches_python_replay(spark):
+    from pharmacodi_spark.text.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in VECS.items()], "vec_id long, embedding array<double>"
+    )
+    got = mmr_topk(df, Q, k=4, lam_pct=70)
+    want = _py_mmr(VECS, Q, k=4, lam_pct=70)
+    assert got == want, (got, want)
+
+
+def test_mmr_displaces_near_duplicates(spark):
+    from pharmacodi_spark.text.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in VECS.items()], "vec_id long, embedding array<double>"
+    )
+    # plain relevance order: 1, 2 (the near-copy), then 3/5
+    diverse = [i for i, *_ in mmr_topk(df, Q, k=3, lam_pct=50)]
+    assert diverse[0] == 1
+    assert 2 not in diverse, diverse  # the near-copy is displaced
+    assert set(diverse[1:]) <= {3, 4, 5}
+    # λ=100 degenerates to plain top-k by relevance
+    plain = [i for i, *_ in mmr_topk(df, Q, k=3, lam_pct=100)]
+    assert plain == [1, 2, 3]
