@@ -866,3 +866,46 @@ def unimax_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return unimax_allocation(d, budget_tokens=_UM_B, max_epochs=_UM_E)
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (text/similarity.py::jl_project)
+# ---------------------------------------------------------------------------
+
+_JL_OUT = 8
+_JL_IN = 64
+
+
+def _jl_sql() -> str:
+    from pharmacodi_spark.text.similarity import jl_sign_matrix
+
+    signs = jl_sign_matrix(_JL_IN, _JL_OUT)
+    cols = ",\n           ".join(
+        "CAST(list_sum(list_transform(generate_series(1, %d), i -> "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+        " * ([%s])[i])) AS BIGINT) AS p%d"
+        % (_JL_IN, ", ".join(str(s) for s in row), j)
+        for j, row in enumerate(signs)
+    )
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@q("jl_projection", None)
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection (text/similarity.py::jl_project, Achlioptas
+    2003): 64-dim float embeddings → 8 integer components, distances
+    preserved within (1±ε) — the cheap front-end for LSH bucketing /
+    clustering / dedup blocking. Sign matrix is md5-parity deterministic
+    and rides as constant-folded literals; the projection is a zero-
+    shuffle per-row fold."""
+    from pharmacodi_spark.text.similarity import jl_project, jl_sign_matrix
+
+    e = _t(spark, sf_dir, "embeddings")
+    return jl_project(e, jl_sign_matrix(_JL_IN, _JL_OUT))
+
+
+# register the oracle lazily (the SQL embeds the same sign literals the
+# Spark plan uses — generated once from the shared md5-parity matrix)
+from pharmacodi_spark.plans.queries import QUERIES as _Q  # noqa: E402
+
+_Q["jl_projection"] = (_Q["jl_projection"][0], _jl_sql())

@@ -618,3 +618,57 @@ def mmr_topk(
         chosen.append((r[id_col], int(r["__rel"]), int(r["__key"])))
         chosen_vecs.append([int(x) for x in r["__v"]])
     return chosen
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int, salt: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 Achlioptas/JL sign matrix from md5 parity —
+    engine-independent (computed once driver-side, embedded as plan
+    literals in Spark and as array literals in the SQL oracle)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    signs: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    (Achlioptas 2003): reduce ``in_dim`` float vectors to ``out_dim``
+    integer components ``p_j = Σ_i sign_ij · q_i`` (inputs quantized
+    ``floor(x·scale + 0.5)``) — distances are preserved within
+    (1 ± ε) at out_dim = O(log n / ε²), so downstream LSH / clustering /
+    dedup blocking runs on 8 ints instead of 64 floats.
+
+    Scale shape: the sign matrix rides as constant-folded literals; the
+    projection is a per-row fold — ZERO shuffles, the vectors never leave
+    their scan partitions.  Output columns ``p0..p{k-1}`` (scalar ints,
+    oracle-hashable).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    cols = [F.col(id_col)]
+    for j, row in enumerate(signs):
+        sarr = F.array(*[F.lit(int(s)) for s in row])
+        cols.append(
+            F.aggregate(
+                F.zip_with(q, sarr, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias(f"p{j}")
+        )
+    return df.select(*cols)

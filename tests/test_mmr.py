@@ -65,3 +65,23 @@ def test_mmr_displaces_near_duplicates(spark):
     # λ=100 degenerates to plain top-k by relevance
     plain = [i for i, *_ in mmr_topk(df, Q, k=3, lam_pct=100)]
     assert plain == [1, 2, 3]
+
+
+def test_jl_projection_preserves_separation_and_is_shuffle_free(spark):
+    from pharmacodi_spark.text.similarity import jl_project, jl_sign_matrix
+
+    dim, k = 32, 12
+    # two well-separated clusters, small within-cluster jitter
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0 + 0.01 * ((i * 7 + d) % 3) for d in range(dim)]))
+        rows.append((100 + i, [-1.0 - 0.01 * ((i * 5 + d) % 3) for d in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = jl_project(df, jl_sign_matrix(dim, k))
+    proj = {r.vec_id: [r[f"p{j}"] for j in range(k)] for r in out.collect()}
+    d2 = lambda a, b: sum((x - y) ** 2 for x, y in zip(a, b))
+    within = [d2(proj[a], proj[b]) for a in range(6) for b in range(6) if a < b]
+    across = [d2(proj[a], proj[100 + b]) for a in range(6) for b in range(6)]
+    assert max(within) < min(across)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
