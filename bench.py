@@ -121,6 +121,7 @@ HEADLINE = HEADLINE_R1 + [
     "lang_confusion",
     "dsir_resample",
     "unimax_allocation",
+    "curation_select_pipeline",
 ]
 
 

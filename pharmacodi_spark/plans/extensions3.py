@@ -909,3 +909,64 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pharmacodi_spark.plans.queries import QUERIES as _Q  # noqa: E402
 
 _Q["jl_projection"] = (_Q["jl_projection"][0], _jl_sql())
+
+
+# ---------------------------------------------------------------------------
+# Capstone E2E: curation cascade + DSIR selection (six stages, one oracle)
+# ---------------------------------------------------------------------------
+
+# the curated-survivor SQL is the curation_pipeline oracle verbatim,
+# nested as a CTE (DuckDB allows WITH inside a CTE body) — one source of
+# truth for the five curation stages, extended by the DSIR chain
+_CURATION_SQL = _Q["curation_pipeline"][1]
+
+
+@q(
+    "curation_select_pipeline",
+    f"""
+    WITH cur AS ({_CURATION_SQL}
+    ),
+    surv AS (
+      SELECT d.doc_id, d.text, d.lang
+      FROM documents d JOIN cur USING (doc_id)
+    ),
+    {_dsir_sql("surv", _DSIR_DIM, _DSIR_SALT).lstrip()}
+    SELECT surv.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sc.dsir_fp, 0) AS BIGINT) AS dsir_fp
+    FROM surv LEFT JOIN sc USING (doc_id)
+    ORDER BY dsir_fp DESC, surv.doc_id
+    LIMIT 100
+    """,
+)
+def curation_select_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
+) -> DataFrame:
+    """The full training-data story in ONE cascade: five curation stages
+    (Gopher ∧ surprisal → 13-gram decontam → passage dedup → exact dedup →
+    temperature mixture, plans/extensions2.py::_curation_cascade) feeding
+    DSIR importance selection TRAINED ON THE CURATED POOL (target
+    lang='en') → the 100 most target-like curated documents.  Six
+    survivor-set stage barriers end to end (``barrier=`` threads through);
+    each selection pass broadcast-joins a fresh pruned scan.  The oracle
+    nests the curation SQL verbatim as a CTE and extends it with the DSIR
+    chain — one source of truth per stage."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.plans.extensions2 import _curation_cascade
+    from pharmacodi_spark.text.selection import dsir_score, dsir_train_weights
+
+    _stages, final = _curation_cascade(spark, sf_dir, barrier, barrier_dir)
+    ids = stage_barrier(
+        final.select("doc_id"), mode=barrier, name="curation-s6-select",
+        barrier_dir=barrier_dir,
+    )
+    d = _t(spark, sf_dir, "documents")
+    surv = d.join(F.broadcast(ids), "doc_id")
+    lam = dsir_train_weights(
+        surv, F.col("lang") == "en", dim=_DSIR_DIM, salt=_DSIR_SALT
+    )
+    scored = dsir_score(surv, lam, dim=_DSIR_DIM, salt=_DSIR_SALT)
+    return scored.orderBy(F.desc("dsir_fp"), F.asc("doc_id")).limit(100)

@@ -437,6 +437,13 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False,
          "the waterline aggregate broadcasts back (1-row cross join)"),
     ],
+    "curation_select_pipeline": [
+        (r"Scan ExistingRDD", True,
+         "six survivor-set barriers pin the cascade, including the "
+         "curated pool before DSIR's two passes"),
+        (r"SortMergeJoin", False,
+         "every stage joins a fresh pruned scan via broadcast/hash"),
+    ],
     "lang_confusion": [
         (r"\bGenerate\b", False,
          "the stopword detector is filtered array sizes in the scan "
