@@ -209,3 +209,67 @@ def hybrid_rrf_topk(
         .alias("rrf_fp"),
     )
     return fused.orderBy(F.col("rrf_fp").desc(), F.col(id_col)).limit(k)
+
+
+def rerank_with_scorer(
+    candidates: "DataFrame",
+    scorer,
+    query_col: str = "query",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 64,
+    k: int | None = None,
+):
+    """Cross-encoder re-rank seam: score (query, document) candidate pairs
+    with an INJECTED model — the final precision stage of a retrieval
+    stack (BM25 / ANN recall → cross-encoder precision).  ``scorer`` is
+    any callable ``(list[str], list[str]) -> list[float]`` over aligned
+    query/document batches — production passes a sentence-transformers
+    cross-encoder's ``predict``; tests pass a deterministic function (the
+    ``sources/api.py`` injected-transport discipline: the model boundary
+    is a seam, the orchestration is real dataflow).
+
+    Runs inside ``mapInPandas`` — model inference happens executor-side
+    in Arrow batches sliced to ``batch_size`` (GPU-friendly), candidate
+    text never moves to the driver.  Output adds ``ce_score`` (double)
+    and, with ``k``, keeps the top-k per query via a per-query window
+    (candidate lists are bounded, so the window is metadata-scale).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    schema = f"{query_col} string, {id_col} long, ce_score double"
+    slim = candidates.select(
+        F.col(query_col).cast("string"),
+        F.col(id_col).cast("long"),
+        F.col(content_col).cast("string"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[i : i + batch_size]
+                scores = scorer(
+                    chunk[query_col].tolist(), chunk[content_col].tolist()
+                )
+                yield pd.DataFrame(
+                    {
+                        query_col: chunk[query_col].values,
+                        id_col: chunk[id_col].values,
+                        "ce_score": [float(s) for s in scores],
+                    }
+                )
+
+    out = slim.mapInPandas(run, schema=schema)
+    if k is not None:
+        w = Window.partitionBy(query_col).orderBy(
+            F.desc("ce_score"), F.asc(id_col)
+        )
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("rank", F.col("rank").cast("long"))
+        )
+    return out

@@ -85,3 +85,33 @@ def test_jl_projection_preserves_separation_and_is_shuffle_free(spark):
     assert max(within) < min(across)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_cross_encoder_rerank_seam(spark):
+    from pharmacodi_spark.text.retrieval import rerank_with_scorer
+
+    q1, q2 = "spark shuffle join", "window functions"
+    rows = [
+        (q1, 1, "spark shuffle join"),
+        (q1, 2, "spark spark spark spark"),
+        (q1, 3, "unrelated words here"),
+        (q2, 4, "window functions"),
+        (q2, 5, "window window window"),
+    ]
+    df = spark.createDataFrame(rows, "query string, doc_id long, text string")
+
+    def scorer(queries, docs):  # deterministic "cross-encoder": term overlap
+        return [
+            sum(d.split().count(t) for t in q.split()) / (1 + len(d.split()))
+            for q, d in zip(queries, docs)
+        ]
+
+    out = rerank_with_scorer(df, scorer, query_col="query", k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query, []).append((r.rank, r.doc_id, r.ce_score))
+    r1 = sorted(by_q[q1])
+    assert [d for _, d, _ in r1] == [2, 1]        # term-dense doc first
+    assert len(by_q[q2]) == 2 and sorted(by_q[q2])[0][1] == 5
+    # python replay of the top scores
+    assert r1[0][2] == 4 / 5 and r1[1][2] == 3 / 4
