@@ -99,7 +99,13 @@ _DRIVER_WINDOW = [
     #    stage of the in-window ann_ivf_pq_topk and the baseline inside both
     #    int8 probes. All four keep oracle rows in driver-sim + pytest.)
     "multimodal_features", "window_tumbling",
-    "ann_ivf_pq_topk", "curation_pipeline", "ingest_pipeline",
+    # (r6 final: curation_pipeline → curation_select_pipeline — the
+    # capstone RUNS the five curation stages verbatim (its oracle nests
+    # the curation SQL as a CTE) and adds the DSIR selection stage, so
+    # the driver row now covers six stages instead of five;
+    # curation_pipeline keeps its own oracle row in the driver-sim +
+    # pytest mirror and stays the bench-headline per-stage reference)
+    "ann_ivf_pq_topk", "curation_select_pipeline", "ingest_pipeline",
     "vocab_token_count", "semantic_dedup_pipeline", "pagerank_dangling",
     "contamination_safe_split",
     # r5 continuation: the four freed slots go to the new capabilities —

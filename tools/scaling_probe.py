@@ -294,6 +294,36 @@ def ops(spark, mult: int) -> dict[str, float]:
     out["token_budget_report"] = timed(
         lambda: token_budget_report(srctext, budget_frac=0.5)
     )
+
+    # round-6 final: Gumbel resampling (zero-shuffle race), UniMax
+    # water-filling, and dominant-source controls for the per-origin
+    # rollups (one source holds 90% of docs — the map-side k-min/keeper
+    # collapse must absorb the skew)
+    from pharmacodi_spark.text.dedup import (
+        dedup_attribution as _da,
+        source_overlap_minhash as _som,
+    )
+    from pharmacodi_spark.text.selection import (
+        dsir_score,
+        dsir_train_weights,
+        gumbel_topk_resample,
+        unimax_allocation,
+    )
+
+    lam = dsir_train_weights(docs, F.col("doc_id") % 5 == 0, dim=1024)
+    out["dsir_resample"] = timed(
+        lambda: gumbel_topk_resample(dsir_score(docs, lam, dim=1024), k=100)
+    )
+    out["unimax_allocation"] = timed(
+        lambda: unimax_allocation(srctext, budget_tokens=200_000, max_epochs=2)
+    )
+    skewsrc = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 != 0, "dominant")
+        .otherwise((F.col("doc_id") % 7).cast("string")),
+    )
+    out["dedup_attribution_skew90"] = timed(lambda: _da(skewsrc))
+    out["source_overlap_skew90"] = timed(lambda: _som(skewsrc, num_hashes=32))
     return out
 
 
