@@ -72,6 +72,11 @@ def main() -> None:
     t_pq_build = time.perf_counter() - t0
     rng = random.Random(7)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(12)]
+    # ±1 JL sign planes (Achlioptas): md5-parity deterministic — no RNG
+    # state to persist with the index, and integer-dot bucketing
+    from pharmacodi_spark.text.similarity import jl_sign_matrix
+
+    jl_planes = [[float(s) for s in row] for row in jl_sign_matrix(dim, 12)]
 
     truth: dict[int, set[int]] = {}
     t0 = time.perf_counter()
@@ -82,6 +87,12 @@ def main() -> None:
     methods = {
         "lsh_h1": lambda qv: lsh_bucket_topk(emb, qv, planes, K, probe_hamming=1),
         "lsh_h2": lambda qv: lsh_bucket_topk(emb, qv, planes, K, probe_hamming=2),
+        "jl_lsh_h1": lambda qv: lsh_bucket_topk(
+            emb, qv, jl_planes, K, probe_hamming=1
+        ),
+        "jl_lsh_h2": lambda qv: lsh_bucket_topk(
+            emb, qv, jl_planes, K, probe_hamming=2
+        ),
         "ivf_np1": lambda qv: ivf_topk(emb, centroids, qv, K, nprobe=1),
         "ivf_np2": lambda qv: ivf_topk(emb, centroids, qv, K, nprobe=2),
         "ivf_np4": lambda qv: ivf_topk(emb, centroids, qv, K, nprobe=4),
@@ -134,6 +145,8 @@ def main() -> None:
     notes = {
         "lsh_h1": "12 hyperplanes, probe Hamming ≤1 (13/4096 buckets)",
         "lsh_h2": "probe Hamming ≤2 (79/4096 buckets)",
+        "jl_lsh_h1": "12 ±1 JL sign planes (md5-parity, no RNG state), Hamming ≤1",
+        "jl_lsh_h2": "±1 JL planes, Hamming ≤2",
         "ivf_np1": "scan 1/64 cells",
         "ivf_np2": "scan 2/64 cells",
         "ivf_np4": "scan 4/64 cells",
@@ -151,7 +164,11 @@ def main() -> None:
     lines += [
         "",
         "Reading: recall rises with probe width (Hamming radius / nprobe) at",
-        "proportional scan cost — the knob a 100 TB deployment tunes; the",
+        "proportional scan cost — the knob a 100 TB deployment tunes. The",
+        "jl_lsh rows show ±1 md5-parity sign planes matching gaussian",
+        "hyperplanes' recall band at equal cost — so the LSH index needs NO",
+        "persisted RNG state (the sign matrix regenerates from the salt,",
+        "text/similarity.py::jl_sign_matrix). The",
         "PQ→exact-re-rank row shows the standard recovery pipeline (codes",
         "prune, exact math only on the candidate set). Absolute recall is",
         "structurally depressed here: the fixture embeddings are synthetic",
