@@ -198,3 +198,68 @@ def streaming_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def reprocess_snapshot(
+    spark: SparkSession,
+    base_dir: str,
+    new_snapshot: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh,
+) -> dict[str, int]:
+    """Snapshot-to-snapshot corpus maintenance: diff the incoming crawl
+    against the CURRENT corpus, retire what disappeared, and run only the
+    genuinely new/changed documents through the ingest gauntlet —
+    ``text/incremental.py::corpus_diff`` deciding the work instead of a
+    full re-ingest.
+
+    Steps:
+
+    1. ``corpus_diff(corpus, new_snapshot)`` → added / removed / changed /
+       unchanged (both sides collapse to (id, hash) at the scan);
+    2. RETIRE ``removed ∪ changed`` ids: the corpus table rewrites minus
+       those ids, and the two compact indices REBUILD from the surviving
+       rows — hashes and LSH cells can be shared across documents, so
+       per-row deletion from a distinct-valued index would corrupt dedup
+       state; the rebuild scans survivors once and shuffles only
+       ids/hashes, never bodies (at cluster scale: partition the corpus
+       table and this rewrite prunes to touched partitions);
+    3. INGEST ``added ∪ changed`` (their new text) through
+       :func:`ingest_batch` — the full exact + near-dup gauntlet against
+       the post-retirement state.
+
+    Replay-idempotent by construction: re-running with the same snapshot
+    diffs everything ``unchanged`` (step 1 yields no work).  Returns the
+    per-status counts for the maintenance report.
+    """
+    corpus_path, hash_path, bucket_path = _state_paths(base_dir)
+    assert path_exists(spark, corpus_path), "bootstrap with ingest_batch first"
+    from pharmacodi_spark.text.incremental import corpus_diff
+
+    corpus = spark.read.parquet(corpus_path)
+    diff = corpus_diff(corpus, new_snapshot, content_col, id_col)
+    diff = diff.localCheckpoint()  # consumed 3x; id+status only
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+
+    retire = diff.where(F.col("status").isin("removed", "changed")).select(id_col)
+    if counts.get("removed", 0) or counts.get("changed", 0):
+        survivors = corpus.join(retire, id_col, "left_anti").localCheckpoint()
+        survivors.write.mode("overwrite").parquet(corpus_path)
+        content_hashes(survivors, content_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(hash_path)
+        band_buckets(survivors, content_col, id_col, **lsh).write.mode(
+            "overwrite"
+        ).parquet(bucket_path)
+
+    todo = new_snapshot.join(
+        diff.where(F.col("status").isin("added", "changed")).select(id_col),
+        id_col,
+    )
+    if counts.get("added", 0) or counts.get("changed", 0):
+        ingest_batch(spark, base_dir, todo, content_col, id_col, **lsh)
+    return counts

@@ -169,3 +169,47 @@ def test_streaming_ingest_replay_idempotent(spark, tmp_path):
         snap(f"{base}/bucket_index"),
     )
     assert before == after
+
+
+def test_reprocess_snapshot_diff_driven_maintenance(spark, tmp_path):
+    """Snapshot B vs corpus from snapshot A: removed docs retire (corpus +
+    indices), changed docs carry their new text, added docs ingest through
+    the dedup gauntlet, and a same-snapshot rerun is a no-op."""
+    from pharmacodi_spark.pipelines.ingest import ingest_batch, reprocess_snapshot
+
+    base = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    snap_a = mk([
+        (1, "alpha body one two three"),
+        (2, "beta body four five six"),
+        (3, "gamma body seven eight nine"),
+    ])
+    ingest_batch(spark, base, snap_a)
+
+    snap_b = mk([
+        (1, "alpha body one two three"),        # unchanged
+        (2, "beta REVISED four five six"),      # changed
+        (4, "delta fresh ten eleven twelve"),   # added
+        (5, "alpha body one two three"),        # added, exact dup of 1 → dropped
+    ])                                          # 3 removed
+    counts = reprocess_snapshot(spark, base, snap_b)
+    assert counts == {"unchanged": 1, "changed": 1, "added": 2, "removed": 1}
+
+    corpus = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{base}/corpus").collect()
+    }
+    assert set(corpus) == {1, 2, 4}
+    assert corpus[2] == "beta REVISED four five six"
+    # retired doc 3's hash left the index: re-adding it later must succeed
+    hashes = {r.h for r in spark.read.parquet(f"{base}/hash_index").collect()}
+    import hashlib
+    assert hashlib.md5(b"gamma body seven eight nine").hexdigest() not in hashes
+    assert hashlib.md5(b"alpha body one two three").hexdigest() in hashes
+
+    # replay: same snapshot again → everything unchanged, state untouched
+    counts2 = reprocess_snapshot(spark, base, snap_b.where("doc_id != 5"))
+    assert counts2 == {"unchanged": 3}
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{base}/corpus").collect()
+    } == {1, 2, 4}
