@@ -324,6 +324,20 @@ def ops(spark, mult: int) -> dict[str, float]:
     )
     out["dedup_attribution_skew90"] = timed(lambda: _da(skewsrc))
     out["source_overlap_skew90"] = timed(lambda: _som(skewsrc, num_hashes=32))
+
+    # JL projection over synthetic 64-dim vectors derived from doc ids
+    # (embeddings_{mult}x isn't materialized; the fold cost is what scales)
+    from pharmacodi_spark.text.similarity import jl_project, jl_sign_matrix
+
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((F.col("doc_id") * 31 + i) % 1000).cast("double") / 500.0,
+        ).alias("embedding"),
+    )
+    signs = jl_sign_matrix(64, 8)
+    out["jl_projection"] = timed(lambda: jl_project(vecs, signs))
     return out
 
 
