@@ -47,3 +47,102 @@ def merge_sketches(
 def sketch_estimate(sketch_col: str = "sketch") -> Column:
     """Estimated distinct count from a sketch column."""
     return F.hll_sketch_estimate(F.col(sketch_col)).alias("n_distinct_est")
+
+
+def _cm_bucket(col: Column, row: int, width: int, salt: str) -> Column:
+    """md5-slice bucket for CM row ``row`` — oracle-expressible (DuckDB
+    ``('0x'||substr(md5(..),1,15))::BIGINT % width``)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{row}:"), col.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the values in
+    ``col``: a ``depth × width`` counter table as ``(row, bucket, c)``
+    rows — the mergeable frequency summary for heavy-hitter monitoring
+    when the exact value-count table is too wide to keep per slice
+    (store one KB-scale sketch per partition/day; merge = sum on
+    (row, bucket); estimate = min over rows — always ≥ the true count,
+    over by at most ~2N/width with probability 1−2^−depth).
+
+    Scale shape: one explode (×depth) collapsing map-side to the bounded
+    ``depth·width`` counter table — the shuffle carries at most
+    ``depth·width`` rows per task regardless of corpus size."""
+    assert depth >= 1 and width >= 1
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(F.col(col), r, width, salt).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("c"))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CM sketches built with identical (depth, width, salt): sum
+    counters per cell — the property that lets per-slice sketches answer
+    corpus-wide questions without rescanning."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: estimate =
+    ``min`` over the depth rows of the addressed counters (absent bucket
+    ⇒ 0). The sketch is ≤ depth·width rows — it broadcasts; the probe
+    never shuffles the items."""
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(F.col(col), r, width, salt).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_est"))
+    )

@@ -970,3 +970,75 @@ def curation_select_pipeline(
     )
     scored = dsir_score(surv, lam, dim=_DSIR_DIM, salt=_DSIR_SALT)
     return scored.orderBy(F.desc("dsir_fp"), F.asc("doc_id")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters (operators/sketches.py::cm_sketch / cm_estimate)
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 1024
+
+
+@q(
+    "cm_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    pairs AS (
+      SELECT r.r AS row,
+             CAST(('0x' || substr(md5('cm' || r.r || ':' || token), 1, 15))
+                  AS BIGINT) % {_CM_W} AS bucket,
+             token
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D - 1}))
+                           AS r) r
+    ),
+    sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM pairs GROUP BY 1, 2),
+    exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+              FROM tok GROUP BY 1),
+    top AS (SELECT token, exact_count FROM exact
+            ORDER BY exact_count DESC, token LIMIT 10),
+    est AS (
+      SELECT p.token, CAST(min(sk.c) AS BIGINT) AS cm_est
+      FROM (SELECT DISTINCT token, row, bucket FROM pairs
+            WHERE token IN (SELECT token FROM top)) p
+      JOIN sk USING (row, bucket)
+      GROUP BY 1
+    )
+    SELECT top.token, top.exact_count, est.cm_est,
+           CAST(est.cm_est - top.exact_count AS BIGINT) AS overcount
+    FROM top JOIN est USING (token)
+    """,
+)
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketches.py): build the 4×1024
+    counter table over the token stream (shuffle bounded at depth·width
+    rows), point-query the exact top-10 tokens, and report the one-sided
+    CM error (est ≥ exact always; over by ~2N/width w.h.p.). The sketch
+    is the mergeable per-slice frequency summary for corpus monitoring;
+    the exact side doubles as the oracle's ground truth."""
+    from pharmacodi_spark.operators.sketches import cm_estimate, cm_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("token")
+    )
+    sk = cm_sketch(toks, "token", depth=_CM_D, width=_CM_W)
+    exact = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(10)
+    est = cm_estimate(
+        sk, top.select("token"), "token", depth=_CM_D, width=_CM_W
+    )
+    return top.join(est, "token").select(
+        "token",
+        "exact_count",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_count")).cast("long").alias("overcount"),
+    )

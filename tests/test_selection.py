@@ -392,3 +392,26 @@ def test_unimax_allocation_waterfill_invariants(spark):
     # budget >= sum(caps): everyone allocates the cap
     full = {r.source: r for r in unimax_allocation(df, 10_000, max_epochs=2).collect()}
     assert all(full[s].alloc == full[s].cap for s in sizes)
+
+
+def test_cm_sketch_bounds_and_merge(spark):
+    """CM guarantees: est >= exact for every item; merged per-slice
+    sketches answer the union exactly as one big sketch would."""
+    from pharmacodi_spark.operators.sketches import cm_estimate, cm_merge, cm_sketch
+
+    a = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 5 + [("z",)] * 1, "v string"
+    )
+    b = spark.createDataFrame([("x",)] * 25 + [("w",)] * 10, "v string")
+    kw = dict(depth=4, width=64)
+    items = spark.createDataFrame([("x",), ("y",), ("z",), ("w",)], "v string")
+    merged = cm_merge(cm_sketch(a, "v", **kw), cm_sketch(b, "v", **kw))
+    one = cm_sketch(a.unionByName(b), "v", **kw)
+    est_m = {r.v: r.cm_est for r in cm_estimate(merged, items, "v", **kw).collect()}
+    est_o = {r.v: r.cm_est for r in cm_estimate(one, items, "v", **kw).collect()}
+    assert est_m == est_o
+    exact = {"x": 75, "y": 5, "z": 1, "w": 10}
+    for v, n in exact.items():
+        assert est_m[v] >= n  # one-sided error, always
+    # with 91 items in width-64 rows, the heavy hitter stays near-exact
+    assert est_m["x"] - exact["x"] <= 16
