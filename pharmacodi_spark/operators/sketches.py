@@ -146,3 +146,53 @@ def cm_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_est"))
     )
+
+
+def streaming_cm_sketch(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+):
+    """Maintain a CM sketch over a document stream — the monitoring side
+    of the mergeable-summary story: each micro-batch's sketch lands in its
+    OWN ``batch_id=N`` partition (dynamic partition overwrite ⇒ a replayed
+    batch rewrites the same partition instead of double-counting), and
+    :func:`read_cm_sketch` folds the partitions with :func:`cm_merge` at
+    question time.  State size: ≤ depth·width rows per batch — KB-scale
+    regardless of stream volume.  availableNow drain, as the repo's other
+    sinks."""
+    spark_conf_key = "spark.sql.sources.partitionOverwriteMode"
+
+    def do_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get(spark_conf_key, "static")
+        spark.conf.set(spark_conf_key, "dynamic")
+        try:
+            (
+                cm_sketch(batch, col, depth, width, salt)
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(f"{base_dir}/cm_sketch")
+            )
+        finally:
+            spark.conf.set(spark_conf_key, prev)
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cm_sketch(spark, base_dir: str) -> DataFrame:
+    """Fold the per-batch sketch partitions into ONE queryable sketch."""
+    parts = spark.read.parquet(f"{base_dir}/cm_sketch").drop("batch_id")
+    return parts.groupBy("row", "bucket").agg(
+        F.sum("c").cast("long").alias("c")
+    )

@@ -415,3 +415,43 @@ def test_cm_sketch_bounds_and_merge(spark):
         assert est_m[v] >= n  # one-sided error, always
     # with 91 items in width-64 rows, the heavy hitter stays near-exact
     assert est_m["x"] - exact["x"] <= 16
+
+
+def test_streaming_cm_sketch_equals_batch_and_survives_replay(spark, tmp_path):
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pharmacodi_spark.operators.sketches import (
+        cm_estimate, cm_sketch, read_cm_sketch, streaming_cm_sketch,
+    )
+
+    rows = [{"v": "x"}] * 30 + [{"v": "y"}] * 7 + [{"v": "z"}] * 2
+    src = str(tmp_path / "incoming")
+    _os.makedirs(src)
+    for i in range(3):
+        path = _os.path.join(src, f"b{i}.json")
+        with open(path, "w") as f:
+            for r in rows[i * 13 : (i + 1) * 13]:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(path, (_time.time() + i * 10, _time.time() + i * 10))
+
+    base = str(tmp_path / "state")
+    kw = dict(col="v", depth=4, width=32)
+    for ckpt in ("c1", "c2"):  # second pass = full replay, must not double
+        stream = (
+            spark.readStream.schema("v string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = streaming_cm_sketch(stream, base, str(tmp_path / ckpt), **kw)
+        q.awaitTermination()
+
+    folded = read_cm_sketch(spark, base)
+    batch = cm_sketch(spark.createDataFrame([(r["v"],) for r in rows], "v string"),
+                      "v", 4, 32)
+    items = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+    est_s = {r.v: r.cm_est for r in cm_estimate(folded, items, "v", 4, 32).collect()}
+    est_b = {r.v: r.cm_est for r in cm_estimate(batch, items, "v", 4, 32).collect()}
+    assert est_s == est_b
+    assert est_s["x"] >= 30 and est_s["z"] >= 2
