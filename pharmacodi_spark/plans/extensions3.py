@@ -964,7 +964,7 @@ def curation_select_pipeline(
         barrier_dir=barrier_dir,
     )
     d = _t(spark, sf_dir, "documents")
-    surv = d.join(F.broadcast(ids), "doc_id")
+    surv = d.join(ids, "doc_id")  # AQE decides; see selection_pipeline
     lam = dsir_train_weights(
         surv, F.col("lang") == "en", dim=_DSIR_DIM, salt=_DSIR_SALT
     )

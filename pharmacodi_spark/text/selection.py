@@ -324,7 +324,10 @@ def selection_pipeline(
         gated.select(id_col), mode=barrier, name="selection-gate",
         barrier_dir=barrier_dir,
     )
-    surv = df.join(F.broadcast(ids), id_col, "inner")
+    # no broadcast hint: the survivor set is keep_pct% of the corpus —
+    # metadata-scale locally but potentially billions of ids at 100 TB;
+    # AQE picks broadcast when it fits (the curation-cascade discipline)
+    surv = df.join(ids, id_col, "inner")
     lam = dsir_train_weights(
         surv, target, dim=dim, salt=salt, content_col=content_col
     )
