@@ -65,10 +65,16 @@ def fetch_manifest(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for row in pdf.itertuples(index=False):
-                url = getattr(row, url_col)
-                rel = getattr(row, relpath_col)
-                want = getattr(row, checksum_col) if checksum_col else None
+            # positional lists, not itertuples: pandas mangles column names
+            # that aren't Python identifiers into _1/_2 attributes
+            wants = (
+                pdf[checksum_col].tolist()
+                if checksum_col
+                else [None] * len(pdf)
+            )
+            for url, rel, want in zip(
+                pdf[url_col].tolist(), pdf[relpath_col].tolist(), wants
+            ):
                 payload, err = None, None
                 for _attempt in range(max_retries):
                     try:
