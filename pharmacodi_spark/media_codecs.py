@@ -275,3 +275,35 @@ def wav_feature_decoder(payload: bytes) -> list[float]:
             mean[c] = m / full
             rms[c] = (sum(v * v for v in chans[c]) / n) ** 0.5 / full
     return [float(nch), float(fr), 1000.0 * n / fr, *rms, *mean]
+
+
+def png_dhash(data: bytes, hash_size: int = 8) -> int:
+    """Perceptual difference-hash of a PNG: decode, luma, nearest-neighbor
+    downsample to (hash_size+1)×hash_size, emit one bit per horizontal
+    gradient (left < right) — near-identical images (recompression, small
+    edits, 1-px noise) land within a few Hamming bits, the standard
+    image-near-dup fingerprint.  Pure integers end to end (luma =
+    (299R+587G+114B)//1000, integer grid sampling), so the hash is
+    platform-deterministic.  Raises ``PngError`` on malformed input (the
+    multimodal seam turns that into ``decode_ok=False``)."""
+    width, height, channels, px = decode_png(data)
+    if width < 1 or height < 1:
+        raise PngError("empty image")
+
+    def luma(x: int, y: int) -> int:
+        i = (y * width + x) * channels
+        if channels >= 3:
+            return (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
+        return px[i]  # gray / gray+alpha: first channel is luma
+
+    gw, gh = hash_size + 1, hash_size
+    grid = [
+        [luma(min(x * width // gw, width - 1), min(y * height // gh, height - 1))
+         for x in range(gw)]
+        for y in range(gh)
+    ]
+    h = 0
+    for y in range(gh):
+        for x in range(hash_size):
+            h = (h << 1) | (1 if grid[y][x] < grid[y][x + 1] else 0)
+    return h

@@ -129,3 +129,51 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
             "target_h": F.ceil(h * scale).cast("int"),
         }
     )
+
+
+PHASH_SCHEMA = "media_id long, phash long, decode_ok boolean"
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    hasher: Callable[[bytes], int],
+    target_rows_per_batch: int = 64,
+) -> DataFrame:
+    """Perceptual fingerprints over binary media via the same injected-
+    decoder seam as :func:`extract_features` — ``hasher(payload) -> int``
+    (e.g. ``media_codecs.png_dhash``); corrupt payloads yield
+    ``decode_ok=False`` with a null hash instead of failing the job.
+
+    The output `(media_id, phash)` table plugs DIRECTLY into the text
+    dedup machinery: ``text/dedup.py::simhash_near_pairs`` buckets the
+    64-bit hashes by prefix and Hamming-filters within buckets — image
+    near-dup detection rides the exact same scale path as SimHash text
+    dedup (shuffles carry (id, 8-byte hash), never pixels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                hashes, oks = [], []
+                for payload in chunk["payload"]:
+                    try:
+                        v = hasher(bytes(payload) if payload is not None else b"")
+                        # two's-complement fold: Spark longs are signed, and
+                        # a 64-bit fingerprint may have the top bit set
+                        # (xxhash64 text simhashes live in the same domain)
+                        hashes.append(v - (1 << 64) if v >= 1 << 63 else v)
+                        oks.append(True)
+                    except Exception:  # noqa: BLE001 — corrupt media is data
+                        hashes.append(None)
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "phash": pd.array(hashes, dtype="Int64"),
+                        "decode_ok": oks,
+                    }
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )

@@ -237,3 +237,65 @@ def test_wav_decoder_through_spark_seam(spark):
     assert out[2].feat[0] == 2.0
     exp = wav_feature_decoder(good)
     assert [round(v, 5) for v in out[1].feat] == [round(v, 5) for v in exp]
+
+
+def _gradient_png(w=64, h=64, seed=0, noise_at=None):
+    """Deterministic RGB gradient image; optional single-pixel tweak."""
+    from pharmacodi_spark.media_codecs import encode_png
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(((x * 4 + seed) % 256, (y * 4) % 256, ((x + y) * 2) % 256))
+    if noise_at is not None:
+        i = (noise_at[1] * w + noise_at[0]) * 3
+        px[i] = (px[i] + 7) % 256
+    return encode_png(bytes(px), w, h, 3)
+
+
+def test_png_dhash_invariants():
+    from pharmacodi_spark.media_codecs import PngError, png_dhash
+
+    a = png_dhash(_gradient_png())
+    a_noise = png_dhash(_gradient_png(noise_at=(5, 5)))
+    b = png_dhash(_gradient_png(seed=128))
+    assert 0 <= a < 1 << 64
+    # 1-px noise: hash within a few bits; different image: far away
+    assert bin(a ^ a_noise).count("1") <= 4
+    assert bin(a ^ b).count("1") >= 8
+    try:
+        png_dhash(b"not a png")
+        raise AssertionError("expected PngError")
+    except PngError:
+        pass
+
+
+def test_image_near_dup_through_text_dedup_machinery(spark):
+    """The multimodal→dedup bridge: perceptual hashes from REAL PNG decode
+    feed simhash_near_pairs unchanged — the near-identical pair surfaces,
+    the distinct image does not, corrupt bytes degrade to decode_ok=False."""
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.media_codecs import png_dhash
+    from pharmacodi_spark.multimodal import perceptual_hashes
+    from pharmacodi_spark.text.dedup import simhash_near_pairs
+
+    rows = [
+        (1, bytearray(_gradient_png())),
+        (2, bytearray(_gradient_png(noise_at=(5, 5)))),  # near-dup of 1
+        (3, bytearray(_gradient_png(seed=128))),         # distinct
+        (4, bytearray(b"corrupt bytes")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    ph = perceptual_hashes(media, png_dhash)
+    got = {r.media_id: (r.phash, r.decode_ok) for r in ph.collect()}
+    assert got[4] == (None, False) and got[1][1]
+    pairs = simhash_near_pairs(
+        ph.where("decode_ok").select(
+            F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash")
+        ),
+        max_hamming=4,
+        prefix_bits=8,
+        bits=64,
+    )
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(1, 2)}
