@@ -1042,3 +1042,52 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") - F.col("exact_count")).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card (text/corpus.py::corpus_report)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corpus_report",
+    """
+    WITH t AS (
+      SELECT doc_id, source, lang, text,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne
+      FROM t
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM a
+      UNION ALL SELECT 'n_tokens', n_tokens FROM a
+      UNION ALL SELECT 'n_chars', n_chars FROM a
+      UNION ALL SELECT 'n_sources', n_sources FROM a
+      UNION ALL SELECT 'n_langs', n_langs FROM a
+      UNION ALL SELECT 'exact_dup_ppm',
+        ((n_docs - nd) * 1000000) // greatest(n_docs, 1) FROM a
+      UNION ALL SELECT 'empty_doc_ppm',
+        (ne * 1000000) // greatest(n_docs, 1) FROM a
+      UNION ALL SELECT 'mean_tokens_x100',
+        (n_tokens * 100) // greatest(n_docs, 1) FROM a
+    )
+    """,
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data card (text/corpus.py::corpus_report): one (metric, value)
+    header block — sizes, origin/language breadth, duplicate and empty
+    rates, ×100 mean length — in ONE corpus pass (multi-distinct via
+    Spark's expand rewrite), melted with stack. Integer metrics only."""
+    from pharmacodi_spark.text.corpus import corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_report(d)

@@ -404,3 +404,59 @@ def source_signature_terms(
         .where(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The data card: one (metric, value) table summarizing a corpus —
+    the header block every dataset release ships (sizes, origin/language
+    breadth, duplicate and empty rates, mean document length).  All
+    metrics are integers (ppm ratios, ×100 fixed-point means) so the card
+    is bit-identical on any engine.
+
+    Scale shape: ONE aggregation over the corpus (Spark's multi-distinct
+    rewrite handles the three count-distincts via expand — still a single
+    pass over the scan), melted to rows with ``stack``; no joins, no
+    window, no second scan.
+    """
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    agg = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length(content_col)).cast("long").alias("n_chars"),
+        F.countDistinct(group_col).cast("long").alias("n_sources"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+        F.countDistinct(F.md5(F.col(content_col)))
+        .cast("long")
+        .alias("__nd"),
+        F.sum((F.size(toks) == 0).cast("int")).cast("long").alias("__ne"),
+    )
+    derived = agg.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_langs",
+        F.expr("((n_docs - __nd) * 1000000) div greatest(n_docs, 1)")
+        .cast("long")
+        .alias("exact_dup_ppm"),
+        F.expr("(__ne * 1000000) div greatest(n_docs, 1)")
+        .cast("long")
+        .alias("empty_doc_ppm"),
+        F.expr("(n_tokens * 100) div greatest(n_docs, 1)")
+        .cast("long")
+        .alias("mean_tokens_x100"),
+    )
+    names = [
+        "n_docs", "n_tokens", "n_chars", "n_sources", "n_langs",
+        "exact_dup_ppm", "empty_doc_ppm", "mean_tokens_x100",
+    ]
+    stack_expr = ", ".join(f"'{n}', {n}" for n in names)
+    return derived.select(
+        F.expr(f"stack({len(names)}, {stack_expr}) AS (metric, value)")
+    )

@@ -472,3 +472,34 @@ def encode_token_ids(
             yield out
 
     return df.select(*ids, content_col).mapInPandas(run, schema)
+
+
+def decode_token_ids(
+    df: DataFrame,
+    vocab: "Sequence[str]",
+    ids_col: str = "token_ids",
+    out_col: str = "pieces",
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Inverse of :func:`encode_token_ids`: map id arrays back to their
+    vocabulary pieces — the debugging/inspection direction every tokenizer
+    ships (verify what the model actually sees; spot-check packed
+    sequences). Out-of-range ids (the encoder's ``unk_id``) decode to
+    ``unk``.
+
+    Whitespace is NOT reconstructed — the byte-level encoder drops word
+    boundaries, so the faithful inverse is the piece sequence, and
+    ``concat(pieces)`` equals the original text with separators removed
+    (pytest-proven round-trip).
+
+    Scale shape: the vocab rides as ONE array literal; decoding is a
+    per-row ``transform`` + ``element_at`` — zero shuffles, no Python."""
+    varr = F.array(*[F.lit(str(p)) for p in vocab])
+    n = len(vocab)
+    pieces = F.transform(
+        F.col(ids_col),
+        lambda i: F.when(
+            (i >= 0) & (i < n), F.element_at(varr, (i + 1).cast("int"))
+        ).otherwise(F.lit(unk)),
+    )
+    return df.withColumn(out_col, pieces)

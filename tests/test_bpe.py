@@ -210,3 +210,30 @@ def test_encode_token_ids_e2e_with_bpe_vocab(spark):
     total = counted.agg(F.sum("n_tokens")).first()[0]
     last = packed.orderBy(F.col("token_start").desc()).first()
     assert last.token_start + last.n_tokens == total
+
+
+def test_decode_token_ids_round_trip(spark):
+    """decode(encode(text)) reconstructs the text modulo word boundaries:
+    concat(pieces) == text without spaces when the vocab covers every
+    character; unknown ids decode to the unk marker."""
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.text.tokenizer import decode_token_ids, encode_token_ids
+
+    vocab = ["ab", "a", "b", "c", "cc"]
+    df = spark.createDataFrame(
+        [(1, "ab c abab"), (2, "ccc ab"), (3, "abq")],  # q not in vocab
+        "doc_id long, text string",
+    )
+    enc = encode_token_ids(df, vocab)
+    dec = decode_token_ids(enc, vocab)
+    out = {
+        r.doc_id: (list(r.token_ids), list(r.pieces))
+        for r in dec.collect()
+    }
+    for i, text in [(1, "ab c abab"), (2, "ccc ab")]:
+        assert "".join(out[i][1]) == text.replace(" ", "")
+    assert out[3][1][-1] == "<unk>" and -1 in out[3][0]
+    # decoding is a pure literal transform — no shuffle, no Python
+    plan = decode_token_ids(enc, vocab)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan
