@@ -10,7 +10,7 @@ integer-ratio arithmetic, floor rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pharmacodi_spark.plans.queries import q, _rnd, _t
@@ -1091,3 +1091,106 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return corpus_report(d)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "hard_negatives",
+    """
+    WITH un AS (
+      SELECT vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS qv,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE vec_id < 200
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+      FROM un a JOIN un b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n2
+              FROM un GROUP BY vec_id),
+    cos AS (
+      SELECT d.vec_a, d.vec_b,
+             CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS c
+      FROM dots d
+      JOIN norms na ON d.vec_a = na.vec_id
+      JOIN norms nb ON d.vec_b = nb.vec_id
+    ),
+    sym AS (
+      SELECT vec_a AS anchor, vec_b AS cand, c FROM cos
+      UNION ALL
+      SELECT vec_b AS anchor, vec_a AS cand, c FROM cos
+    ),
+    ranked AS (
+      SELECT anchor, cand,
+             floor(c * 10000 + 0.5) / 10000 AS cosine,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY c DESC, cand) AS rank
+      FROM sym WHERE c < 0.9
+    )
+    SELECT anchor, cand, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the 3
+    most-similar candidates BELOW the near-dup threshold (0.9) — similar
+    enough to be informative negatives, distinct enough not to be hidden
+    positives (the e5/GTR-style mining rule). Bounded brute referee window
+    (vec_id < 200) like embedding_near_dup; the scale path mines from
+    ANN candidate lists and anti-joins the near-dup pair set. Exact
+    integer dot/norm math; rank windows partition per anchor."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    un = e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id",
+        "pos",
+        _rnd(F.col("val").cast("double") * 10000).cast("long").alias("qv"),
+    )
+    a, b = un.alias("a"), un.alias("b")
+    dots = (
+        a.join(b, on="pos")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("long").alias("dot"))
+    )
+    norms = un.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("n2")
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    c = F.col("dot").cast("double") / F.sqrt(
+        F.col("na.n2").cast("double") * F.col("nb.n2").cast("double")
+    )
+    cos = (
+        dots.join(F.broadcast(na), F.col("vec_a") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("vec_b") == F.col("nb.vec_id"))
+        .select("vec_a", "vec_b", c.alias("c"))
+    )
+    sym = cos.select(
+        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("cand"), "c"
+    ).unionByName(
+        cos.select(
+            F.col("vec_b").alias("anchor"), F.col("vec_a").alias("cand"), "c"
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("c"), F.asc("cand"))
+    return (
+        sym.where(F.col("c") < 0.9)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "anchor",
+            "cand",
+            _rnd(F.col("c"), 4).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
