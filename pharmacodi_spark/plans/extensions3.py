@@ -1194,3 +1194,52 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation detection (text/corpus.py::detect_phrases / apply_phrases)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "phrase_detection",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+      FROM t WHERE len(toks) >= 2
+    ),
+    big AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM pairs GROUP BY 1, 2),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+    ),
+    n_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+    SELECT big.a, big.b, big.c_ab,
+           ua.c AS c_a, ub.c AS c_b,
+           CAST(((big.c_ab - 5) * n_tot.n * 100) // (ua.c * ub.c) AS BIGINT)
+             AS score_fp,
+           ((big.c_ab - 5) * n_tot.n * 100 >= 100 * ua.c * ub.c)
+             AS is_phrase
+    FROM big
+    JOIN uni ua ON big.a = ua.w
+    JOIN uni ub ON big.b = ub.w
+    CROSS JOIN n_tot
+    WHERE big.c_ab >= 5
+    """,
+)
+def phrase_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection (text/corpus.py::detect_phrases, Mikolov
+    phrases): adjacent-pair score (c_ab−δ)·N/(c_a·c_b) as an integer
+    cross-multiplied gate (δ = min_count = 5, threshold 1.0) — the merge
+    list for phrase-aware tokenization. Counts collapse map-side; the
+    score join runs on Zipf-bounded tables; N is a 1-row broadcast."""
+    from pharmacodi_spark.text.corpus import detect_phrases
+
+    d = _t(spark, sf_dir, "documents")
+    return detect_phrases(d, min_count=5, threshold_fp=100)

@@ -460,3 +460,116 @@ def corpus_report(
     return derived.select(
         F.expr(f"stack({len(names)}, {stack_expr}) AS (metric, value)")
     )
+
+
+def detect_phrases(
+    df: DataFrame,
+    min_count: int = 2,
+    threshold_fp: int = 100,
+    content_col: str = "text",
+    scale: int = 100,
+) -> DataFrame:
+    """Collocation detection (Mikolov et al. 2013 phrases): score every
+    adjacent token pair by ``(c_ab − δ)·N / (c_a·c_b)`` with δ =
+    ``min_count`` — pairs scoring above threshold are phrases worth
+    merging into single tokens before training ("new york" → "new_york").
+
+    The gate is evaluated as the integer cross-multiplication
+    ``(c_ab − δ)·N·scale ≥ threshold_fp·c_a·c_b`` — engine-exact, no
+    division; ``score_fp`` (×scale, floor) ships for inspection.
+
+    Scale shape: token/bigram counts collapse map-side (the two
+    fact-scale shuffles are keyed by token and pair); N rides as a 1-row
+    broadcast aggregate; the score join runs on the Zipf-bounded count
+    tables."""
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    t = df.select(toks.alias("__tk")).where(F.size("__tk") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("__tk", i.cast("int")).alias("a"),
+                    F.element_at("__tk", (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    big = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    ca = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    d = int(min_count)
+    joined = (
+        big.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(n_tot))
+        .where(F.col("c_ab") >= d)
+    )
+    return joined.select(
+        "a",
+        "b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.expr(f"((c_ab - {d}) * n * {int(scale)}) div (c_a * c_b)")
+        .cast("long")
+        .alias("score_fp"),
+        (
+            (F.col("c_ab") - d) * F.col("n") * int(scale)
+            >= int(threshold_fp) * F.col("c_a") * F.col("c_b")
+        ).alias("is_phrase"),
+    )
+
+
+def apply_phrases(
+    df: DataFrame,
+    phrases: list[tuple[str, str]],
+    content_col: str = "text",
+    out_col: str = "phrased_text",
+    joiner: str = "_",
+) -> DataFrame:
+    """Merge detected collocations into single tokens, greedy
+    left-to-right (each token joins at most one phrase, leftmost-first —
+    word2vec's behavior). The phrase set rides as ONE literal map keyed
+    ``a + ' ' + b``; the merge is a native ``aggregate`` fold carrying a
+    (output-array, pending-token) struct — ZERO shuffles, the corpus
+    never leaves its scan partitions."""
+    keys = F.array(*[F.lit(f"{a} {b}") for a, b in phrases])
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("pend"),
+    )
+
+    def step(acc, tok):
+        pair = F.concat(acc["pend"], F.lit(" "), tok)
+        merged = F.array_contains(keys, pair) & (acc["pend"] != "")
+        return F.struct(
+            F.when(
+                merged,
+                F.concat(
+                    acc["out"],
+                    F.array(F.concat(acc["pend"], F.lit(joiner), tok)),
+                ),
+            )
+            .when(acc["pend"] == "", acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+            .alias("out"),
+            F.when(merged | (acc["pend"] == ""), F.when(merged, F.lit("")).otherwise(tok))
+            .otherwise(tok)
+            .alias("pend"),
+        )
+
+    def fin(acc):
+        return F.when(
+            acc["pend"] == "", acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+
+    merged = F.aggregate(toks, acc0, step, fin)
+    return df.withColumn(out_col, F.array_join(merged, " "))

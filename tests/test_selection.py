@@ -455,3 +455,59 @@ def test_streaming_cm_sketch_equals_batch_and_survives_replay(spark, tmp_path):
     est_b = {r.v: r.cm_est for r in cm_estimate(batch, items, "v", 4, 32).collect()}
     assert est_s == est_b
     assert est_s["x"] >= 30 and est_s["z"] >= 2
+
+
+def test_apply_phrases_greedy_fold_matches_python(spark):
+    from pharmacodi_spark.text.corpus import apply_phrases
+
+    phrases = [("new", "york"), ("york", "city"), ("machine", "learning")]
+
+    def py_apply(text):
+        toks = [t for t in text.split() if t]
+        out, pend = [], ""
+        for t in toks:
+            if pend and (pend, t) in phrases:
+                out.append(pend + "_" + t)
+                pend = ""
+            elif not pend:
+                pend = t
+            else:
+                out.append(pend)
+                pend = t
+        if pend:
+            out.append(pend)
+        return " ".join(out)
+
+    texts = [
+        "new york city hall",            # greedy: new_york city hall
+        "i love machine learning a lot",
+        "york city new york",
+        "new new york",
+        "",
+        "machine",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.phrased_text for r in apply_phrases(df, phrases).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_apply(t), (t, got[i], py_apply(t))
+    assert got[0] == "new_york city hall"
+    # apply is a zero-shuffle fold
+    plan = apply_phrases(df, phrases)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_detect_phrases_flags_true_collocations(spark):
+    from pharmacodi_spark.text.corpus import detect_phrases
+
+    rows = [(i, "new york is big and " + ("x y " if i % 2 else "p q ") * 1)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.a, r.b): r for r in detect_phrases(df, min_count=2).collect()}
+    # "new york" always adjacent, each word only in that context → phrase
+    assert out[("new", "york")].is_phrase
+    # "is big" also always adjacent — same stats here; but "and x"/"and p"
+    # split the contexts, so ("big","and") stays but ("and","x") has
+    # c_ab=5 < c_a=10 context → weaker score than ("new","york")
+    assert out[("new", "york")].score_fp >= out[("and", "x")].score_fp
