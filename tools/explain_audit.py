@@ -437,6 +437,31 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False,
          "the waterline aggregate broadcasts back (1-row cross join)"),
     ],
+    "corpus_report": [
+        (r"\bExpand\b", True,
+         "the three count-distincts run in ONE pass via Spark's expand "
+         "rewrite — no per-metric scans"),
+        (r"\bJoin\b", False, "the data card is a single aggregate, melted"),
+    ],
+    "phrase_detection": [
+        (r"partial_count", True,
+         "unigram/bigram counts collapse map-side — the only fact-scale "
+         "shuffles are keyed by token and pair"),
+        (r"SortMergeJoin", False,
+         "the score join runs broadcast/hash on Zipf-bounded count "
+         "tables"),
+    ],
+    "cm_heavy_hitters": [
+        (r"partial_count", True,
+         "sketch cells and exact counts both collapse map-side; the "
+         "sketch shuffle is bounded at depth·width rows"),
+        (r"SortMergeJoin", False, "probes join the broadcast sketch"),
+    ],
+    "hard_negatives": [
+        (r"windowspecdefinition\(anchor", True,
+         "ranking is per-anchor windows, never a global sort"),
+        (r"SinglePartition", False, "no single-partition stage"),
+    ],
     "curation_select_pipeline": [
         (r"Scan ExistingRDD", True,
          "six survivor-set barriers pin the cascade, including the "
