@@ -338,6 +338,16 @@ def ops(spark, mult: int) -> dict[str, float]:
     )
     signs = jl_sign_matrix(64, 8)
     out["jl_projection"] = timed(lambda: jl_project(vecs, signs))
+
+    from pharmacodi_spark.text.corpus import corpus_report, detect_phrases
+
+    langd2 = srctext.withColumn(
+        "lang", (F.col("doc_id") % 5).cast("string")
+    )
+    out["corpus_report"] = timed(lambda: corpus_report(langd2))
+    out["phrase_detection"] = timed(
+        lambda: detect_phrases(docs, min_count=5, threshold_fp=100)
+    )
     return out
 
 
