@@ -1243,3 +1243,56 @@ def phrase_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return detect_phrases(d, min_count=5, threshold_fp=100)
+
+
+# ---------------------------------------------------------------------------
+# Source boilerplate stripping (text/cleaning.py::strip_source_boilerplate)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "source_boilerplate_strip",
+    """
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source, text, toks,
+             array_to_string(toks[1:1], ' ') AS pfx
+      FROM t
+    ),
+    c AS (SELECT source, pfx, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2),
+    top AS (
+      SELECT source, pfx AS bp FROM (
+        SELECT source, pfx, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, pfx) AS rn,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM c
+      ) WHERE rn = 1 AND c * 1000000 >= 100000 * n
+    )
+    SELECT b.doc_id, b.source,
+           CASE WHEN top.bp IS NOT NULL AND b.pfx = top.bp
+                THEN array_to_string(toks[2:len(toks)], ' ')
+                ELSE b.text END AS stripped_text,
+           (top.bp IS NOT NULL AND b.pfx = top.bp) AS boilerplate_stripped
+    FROM b LEFT JOIN top USING (source)
+    """,
+)
+def source_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate prefix removal (text/cleaning.py::
+    strip_source_boilerplate, prefix=1 token, share ≥ 10%): the dominant
+    opening prefix of an origin is its site template — strip it from the
+    matching documents. Prefixes are scan-projection slices (no explode);
+    one (source, prefix) count collapses map-side; the winning-prefix
+    table is domain-cardinality and broadcasts back. On the fixture,
+    sources split both ways across the 10% gate (8–16% dominance)."""
+    from pharmacodi_spark.text.cleaning import strip_source_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_source_boilerplate(
+        d, prefix_tokens=1, min_share_ppm=100_000
+    ).select("doc_id", "source", "stripped_text", "boilerplate_stripped")

@@ -260,3 +260,62 @@ def decontaminate_against(
             (F.coalesce("n_collisions", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def strip_source_boilerplate(
+    df: DataFrame,
+    prefix_tokens: int = 5,
+    min_share_ppm: int = 300_000,
+    group_col: str = "source",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "stripped_text",
+) -> DataFrame:
+    """Site-template removal: if ≥ ``min_share_ppm`` of an origin's
+    documents open with the SAME ``prefix_tokens``-token prefix, that
+    prefix is the source's boilerplate header (nav bars, licence
+    blurbs, crawler banners) — strip it from the matching documents.
+    The per-SOURCE sibling of :func:`strip_repeated_lines` (which needs
+    line structure) and the prefix analogue of the CCNet passage rule.
+
+    Exact and deterministic: the dominant prefix per source is the
+    (count, prefix) maximum (ties → lexicographic prefix); the share
+    gate is the integer cross-multiplication ``share·10⁶ ≥
+    min_share_ppm·n_docs``.  Output keeps every row and adds
+    ``(out_col, boilerplate_stripped)``.
+
+    Scale shape: prefixes are computed in the scan projection (slice +
+    join — no explode); ONE count aggregate keyed by (source, prefix)
+    collapses map-side; the winning-prefix table is domain-cardinality
+    and broadcasts back.
+    """
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    pfx = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
+    base = df.withColumn("__pfx", pfx)
+    counts = base.groupBy(group_col, "__pfx").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__c"), F.asc("__pfx")
+    )
+    tot = Window.partitionBy(group_col)
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.sum("__c").over(tot))
+        .where(
+            (F.col("__rn") == 1)
+            & (F.col("__c") * 1_000_000 >= int(min_share_ppm) * F.col("__n"))
+        )
+        .select(group_col, F.col("__pfx").alias("__bp"))
+    )
+    joined = base.join(F.broadcast(top), group_col, "left")
+    hit = F.col("__bp").isNotNull() & (F.col("__pfx") == F.col("__bp"))
+    stripped = F.array_join(
+        F.slice(toks, prefix_tokens + 1, F.greatest(F.size(toks) - prefix_tokens, F.lit(0))),
+        " ",
+    )
+    return joined.select(
+        *df.columns,
+        F.when(hit, stripped).otherwise(F.col(content_col)).alias(out_col),
+        hit.alias("boilerplate_stripped"),
+    )

@@ -511,3 +511,26 @@ def test_detect_phrases_flags_true_collocations(spark):
     # split the contexts, so ("big","and") stays but ("and","x") has
     # c_ab=5 < c_a=10 context → weaker score than ("new","york")
     assert out[("new", "york")].score_fp >= out[("and", "x")].score_fp
+
+
+def test_strip_source_boilerplate_semantics(spark):
+    from pharmacodi_spark.text.cleaning import strip_source_boilerplate
+
+    header = "SITE NAV menu login"
+    rows = (
+        [(i, f"{header} article body {i}", "templated") for i in range(8)]
+        + [(100, "organic text here", "templated")]           # 8/9 share
+        + [(200 + i, f"opening {i} varies fully", "clean") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: (r.stripped_text, r.boilerplate_stripped)
+        for r in strip_source_boilerplate(
+            df, prefix_tokens=4, min_share_ppm=500_000
+        ).collect()
+    }
+    for i in range(8):
+        assert out[i] == (f"article body {i}", True)
+    assert out[100] == ("organic text here", False)     # non-matching row kept
+    for i in range(5):                                  # no dominant prefix
+        assert out[200 + i][1] is False
