@@ -1296,3 +1296,47 @@ def source_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_source_boilerplate(
         d, prefix_tokens=1, min_share_ppm=100_000
     ).select("doc_id", "source", "stripped_text", "boilerplate_stripped")
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup keeper (text/dedup.py::exact_dedup(keeper_order=...))
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "exact_dedup_quality_keeper",
+    """
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             md5(array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> '')[1:20],
+               ' ')) AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, source, n_chars FROM r WHERE rn = 1
+    """,
+)
+def exact_dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper (text/dedup.py::exact_dedup with
+    keeper_order): among documents sharing a 20-token leading-passage
+    key, keep the LONGEST (ties → lower id) instead of the first-seen —
+    the keeper policy real pipelines prefer (the longest duplicate
+    usually carries the full article; the short ones are truncations).
+    Same hash-keyed shuffle as the min-id path, different window order."""
+    from pharmacodi_spark.text.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    keyed = d.withColumn("__pk", F.array_join(F.slice(toks, 1, 20), " "))
+    out = exact_dedup(
+        keyed,
+        content_col="__pk",
+        keeper_order=[F.desc("n_chars"), F.col("doc_id")],
+    )
+    return out.select("doc_id", "source", "n_chars")

@@ -18,12 +18,19 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    keeper_order: list | None = None,
 ) -> DataFrame:
-    """Keep one row per exact content duplicate (min id wins). Returns the
-    surviving rows. Grouping key is the md5 of the content — the shuffle
-    carries 32-byte hashes, not bodies."""
-    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col))
+    """Keep one row per exact content duplicate. Default keeper: min id.
+    ``keeper_order`` overrides the policy with explicit sort Columns —
+    e.g. ``[F.desc("quality_score"), F.col("doc_id")]`` keeps the
+    highest-quality duplicate (ties → lower id), the policy real
+    pipelines prefer over first-seen. Grouping key is the md5 of the
+    content — the shuffle carries 32-byte hashes, not bodies."""
+    order = keeper_order if keeper_order is not None else [F.col(id_col)]
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
