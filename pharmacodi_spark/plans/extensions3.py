@@ -1021,9 +1021,12 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the mergeable per-slice frequency summary for corpus monitoring;
     the exact side doubles as the oracle's ground truth."""
     from pharmacodi_spark.operators.sketches import cm_estimate, cm_sketch
+    from pharmacodi_spark.plans.queries import fan_out
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    # the x4-hash explode is CPU-dense; spread the single-split fixture
+    # scan first (no-op at corpus scale — the repeated_spans guard)
+    toks = fan_out(d, "doc_id").select(
         F.explode(
             F.filter(F.split(F.col("text"), " "), lambda x: x != "")
         ).alias("token")
