@@ -1343,3 +1343,59 @@ def exact_dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         keeper_order=[F.desc("n_chars"), F.col("doc_id")],
     )
     return out.select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Event-mix entropy per window (drift monitoring over the event stream)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_mix_entropy",
+    f"""
+    WITH b AS (
+      SELECT CAST(epoch_ns(ts) // 600000000000 AS BIGINT) * 600
+               AS bucket_start,
+             event_type
+      FROM events
+    ),
+    c AS (SELECT bucket_start, event_type,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2),
+    n AS (SELECT bucket_start, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_types
+          FROM c GROUP BY 1)
+    SELECT n.bucket_start, n.n AS n_events, n.n_types,
+           CAST(sum(c.c * ({_il("n.n")} - {_il("c.c")})) AS BIGINT)
+             AS entropy_fp
+    FROM c JOIN n USING (bucket_start)
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix entropy per 10-minute window: unnormalized Shannon
+    entropy ``Σ c·(il(N) − il(c))`` in fixed-point integer log2 — the
+    drift detector over a stream's category mix (a window whose entropy
+    collapses is one source/event-type flooding the pipeline; a spike is
+    new-category churn). Buckets are pure integer division on epoch-nanos
+    (no timezone surface); counts collapse map-side; the entropy join
+    runs on the windows × types table — metadata-scale."""
+    from pharmacodi_spark.text.retrieval import ilog2_fp
+
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.withColumn(
+            "bucket_start", (F.expr("ts div 600000000000") * 600).cast("long")
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = c.groupBy("bucket_start").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    j = c.join(n, "bucket_start")
+    term = F.col("c") * (ilog2_fp(F.col("n_events")) - ilog2_fp(F.col("c")))
+    return j.groupBy("bucket_start", "n_events", "n_types").agg(
+        F.sum(term).cast("long").alias("entropy_fp")
+    )

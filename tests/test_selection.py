@@ -534,3 +534,41 @@ def test_strip_source_boilerplate_semantics(spark):
     assert out[100] == ("organic text here", False)     # non-matching row kept
     for i in range(5):                                  # no dominant prefix
         assert out[200 + i][1] is False
+
+
+def test_window_mix_entropy_orders_windows_correctly(spark):
+    """Uniform mix maximizes the integer entropy; a single-type window
+    scores exactly 0 (c·(il(N)−il(N)))."""
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.plans.extensions3 import window_mix_entropy
+
+    # build two windows directly on a temp events-shaped frame
+    rows = []
+    for i in range(8):                     # window 0: uniform over 4 types
+        rows.append((i * 1_000_000_000, f"t{i % 4}", 1.0))
+    for i in range(8):                     # window 1: all one type
+        rows.append((600_000_000_000 + i * 1_000_000_000, "t0", 1.0))
+    df = spark.createDataFrame(rows, "ts long, event_type string, value double")
+    c = (
+        df.withColumn("bucket_start", (F.expr("ts div 600000000000") * 600).cast("long"))
+        .groupBy("bucket_start", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from pharmacodi_spark.text.retrieval import ilog2_fp
+
+    n = c.groupBy("bucket_start").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    j = c.join(n, "bucket_start")
+    term = F.col("c") * (ilog2_fp(F.col("n_events")) - ilog2_fp(F.col("c")))
+    out = {
+        r.bucket_start: r.entropy_fp
+        for r in j.groupBy("bucket_start", "n_events", "n_types")
+        .agg(F.sum(term).cast("long").alias("entropy_fp"))
+        .collect()
+    }
+    assert out[600] == 0                       # degenerate mix
+    # uniform 4-way over 8 events: H = 8 * (il(8) - il(2)) = 8 * 2 bits fp
+    assert out[0] == 8 * ((3 << 10) - (1 << 10))
