@@ -247,14 +247,7 @@ def reprocess_snapshot(
 
     retire = diff.where(F.col("status").isin("removed", "changed")).select(id_col)
     if counts.get("removed", 0) or counts.get("changed", 0):
-        survivors = corpus.join(retire, id_col, "left_anti").localCheckpoint()
-        survivors.write.mode("overwrite").parquet(corpus_path)
-        content_hashes(survivors, content_col, id_col).write.mode(
-            "overwrite"
-        ).parquet(hash_path)
-        band_buckets(survivors, content_col, id_col, **lsh).write.mode(
-            "overwrite"
-        ).parquet(bucket_path)
+        _retire_ids(spark, base_dir, retire, content_col, id_col, **lsh)
 
     todo = new_snapshot.join(
         diff.where(F.col("status").isin("added", "changed")).select(id_col),
@@ -263,3 +256,220 @@ def reprocess_snapshot(
     if counts.get("added", 0) or counts.get("changed", 0):
         ingest_batch(spark, base_dir, todo, content_col, id_col, **lsh)
     return counts
+
+
+def _retire_ids(
+    spark: SparkSession,
+    base_dir: str,
+    ids: DataFrame,
+    content_col: str,
+    id_col: str,
+    **lsh,
+) -> None:
+    """Drop ``ids`` from the corpus table and REBUILD both compact indices
+    from the survivors (hashes / LSH cells can be shared across documents,
+    so per-row index deletion would corrupt dedup state). The survivor
+    frame is ``localCheckpoint``-pinned because Spark cannot overwrite
+    files still feeding the running plan; the rewrite shuffles ids/hashes,
+    never bodies (at cluster scale the corpus table is partitioned and the
+    rewrite prunes to touched partitions)."""
+    corpus_path, hash_path, bucket_path = _state_paths(base_dir)
+    corpus = spark.read.parquet(corpus_path)
+    survivors = corpus.join(ids.select(id_col), id_col, "left_anti").localCheckpoint()
+    survivors.write.mode("overwrite").parquet(corpus_path)
+    content_hashes(survivors, content_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(hash_path)
+    band_buckets(survivors, content_col, id_col, **lsh).write.mode(
+        "overwrite"
+    ).parquet(bucket_path)
+
+
+def _run_paths(run_dir: str) -> tuple[str, str]:
+    return f"{run_dir}/seen_ids", f"{run_dir}/quarantine"
+
+
+def reprocess_stream_batch(
+    spark: SparkSession,
+    base_dir: str,
+    run_dir: str,
+    batch: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh,
+) -> None:
+    """One micro-batch of the streaming snapshot reprocess (the
+    ``foreachBatch`` body of :func:`streaming_reprocess`). The snapshot
+    arrives in shards, so only the shard-local part of the diff is
+    decidable here:
+
+    1. diff THIS SHARD's ids against the live corpus (``corpus_diff``
+       restricted to the shard — corpus-only ids are "not in this shard",
+       not "removed"; removal is a whole-snapshot fact owned by
+       :func:`finalize_reprocess`);
+    2. ``changed`` ids retire immediately (corpus rewrite + index rebuild
+       from survivors), exactly as the batch path does;
+    3. ``added ∪ changed`` rows split on corpus collision: rows whose md5
+       is already in the hash index, or whose LSH band lands in an
+       occupied corpus cell, go to the run's ``quarantine`` table (keyed
+       upsert — their collision partner may be retired by a LATER shard or
+       by finalize, the "content moved to a new id" crawl case); the rest
+       run the normal ingest gauntlet;
+    4. the shard's ids append to the run's ``seen_ids`` index (anti-join
+       guarded, so micro-batch replay is a no-op).
+
+    Replay-idempotent: on replay, previously ingested rows diff as
+    ``unchanged`` (no work), quarantined rows re-upsert by id, and the
+    seen append anti-joins the current index. Every shuffle here carries
+    ids/hashes — bodies only move into the corpus write itself."""
+    corpus_path, hash_path, bucket_path = _state_paths(base_dir)
+    assert path_exists(spark, corpus_path), "bootstrap with ingest_batch first"
+    from pharmacodi_spark.text.incremental import corpus_diff
+
+    lsh = {**_LSH, **lsh}
+    seen_path, quarantine_path = _run_paths(run_dir)
+
+    corpus = spark.read.parquet(corpus_path)
+    diff = (
+        corpus_diff(corpus, batch, content_col, id_col)
+        .where(F.col("status") != "removed")
+        .localCheckpoint()  # consumed 3x; id+status only, shard-bounded
+    )
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+
+    if counts.get("changed", 0):
+        _retire_ids(
+            spark,
+            base_dir,
+            diff.where(F.col("status") == "changed"),
+            content_col,
+            id_col,
+            **lsh,
+        )
+
+    if counts.get("added", 0) or counts.get("changed", 0):
+        todo = batch.join(
+            diff.where(F.col("status").isin("added", "changed")).select(id_col),
+            id_col,
+        ).localCheckpoint()  # read against pre- and post-ingest state below
+        # corpus-collision split against the POST-retirement indices
+        hashes = spark.read.parquet(hash_path)
+        buckets = spark.read.parquet(bucket_path)
+        exact_hit = (
+            todo.select(id_col, F.md5(F.col(content_col)).alias("h"))
+            .join(hashes, "h", "left_semi")
+            .select(id_col)
+        )
+        near_hit = (
+            incremental_near_dup_flags(todo, buckets, content_col, id_col, **lsh)
+            .where(F.col("near_dup_candidate"))
+            .select(id_col)
+        )
+        colliders = exact_hit.unionByName(near_hit).distinct().localCheckpoint()
+        quarantine = todo.join(colliders, id_col, "left_semi")
+        clean = todo.join(colliders, id_col, "left_anti")
+        if not quarantine.isEmpty():
+            if path_exists(spark, quarantine_path):
+                merge_upsert(spark, quarantine_path, quarantine, [id_col])
+            else:
+                quarantine.write.parquet(quarantine_path)
+        if not clean.isEmpty():
+            ingest_batch(spark, base_dir, clean, content_col, id_col, **lsh)
+
+    ids = batch.select(id_col).distinct()
+    if path_exists(spark, seen_path):
+        seen = spark.read.parquet(seen_path)
+        ids.join(seen, id_col, "left_anti").localCheckpoint().write.mode(
+            "append"
+        ).parquet(seen_path)
+    else:
+        ids.write.parquet(seen_path)
+
+
+def streaming_reprocess(
+    stream: DataFrame,
+    base_dir: str,
+    run_dir: str,
+    checkpoint_dir: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh,
+):
+    """Streaming twin of :func:`reprocess_snapshot`: the new crawl snapshot
+    arrives as a stream of shards; each micro-batch runs the shard-local
+    diff-and-ingest (:func:`reprocess_stream_batch`) against the LIVE
+    corpus, and :func:`finalize_reprocess` — called once the query drains —
+    settles the whole-snapshot facts (retire never-seen ids, re-try
+    quarantined collisions). ``run_dir`` is per-snapshot scratch with the
+    same lifecycle as ``checkpoint_dir``.
+
+    Equivalence contract (pytest-proven in tests/test_ingest_pipeline.py):
+    after finalize, corpus + indices match the batch
+    :func:`reprocess_snapshot` of the assembled snapshot — including the
+    moved-content case (incoming doc colliding with content the snapshot
+    retires), which converges via the quarantine re-try. The one
+    arrival-order caveat is near-dup KEEPER IDENTITY across shards: the
+    batch path keeps the min-id member of a near-dup cluster, a stream
+    keeps the first-arrived (same contract as :func:`streaming_ingest`);
+    ids-and-hashes equality holds whenever shards arrive in id order or
+    incoming near-dup clusters don't straddle shards."""
+
+    def do_batch(batch: DataFrame, _batch_id: int) -> None:
+        reprocess_stream_batch(
+            batch.sparkSession, base_dir, run_dir, batch, content_col, id_col, **lsh
+        )
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def finalize_reprocess(
+    spark: SparkSession,
+    base_dir: str,
+    run_dir: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh,
+) -> dict[str, int]:
+    """Whole-snapshot settlement after the reprocess stream drains:
+
+    1. RETIRE corpus ids never seen in any shard (the snapshot's
+       ``removed`` set — only now decidable);
+    2. re-run the run's quarantine through the ingest gauntlet against the
+       post-retirement state: a doc that collided only with now-retired
+       content enters; one colliding with surviving content drops again;
+    3. empty the quarantine (schema-preserving zero-row overwrite).
+
+    Idempotent: after one finalize every corpus id is ∈ seen_ids (old
+    survivors appeared in a shard; new entrants arrived in one), so a
+    second call retires nothing and finds an empty quarantine. Returns the
+    maintenance counts ``{"removed": n, "requeued": n}``."""
+    corpus_path, _, _ = _state_paths(base_dir)
+    seen_path, quarantine_path = _run_paths(run_dir)
+    assert path_exists(spark, seen_path), "run the reprocess stream first"
+    lsh = {**_LSH, **lsh}
+
+    corpus = spark.read.parquet(corpus_path)
+    seen = spark.read.parquet(seen_path)
+    removed = (
+        corpus.select(id_col).join(seen, id_col, "left_anti").localCheckpoint()
+    )
+    n_removed = removed.count()
+    if n_removed:
+        _retire_ids(spark, base_dir, removed, content_col, id_col, **lsh)
+
+    n_requeued = 0
+    if path_exists(spark, quarantine_path):
+        quarantine = spark.read.parquet(quarantine_path).localCheckpoint()
+        n_requeued = quarantine.count()
+        if n_requeued:
+            ingest_batch(spark, base_dir, quarantine, content_col, id_col, **lsh)
+            quarantine.limit(0).write.mode("overwrite").parquet(quarantine_path)
+    return {"removed": n_removed, "requeued": n_requeued}

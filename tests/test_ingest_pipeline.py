@@ -213,3 +213,145 @@ def test_reprocess_snapshot_diff_driven_maintenance(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(f"{base}/corpus").collect()
     } == {1, 2, 4}
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of reprocess_snapshot (diff-driven maintenance as a stream)
+# ---------------------------------------------------------------------------
+
+SNAP_A = [
+    (1, "alpha body one two three"),
+    (2, "beta body four five six"),
+    (3, "gamma body seven eight nine"),
+]
+# Snapshot B sharded into two micro-batches. Doc 4 carries doc 3's exact
+# text while B retires id 3 — the "content moved to a new id" crawl case
+# that only the quarantine re-try converges; doc 5 exact-dups the SURVIVING
+# doc 1, so it must stay dropped after finalize.
+SNAP_B_SHARDS = [
+    [(4, "gamma body seven eight nine")],
+    [(1, "alpha body one two three"),
+     (2, "beta REVISED four five six"),
+     (5, "alpha body one two three")],
+]
+
+
+def _write_snapshot_shards(src_dir, shards):
+    os.makedirs(src_dir)
+    for i, shard in enumerate(shards):
+        path = os.path.join(src_dir, f"s{i}.json")
+        with open(path, "w") as f:
+            for doc_id, text in shard:
+                f.write('{"doc_id": %d, "text": "%s"}\n' % (doc_id, text))
+        os.utime(path, (time.time() + i * 10, time.time() + i * 10))
+
+
+def _state_snapshot(spark, base):
+    return (
+        {(r.doc_id, r.text) for r in spark.read.parquet(f"{base}/corpus").collect()},
+        {r.h for r in spark.read.parquet(f"{base}/hash_index").collect()},
+        {(r.band, r.bucket)
+         for r in spark.read.parquet(f"{base}/bucket_index").collect()},
+    )
+
+
+def _run_reprocess_stream(spark, src, base, run_dir, ckpt):
+    from pharmacodi_spark.pipelines.ingest import streaming_reprocess
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    streaming_reprocess(stream, base, run_dir, ckpt).awaitTermination()
+
+
+def test_streaming_reprocess_matches_batch_snapshot(spark, tmp_path):
+    """Stream the snapshot shards, finalize, and land on EXACTLY the batch
+    reprocess_snapshot state — moved content (doc 4) enters via the
+    quarantine re-try, the surviving-dup (doc 5) stays out, never-seen
+    doc 3 retires."""
+    from pharmacodi_spark.pipelines.ingest import (
+        finalize_reprocess,
+        reprocess_snapshot,
+    )
+
+    src = str(tmp_path / "incoming")
+    _write_snapshot_shards(src, SNAP_B_SHARDS)
+
+    s_base = str(tmp_path / "stream_state")
+    ingest_batch(spark, s_base, _df(spark, SNAP_A))
+    _run_reprocess_stream(
+        spark, src, s_base, str(tmp_path / "run"), str(tmp_path / "ckpt")
+    )
+    counts = finalize_reprocess(spark, s_base, str(tmp_path / "run"))
+    assert counts == {"removed": 1, "requeued": 2}
+
+    b_base = str(tmp_path / "batch_state")
+    ingest_batch(spark, b_base, _df(spark, SNAP_A))
+    reprocess_snapshot(
+        spark, b_base, _df(spark, [r for s in SNAP_B_SHARDS for r in s])
+    )
+
+    assert _state_snapshot(spark, s_base) == _state_snapshot(spark, b_base)
+    corpus = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{s_base}/corpus").collect()
+    }
+    assert corpus == {
+        1: "alpha body one two three",
+        2: "beta REVISED four five six",
+        4: "gamma body seven eight nine",
+    }
+
+
+def test_streaming_reprocess_replay_idempotent(spark, tmp_path):
+    """Re-running the final micro-batch (deleted commit marker) leaves the
+    corpus, indices, seen set, and quarantine byte-identical."""
+    src = str(tmp_path / "incoming")
+    _write_snapshot_shards(src, SNAP_B_SHARDS)
+    base = str(tmp_path / "state")
+    run_dir = str(tmp_path / "run")
+    ckpt = str(tmp_path / "ckpt")
+    ingest_batch(spark, base, _df(spark, SNAP_A))
+
+    _run_reprocess_stream(spark, src, base, run_dir, ckpt)
+    snap = lambda p: sorted(map(tuple, spark.read.parquet(p).collect()))  # noqa: E731
+    before = (
+        _state_snapshot(spark, base),
+        snap(f"{run_dir}/seen_ids"),
+        snap(f"{run_dir}/quarantine"),
+    )
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_reprocess_stream(spark, src, base, run_dir, ckpt)
+    after = (
+        _state_snapshot(spark, base),
+        snap(f"{run_dir}/seen_ids"),
+        snap(f"{run_dir}/quarantine"),
+    )
+    assert before == after
+
+
+def test_finalize_reprocess_idempotent(spark, tmp_path):
+    """A second finalize retires nothing, requeues nothing, and leaves the
+    state untouched."""
+    from pharmacodi_spark.pipelines.ingest import finalize_reprocess
+
+    src = str(tmp_path / "incoming")
+    _write_snapshot_shards(src, SNAP_B_SHARDS)
+    base = str(tmp_path / "state")
+    run_dir = str(tmp_path / "run")
+    ingest_batch(spark, base, _df(spark, SNAP_A))
+    _run_reprocess_stream(spark, src, base, run_dir, str(tmp_path / "ckpt"))
+
+    finalize_reprocess(spark, base, run_dir)
+    before = _state_snapshot(spark, base)
+    counts2 = finalize_reprocess(spark, base, run_dir)
+    assert counts2 == {"removed": 0, "requeued": 0}
+    assert _state_snapshot(spark, base) == before
