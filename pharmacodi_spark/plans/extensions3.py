@@ -1399,3 +1399,143 @@ def window_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("bucket_start", "n_events", "n_types").agg(
         F.sum(term).cast("long").alias("entropy_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage, cross-doc diversity, contamination attribution
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "vocab_coverage_curve",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS freq FROM toks
+               WHERE token <> '' GROUP BY token),
+    hist AS (SELECT freq, CAST(count(*) AS BIGINT) AS n_terms,
+                    CAST(freq * count(*) AS BIGINT) AS mass
+             FROM counts GROUP BY freq),
+    cum AS (SELECT freq, n_terms,
+                   CAST(sum(n_terms) OVER w AS BIGINT) AS cum_terms,
+                   CAST(sum(mass) OVER w AS BIGINT) AS cum_mass
+            FROM hist
+            WINDOW w AS (ORDER BY freq DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM hist)
+    SELECT freq, n_terms, cum_terms,
+           CAST(floor(CAST(cum_mass AS DOUBLE) * 1000000.0
+                      / CAST(total AS DOUBLE)) AS BIGINT) AS coverage_ppm
+    FROM cum, t
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage by frequency rank (text/corpus.py::
+    vocab_coverage): the vocabulary-sizing curve — keep every term with
+    count ≥ freq and you hold cum_terms vocab entries covering coverage_ppm
+    of the running text. The ordered cumulative window runs on the
+    frequency HISTOGRAM (one row per distinct count — O(√tokens) by Zipf),
+    not the term table, so the oracle's global window is metadata-scale in
+    the engine; the corpus itself sees one map-side-combined count."""
+    from pharmacodi_spark.plans.queries import fan_out
+    from pharmacodi_spark.text.corpus import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(fan_out(d, "doc_id"))
+
+
+@q(
+    "ngram_diversity",
+    r"""
+    WITH toks AS (SELECT source, string_split_regex(text, '\s+') AS t
+                  FROM documents),
+    idx AS (SELECT source, t,
+                   unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+            FROM toks),
+    grams AS (SELECT source, array_to_string(t[i:i+1], ' ') AS ngram FROM idx),
+    per AS (SELECT source, ngram, count(*) AS cnt
+            FROM grams GROUP BY source, ngram)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+           CAST(floor(CAST(count(*) AS DOUBLE) * 1000000.0
+                      / CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS diversity_ppm
+    FROM per GROUP BY source
+    """,
+)
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram type/token ratio (text/corpus.py::
+    ngram_diversity): the ACROSS-document template-stamping detector
+    (Gopher's gates are within-doc; a mirror-heavy or boilerplate source
+    repeats the same n-grams corpus-wide and scores a low diversity_ppm).
+    Grams collapse to md5 before the shuffle — the oracle re-derives by
+    gram string, identical grouping (same contract as repeated_spans)."""
+    from pharmacodi_spark.plans.queries import fan_out
+    from pharmacodi_spark.text.corpus import ngram_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_diversity(fan_out(d, "doc_id"), n=2)
+
+
+@q(
+    "decontam_attribution",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 12),
+               i -> md5(array_to_string(toks[i:i+12], ' ')))) AS gh
+      FROM t WHERE len(toks) >= 13
+    ),
+    eg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 97 <> 0),
+    hits AS (SELECT doc_id, count(*) AS n_collisions FROM tg
+             WHERE gh IN (SELECT gh FROM eg) GROUP BY 1),
+    per AS (
+      SELECT d.doc_id, d.source, coalesce(h.n_collisions, 0) AS n_collisions
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 97 <> 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_in,
+           CAST(sum(CASE WHEN n_collisions > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_flagged,
+           CAST(sum(n_collisions) AS BIGINT) AS n_collisions,
+           CAST((sum(CASE WHEN n_collisions > 0 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS flagged_ppm
+    FROM per GROUP BY source
+    """,
+)
+def decontam_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination funnel: the GPT-3 13-gram decontamination
+    (text/cleaning.py::decontaminate_against, same eval slice as
+    benchmark_decontam) attributed back to origin — which source is
+    leaking the benchmark. Same scale shape as the underlying op (grams
+    travel as md5, eval set is the broadcastable semi-join side) plus one
+    per-source metadata-scale rollup; ppm is exact integer division
+    (docs_in·10⁶ fits int64 for any per-source corpus < 9·10¹² docs)."""
+    from pharmacodi_spark.text.cleaning import decontaminate_against
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 97 != 0)
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    flags = decontaminate_against(train, ev, n=13)
+    j = flags.join(train.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs_in"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("long")
+            .alias("docs_flagged"),
+            F.sum("n_collisions").cast("long").alias("n_collisions"),
+        )
+        .withColumn(
+            "flagged_ppm",
+            F.expr("(docs_flagged * 1000000) div docs_in").cast("long"),
+        )
+    )

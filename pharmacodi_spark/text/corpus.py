@@ -573,3 +573,102 @@ def apply_phrases(
 
     merged = F.aggregate(toks, acc0, step, fin)
     return df.withColumn(out_col, F.array_join(merged, " "))
+
+
+def vocab_coverage(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-mass coverage by frequency rank — the tokenizer-design /
+    vocabulary-sizing curve: one row per DISTINCT corpus frequency level,
+    with the cumulative vocabulary size (``cum_terms``) and the fraction of
+    all corpus tokens (``coverage_ppm``) covered by keeping every term at
+    least that frequent. Reading a row: "a vocab of ``cum_terms`` entries
+    covers ``coverage_ppm`` ppm of the running text".
+
+    Scale shape: the corpus collapses to a term-count table (map-side
+    combine), which collapses again to a frequency HISTOGRAM — one row per
+    distinct count value, O(√tokens) rows by Zipf — and only the histogram
+    goes through the ordered cumulative window, so the single-task window
+    stage is metadata-scale (same trick as quality_percentile_gate). Ties
+    are all-or-nothing per frequency level: no per-term rank, fully
+    deterministic. The ppm is floor((cum·10⁶)/total) in doubles — exact
+    cross-engine for token counts < 2⁵³ (any real corpus)."""
+    counts = (
+        _tokens(df, content_col, id_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    hist = (
+        counts.groupBy("freq")
+        .agg(F.count("*").cast("long").alias("n_terms"))
+        .withColumn("mass", F.col("freq") * F.col("n_terms"))
+    )
+    w = Window.orderBy(F.desc("freq")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "freq",
+        "n_terms",
+        F.sum("n_terms").over(w).cast("long").alias("cum_terms"),
+        F.sum("mass").over(w).cast("long").alias("__cum_mass"),
+    )
+    total = hist.agg(F.sum("mass").cast("long").alias("__total"))
+    return cum.join(F.broadcast(total)).select(
+        "freq",
+        "n_terms",
+        "cum_terms",
+        F.floor(
+            F.col("__cum_mass").cast("double")
+            * 1000000.0
+            / F.col("__total").cast("double")
+        )
+        .cast("long")
+        .alias("coverage_ppm"),
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    n: int = 2,
+    content_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group n-gram type/token ratio — the cross-document diversity
+    signal (a source whose crawl is template-stamped repeats the same
+    n-grams everywhere and scores a low ``diversity_ppm``; Gopher's
+    repetition gates catch this WITHIN a document, this catches it ACROSS
+    the group). Output per group: total n-gram occurrences, distinct
+    n-grams, and distinct/total in ppm.
+
+    Scale shape: n-grams collapse to md5 hashes before the shuffle (the
+    (group, hash) partial-count pairs are fixed-width — gram text never
+    moves), then a second map-side-combined agg to one row per group. The
+    ppm is a double floor-div, exact cross-engine below 2⁵³ occurrences."""
+    grams = df.select(
+        F.col(group_col),
+        F.explode(ngram_col(content_col, n)).alias("ngram"),
+    )
+    per = (
+        grams.select(group_col, F.md5("ngram").alias("gh"))
+        .groupBy(group_col, "gh")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("distinct_ngrams"),
+            F.sum("cnt").cast("long").alias("total_ngrams"),
+        )
+        .select(
+            group_col,
+            "distinct_ngrams",
+            "total_ngrams",
+            F.floor(
+                F.col("distinct_ngrams").cast("double")
+                * 1000000.0
+                / F.col("total_ngrams").cast("double")
+            )
+            .cast("long")
+            .alias("diversity_ppm"),
+        )
+    )

@@ -572,3 +572,59 @@ def test_window_mix_entropy_orders_windows_correctly(spark):
     assert out[600] == 0                       # degenerate mix
     # uniform 4-way over 8 events: H = 8 * (il(8) - il(2)) = 8 * 2 bits fp
     assert out[0] == 8 * ((3 << 10) - (1 << 10))
+
+
+def test_vocab_coverage_exact_curve(spark):
+    """Known counts → exact histogram cumulative rows, ending at 10⁶ ppm."""
+    from pharmacodi_spark.text.corpus import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    rows = {
+        r.freq: (r.n_terms, r.cum_terms, r.coverage_ppm)
+        for r in vocab_coverage(df).collect()
+    }
+    assert rows == {
+        3: (1, 1, 500000),    # 'a' alone: 3 of 6 tokens
+        2: (1, 2, 833333),    # + 'b': 5 of 6
+        1: (1, 3, 1000000),   # full vocab covers everything
+    }
+
+
+def test_ngram_diversity_bounds_and_values(spark):
+    """Template-stamped source scores low; all-unique source scores 10⁶."""
+    from pharmacodi_spark.text.corpus import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y", "tmpl"),       # grams: xy, yx, xy → 2/3
+            (2, "x y x y", "tmpl"),       # same again → 4 distinct? no: 2/6
+            (3, "p q r s", "fresh"),      # all unique → 3/3
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r.source: (r.distinct_ngrams, r.total_ngrams, r.diversity_ppm)
+        for r in ngram_diversity(df, n=2).collect()
+    }
+    assert rows["tmpl"] == (2, 6, 333333)
+    assert rows["fresh"] == (3, 3, 1000000)
+
+
+def test_decontam_attribution_consistent_with_per_doc(spark):
+    """Per-source rollup sums match the per-doc decontam on the fixture."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = e.queries()["benchmark_decontam"](spark, sf).collect()
+    per_src = e.queries()["decontam_attribution"](spark, sf).collect()
+    assert sum(r.docs_in for r in per_src) == len(per_doc)
+    assert sum(r.docs_flagged for r in per_src) == sum(
+        1 for r in per_doc if r.contaminated
+    )
+    assert sum(r.n_collisions for r in per_src) == sum(
+        r.n_collisions for r in per_doc
+    )
+    for r in per_src:
+        assert 0 <= r.flagged_ppm <= 1000000
