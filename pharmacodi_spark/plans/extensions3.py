@@ -1539,3 +1539,54 @@ def decontam_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(docs_flagged * 1000000) div docs_in").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc token entropy gate (text/analysis.py::token_entropy)
+# ---------------------------------------------------------------------------
+
+_ENT_MIN = 2 << 10  # gate: per-token entropy >= 2.0 bits
+
+
+@q(
+    "token_entropy_gate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+             sum(c * {_il("c")}) AS s
+      FROM c GROUP BY 1
+    ),
+    e AS (
+      SELECT doc_id, n_tokens, n_distinct,
+             (n_tokens * {_il("n_tokens")} - s) AS entropy_fp
+      FROM d
+    )
+    SELECT doc.doc_id,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(e.n_distinct, 0) AS BIGINT) AS n_distinct,
+           CAST(coalesce(e.entropy_fp, 0) AS BIGINT) AS entropy_fp,
+           (coalesce(e.n_tokens, 0) > 0 AND
+            coalesce(e.entropy_fp, 0) >= {_ENT_MIN} * coalesce(e.n_tokens, 0))
+             AS keep
+    FROM documents doc LEFT JOIN e ON doc.doc_id = e.doc_id
+    """,
+)
+def token_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy gate
+    (text/analysis.py::token_entropy): ``entropy_fp = N·il(N) − Σ c·il(c)``
+    in 10-frac-bit fixed point, gate = integer cross-multiplication
+    ``entropy_fp ≥ 2.0·2^10·N`` (per-token entropy ≥ 2 bits — flags
+    keyboard-mash/template-loop docs the n-gram repetition gates miss).
+    Scale shape: (id, token) count with map-side partials → per-doc
+    aggregate; `il` applied post-agg; no corpus-global state."""
+    from pharmacodi_spark.text.analysis import token_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return token_entropy(d, min_bits_fp=_ENT_MIN)

@@ -409,3 +409,68 @@ def lang_confusion(
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_bits_fp: int = 2 << 10,
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the
+    gibberish/repetitiveness gate (low entropy = a few tokens dominate:
+    keyboard mashing, template spam, lorem-ipsum loops; complements
+    :func:`repetition_metrics`, which looks at n-gram repeats rather than
+    the unigram distribution shape).
+
+    All-integer fixed point (10 fractional bits, shared with
+    ``retrieval.ilog2_fp``): the UNNORMALIZED entropy
+    ``N·H·2^10 = N·il(N) − Σ c·il(c)`` is exact integer arithmetic, so
+    the gate ``entropy_fp >= min_bits_fp · N`` (per-token entropy ≥
+    ``min_bits_fp/2^10`` bits) is an integer cross-multiplication —
+    bit-identical in every engine, no libm.
+
+    Scale shape (100 TB): explode → (id, token) count with map-side
+    partial aggregation → per-doc aggregate; shuffle keys are
+    ``(id, token)`` then ``id`` — no corpus-global state, no window.
+    ``il`` is applied post-aggregation (one expression per group row).
+    Int64-safe while ``N·il(N) < 2^63`` — i.e. any document under
+    ~10^14 tokens.
+    """
+    from pharmacodi_spark.text.retrieval import ilog2_fp
+
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * ilog2_fp(F.col("c"))).cast("long").alias("__s"),
+    )
+    stats = per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_tokens") * ilog2_fp(F.col("n_tokens")) - F.col("__s"))
+        .cast("long")
+        .alias("entropy_fp"),
+    )
+    # docs whose content is all-separator produce no token rows: surface
+    # them with zero counts and a failing gate instead of dropping them
+    out = df.select(F.col(id_col)).join(stats, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.coalesce("entropy_fp", F.lit(0)).cast("long").alias("entropy_fp"),
+        (
+            (F.coalesce("n_tokens", F.lit(0)) > 0)
+            & (
+                F.coalesce("entropy_fp", F.lit(0))
+                >= F.lit(int(min_bits_fp)) * F.coalesce("n_tokens", F.lit(0))
+            )
+        ).alias("keep"),
+    )
