@@ -1590,3 +1590,143 @@ def token_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return token_entropy(d, min_bits_fp=_ENT_MIN)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (text/winnow.py — Schleimer/Wilkerson/Aiken 2003)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5  # k-gram length
+_WIN_W = 4  # winnowing window (guarantee: shared runs >= w+k-1 tokens hit)
+
+_WIN_FP_CTE = f"""
+    t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - {_WIN_K - 1}),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                      toks[i:i+{_WIN_K - 1}], ' ')), 1, 15)) AS BIGINT))
+               AS hs
+      FROM t WHERE len(toks) >= {_WIN_K}
+    ),
+    st AS (
+      SELECT doc_id, hs,
+             unnest(generate_series(1, greatest(len(hs) - {_WIN_W - 1}, 1)))
+               AS s
+      FROM g
+    ),
+    sl AS (SELECT doc_id, s, hs[s : least(s + {_WIN_W - 1}, len(hs))] AS sl
+           FROM st),
+    mn AS (SELECT doc_id, s, sl, list_min(sl) AS m FROM sl),
+    sel AS (
+      SELECT doc_id,
+             s - 1 + list_max(list_transform(generate_series(1, len(sl)),
+               j -> CASE WHEN sl[j] = m THEN j ELSE 0 END)) AS pos,
+             m AS h
+      FROM mn
+    ),
+    fp AS (SELECT DISTINCT doc_id, pos, h FROM sel)
+"""
+
+
+@q(
+    "winnowing_fingerprints",
+    f"""
+    WITH {_WIN_FP_CTE}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(bit_xor(h) AS BIGINT) AS fp_xor,
+           CAST(sum(pos) AS BIGINT) AS pos_sum
+    FROM fp GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (text/winnow.py::winnow_fingerprints):
+    rightmost-minimal k-gram hash per w-window via one per-doc sliding
+    ``min(struct(h, -pos))`` frame, deduplicated to the canonical
+    fingerprint set. The driver row is the per-doc (count, xor, pos-sum)
+    rollup — exact evidence of the WHOLE selected set without shipping
+    every fingerprint through the compare. Scale shape: repartition-guarded
+    hash scan, per-doc window (no corpus-global state), fingerprints are
+    (id, pos, 8-byte h) at ~2/(w+1) gram density."""
+    from pharmacodi_spark.text.winnow import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, k=_WIN_K, w=_WIN_W)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.expr("bit_xor(h)").cast("long").alias("fp_xor"),
+        F.sum("pos").cast("long").alias("pos_sum"),
+    )
+
+
+@q(
+    "winnow_near_pairs",
+    f"""
+    WITH {_WIN_FP_CTE},
+    fph AS (SELECT DISTINCT doc_id, h FROM fp),
+    nf AS (SELECT doc_id, count(*) AS n FROM fph GROUP BY 1),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           CAST((p.shared * 1000000) // least(na.n, nb.n) AS BIGINT)
+             AS containment_ppm
+    FROM p
+    JOIN nf na ON na.doc_id = p.doc_a
+    JOIN nf nb ON nb.doc_id = p.doc_b
+    WHERE p.shared >= 2
+    """,
+)
+def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional near-dup pairs from winnowing fingerprints
+    (text/winnow.py::winnow_overlap_pairs): documents sharing >= 2
+    fingerprint hashes, with the shared count and a containment score
+    (shared / smaller fingerprint set, exact integer ppm) — catches a
+    copied PARAGRAPH inside an otherwise unrelated document, which
+    whole-doc MinHash Jaccard dilutes below threshold. Pair expansion is
+    bucket-local by hash THROUGH the triangle-block hot-cell guard
+    (max_cell_size=256 — corpus-wide boilerplate fingerprints become
+    bounded parallel blocks); counts need no second join because each
+    pair surfaces exactly once per shared hash.
+
+    The fingerprint set fans out to three consumers (pair expansion + both
+    containment sides) — barrier-pinned once so the md5/window subplan runs
+    once instead of being lazily re-expanded per consumer (the r5 curation
+    lesson; the (id, pos, 8-byte h) frame is the same working-set class as
+    repeated_spans' window table)."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fp = stage_barrier(
+        winnow_fingerprints(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
+    )
+    pairs = winnow_overlap_pairs(fp, min_shared=2, max_cell_size=256)
+    nf = fp.select("doc_id", "h").distinct().groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    na = nf.alias("na")
+    nb = nf.alias("nb")
+    return (
+        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.expr("(shared * 1000000) div least(na.n, nb.n)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )

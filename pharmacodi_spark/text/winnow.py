@@ -1,0 +1,201 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+"Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+algorithm): select, from every window of ``w`` consecutive k-gram hashes,
+the rightmost minimal hash. The selected (position, hash) set is a
+LOCAL fingerprint: any shared substring of at least ``w + k - 1`` tokens
+between two documents is GUARANTEED to contribute at least one common
+fingerprint, while the expected density is only ``2/(w+1)`` of the k-gram
+stream — a tunable, provable recall/size trade the simple
+``hash % p == 0`` sampler can't give.
+
+This complements the corpus's other near-dup families:
+
+- MinHash/LSH (``dedup.minhash_near_dup_pairs``) estimates WHOLE-document
+  Jaccard — it misses a plagiarized paragraph inside an otherwise
+  unrelated document;
+- ExactSubstr (``dedup.repeated_spans``) finds spans ≥ ``min_len`` at
+  stride-1 cost (~24 B/token working set);
+- winnowing sits between: positional robustness at ``2/(w+1)`` the cost,
+  and per-pair SHARED-FINGERPRINT counts (containment evidence), not just
+  a candidate bit.
+
+Scale shape (100 TB): one repartition-guarded scan tokenizes and hashes
+(one md5 per k-gram, evaluated once — tokens materialized as a column
+first, the r5 lambda-re-evaluation lesson); the window-min selection is a
+per-doc ``ROWS BETWEEN CURRENT AND w-1 FOLLOWING`` frame — partitioned by
+id, embarrassingly parallel, no corpus-global state; fingerprints shuffle
+as (id, pos, 8-byte hash) at ``~2/(w+1)`` gram density. Pair expansion is
+bucket-local by hash with the exact triangle-block hot-cell guard
+(boilerplate fingerprints shared by thousands of docs become bounded
+parallel blocks, not an O(m²) straggler).
+
+Tie-breaking is the paper's ROBUST winnowing rule: within a window the
+minimum hash is selected, ties broken toward the RIGHTMOST position —
+expressed as ``min(struct(h, -pos))`` so one window aggregate yields the
+(hash, position) pair exactly, in any engine, with no secondary pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def gram_hashes(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(id, pos, h, n_grams): 60-bit md5-derived hash of every stride-1
+    k-gram of whitespace tokens (1-based positions). Docs with fewer than
+    ``k`` tokens contribute no rows. The md5 keeps the hash bit-identical
+    across engines (oracle parity); swap for xxhash64 off the oracle path.
+    """
+    assert k >= 1
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col), F.col(content_col))
+    # small-file scans can arrive as one partition and serialize the md5
+    # stream; at corpus scale the scan already has >= par splits and this
+    # no-ops (see dedup.repeated_spans for the measured rationale)
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, F.col(id_col))
+    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    base = base.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    return (
+        base.select(F.col(id_col), F.when(n >= k, grams).alias("gs"))
+        .where(F.col("gs").isNotNull())
+        .select(
+            id_col,
+            F.size("gs").cast("long").alias("n_grams"),
+            F.explode("gs").alias("g"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.col("g.pos").cast("long").alias("pos"),
+            F.col("g.h").alias("h"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, pos, h) distinct winnowing fingerprints: the rightmost minimal
+    k-gram hash of every full window of ``w`` consecutive hashes (window
+    starts ``1 .. n_grams - w + 1``; a document with fewer than ``w``
+    hashes keeps the minimum of what it has — the paper's guarantee that
+    every document fingerprints at least once).
+
+    One per-doc sliding frame computes ``min(struct(h, -pos))`` — the
+    minimum-hash/rightmost-tie pair in a single window aggregate — then
+    the selected set is deduplicated (adjacent windows usually re-select
+    the same gram; that collapse IS the 2/(w+1) density win).
+    """
+    assert w >= 1
+    g = gram_hashes(df, content_col, id_col, k)
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(frame)
+    starts = g.select(
+        F.col(id_col), "n_grams", "pos", sel.alias("sel")
+    ).where(F.col("pos") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1)))
+    return starts.select(
+        id_col,
+        (-F.col("sel.np")).cast("long").alias("pos"),
+        F.col("sel.h").alias("h"),
+    ).distinct()
+
+
+def winnow_overlap_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, shared) for every document pair sharing at least
+    ``min_shared`` distinct fingerprint HASHES — positional near-dup /
+    plagiarism candidates ranked by overlap mass.
+
+    Bucket-local expansion: distinct (id, h) grouped by hash, ordered
+    pairs expanded within each bucket array, counted per pair — each pair
+    surfaces once per shared hash, so the count needs no second join.
+    ``max_cell_size`` arms the exact triangle-block guard for hot hashes
+    (site boilerplate shared corpus-wide): the pair SET and counts are
+    unchanged, the per-task quadratic term is bounded.
+    """
+    from pharmacodi_spark.text.dedup import triangle_blocks
+
+    d = fp.select(F.col(id_col), "h").distinct()
+    if max_cell_size is None:
+        grouped = d.groupBy("h")
+        member = F.col(id_col)
+    else:
+        blk = triangle_blocks(d, ["h"], id_col, max_cell_size)
+        grouped = blk.groupBy("h", "__bi", "__bj")
+        member = F.struct(F.col(id_col).alias("id"), F.col("__g").alias("g"))
+    buckets = grouped.agg(
+        F.array_sort(F.collect_list(member)).alias("members")
+    ).where(F.size("members") > 1)
+    ms = F.col("members")
+    if max_cell_size is None:
+        pair = lambda x, y: F.struct(  # noqa: E731
+            x.alias("doc_a"), y.alias("doc_b"), F.lit(True).alias("ok")
+        )
+    else:
+        diag = F.col("__bi") == F.col("__bj")
+        pair = lambda x, y: F.struct(  # noqa: E731
+            x["id"].alias("doc_a"),
+            y["id"].alias("doc_b"),
+            (diag | (x["g"] != y["g"])).alias("ok"),
+        )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ms,
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(ms, i + 2, F.size(ms)),
+                            lambda y: pair(x, y),
+                        ),
+                        lambda p: p["ok"],
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -56,6 +56,20 @@ CASES = [
      "the gate's survivor-id set is barrier-pinned before DSIR's two passes"),
     ("length_buckets", r"\bGenerate\b", False,
      "bucket binning is per-row native exprs — no explode"),
+    ("token_entropy_gate", r"\bWindow\b", False,
+     "entropy is two keyed aggregations (id,token)->id — no window, "
+     "no corpus-global state"),
+    ("winnowing_fingerprints", r"hashpartitioning\((?!doc_id)", False,
+     "ONE shuffle total: sort, window-min, distinct and the rollup all "
+     "reuse the id-keyed guard partitioning"),
+    ("winnowing_fingerprints", r"SortMergeJoin", False,
+     "fingerprint selection is join-free"),
+    ("winnow_near_pairs", r"Scan ExistingRDD", True,
+     "the fingerprint set is barrier-pinned before its three consumers "
+     "(pair expansion + both containment sides)"),
+    ("winnow_near_pairs", r"SortMergeJoin", False,
+     "pair expansion is bucket-local; containment joins stay "
+     "broadcast/hash"),
 ]
 
 

@@ -477,6 +477,33 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the (claimed, predicted) rollup collapses map-side; the share "
          "window runs on label-cardinality² rows"),
     ],
+    "winnowing_fingerprints": [
+        (r"hashpartitioning\((?!doc_id)", False,
+         "ONE shuffle total — the id-keyed repartition guard doubles as "
+         "the window partitioning; sort, window-min, distinct and the "
+         "per-doc rollup all reuse it"),
+        (r"\bWindow\b", True,
+         "the rightmost-minimal selection is a per-doc sliding frame "
+         "(min(struct(h,-pos))) — embarrassingly parallel, no "
+         "corpus-global state"),
+        (r"SortMergeJoin", False, "fingerprint selection is join-free"),
+    ],
+    "winnow_near_pairs": [
+        (r"Scan ExistingRDD", True,
+         "the fingerprint set is barrier-pinned before its three "
+         "consumers — the md5/window subplan runs once, not 3x"),
+        (r"SortMergeJoin", False,
+         "pair expansion is bucket-local by hash (triangle-guarded); "
+         "containment joins stay broadcast/hash"),
+    ],
+    "token_entropy_gate": [
+        (r"\bWindow\b", False,
+         "entropy is two keyed aggregations (id,token) -> id with "
+         "map-side partials — no window, no corpus-global state"),
+        (r"SortMergeJoin", False,
+         "the stats join back to documents broadcasts the per-doc "
+         "aggregate"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "
