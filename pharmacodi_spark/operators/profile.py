@@ -108,3 +108,49 @@ def skew_profile(
         .orderBy(F.col("n_rows").desc(), F.col(key_col))
         .limit(top_k)
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[int, ...] = (25, 50, 75, 95),
+) -> DataFrame:
+    """Per-group EXACT quantiles of an integer column with no global sort
+    — the length/score distribution table a pipeline reports per source
+    (batching policy, outlier caps, contract checks all read off it).
+
+    Definition (discrete, lower): the q-th percentile of a group with n
+    rows is the smallest value v whose ascending cumulative count reaches
+    ``ceil(n·q/100)`` — percentile_disc semantics, deterministic under
+    ties, all-integer.
+
+    Scale shape: rows collapse to a per-(group, value) histogram (one
+    shuffle, map-side partials absorb the Zipf head); the cumulative
+    window runs over DISTINCT VALUES within each group — metadata-scale,
+    partitioned by group, never a corpus-wide window; each quantile is a
+    conditional ``min`` over that histogram in the same pass. Adding a
+    quantile adds a column expression, not a pass.
+    """
+    assert qs and all(0 < q <= 100 for q in qs)
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("__n"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__n").over(w)).withColumn(
+        "__tot", F.sum("__n").over(Window.partitionBy(group_col))
+    )
+    aggs = [F.sum("__n").cast("long").alias("n_rows")]
+    for q in qs:
+        # ceil(tot*q/100) as integer arithmetic: (tot*q + 99) div 100
+        rank = F.expr(f"(__tot * {int(q)} + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, F.col(value_col)))
+            .cast("long")
+            .alias(f"p{int(q)}")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

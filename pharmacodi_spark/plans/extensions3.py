@@ -1730,3 +1730,49 @@ def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source exact length quantiles (operators/profile.py::group_quantiles)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "source_length_quantiles",
+    """
+    WITH hist AS (
+      SELECT source, n_chars, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, n_chars, n,
+             sum(n) OVER (PARTITION BY source ORDER BY n_chars
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             sum(n) OVER (PARTITION BY source) AS tot
+      FROM hist
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN c >= (tot * 25 + 99) // 100 THEN n_chars END)
+                AS BIGINT) AS p25,
+           CAST(min(CASE WHEN c >= (tot * 50 + 99) // 100 THEN n_chars END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN c >= (tot * 75 + 99) // 100 THEN n_chars END)
+                AS BIGINT) AS p75,
+           CAST(min(CASE WHEN c >= (tot * 95 + 99) // 100 THEN n_chars END)
+                AS BIGINT) AS p95
+    FROM cum GROUP BY source
+    """,
+)
+def source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length quantiles
+    (operators/profile.py::group_quantiles): percentile_disc-style
+    smallest-value-reaching-ceil(n·q/100), computed on the per-(source,
+    value) histogram — one corpus shuffle, cumulative window over distinct
+    values within each source (metadata-scale), never a global sort. The
+    distribution table batching policy and length-outlier caps read off.
+    """
+    from pharmacodi_spark.operators.profile import group_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return group_quantiles(d, "n_chars", "source", qs=(25, 50, 75, 95))
