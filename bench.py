@@ -122,6 +122,12 @@ HEADLINE = HEADLINE_R1 + [
     "dsir_resample",
     "unimax_allocation",
     "curation_select_pipeline",
+    # round-6 final additions: winnowing near-dup family, entropy gate,
+    # per-source exact quantiles
+    "winnowing_fingerprints",
+    "winnow_near_pairs",
+    "token_entropy_gate",
+    "source_length_quantiles",
 ]
 
 

@@ -38,7 +38,11 @@ _DRIVER_WINDOW = [
     # grouping-set expansion and the ANN centroid assignment
     # (broadcast nested loop), J11's literal-map path via clamp_recode's
     # recode map; both keep oracle rows in the driver-sim + pytest mirror)
-    "broadcast_left_join", "composite_key_join", "fk_remap_dense",
+    # (r6 cont.: broadcast_left_join rotated out — J1's broadcast-dim shape
+    # is the in-window experiment_join's core join (J1/J8) and the join
+    # strategy of every pipeline cascade; its oracle row stays green in the
+    # driver-sim + pytest mirror)
+    "composite_key_join", "fk_remap_dense",
     # (r6 cont.: semi_join rotated out — J9's left-semi path keeps hard
     # driver evidence via ingest_pipeline's semi-join survivor stages and
     # incremental_curation's entrant semi-joins, both in-window; its
@@ -59,7 +63,11 @@ _DRIVER_WINDOW = [
     # (r6 cont.: top_k_orders rotated out — O5's limit/top-k shape is
     # exercised in-window by every TakeOrderedAndProject query (bm25_topk,
     # both int8 probes, skew_diagnose); oracle row stays in the mirror)
-    "surrogate_key_dim", "surrogate_key_fact",
+    # (r6 cont.: surrogate_key_dim rotated out — W1's dense-id machinery is
+    # the same operators/keys.py path as the in-window surrogate_key_fact
+    # (the harder, range-partition-pinned variant), and the dim-table id
+    # path runs inside the in-window combine/meta pipeline cascades)
+    "surrogate_key_fact",
     # set ops (U1-U3) (r5: except_distinct rotated out — U3 keeps hard
     # evidence via incremental_dedup's new-vs-corpus difference; union_dedup
     # stays for U1/U2)
@@ -123,7 +131,11 @@ _DRIVER_WINDOW = [
     # r6: the freed slots earn hard driver-green rows for the
     # diagnose-then-act skew loop (profile + strategy pick), the
     # l2-normalized near-exact int8 probe, and the curation audit funnel
-    "skew_diagnose", "auto_salted_join_equiv", "ann_int8_l2_topk",
+    # (r6 late: skew_diagnose rotated out — auto_salted_join_equiv RUNS the
+    # same skew_profile internally to pick its branch, so the profile keeps
+    # hard in-window evidence; the standalone diagnostic row stays green in
+    # the driver-sim + pytest mirror)
+    "auto_salted_join_equiv", "ann_int8_l2_topk",
     "curation_funnel",
     # r6 cont.: the two freed slots give hard driver rows to the round's
     # flagships — ExactSubstr substring dedup (detect+trim) and the
@@ -133,6 +145,12 @@ _DRIVER_WINDOW = [
     # batch's flagships — DSIR importance selection and the gate→barrier→
     # DSIR targeted-selection E2E
     "dsir_select", "selection_pipeline",
+    # r6 final rotation (the three slots freed above): hard driver rows for
+    # the per-origin training-run planning table, the exact integer
+    # water-filling allocator, and this round's new near-dup family —
+    # winnowing fingerprint overlap (positional/containment evidence the
+    # MinHash and ExactSubstr rows can't give)
+    "token_budget_report", "unimax_allocation", "winnow_near_pairs",
 ]
 
 
