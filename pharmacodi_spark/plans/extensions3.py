@@ -1776,3 +1776,147 @@ def source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return group_quantiles(d, "n_chars", "source", qs=(25, 50, 75, 95))
+
+
+# ---------------------------------------------------------------------------
+# Phrase blocklist gate (text/cleaning.py::phrase_blocklist_hits)
+# ---------------------------------------------------------------------------
+
+_BLOCK_PHRASES = ["table part", "fast merge", "lorem ipsum dolor"]
+
+
+@q(
+    "phrase_blocklist_gate",
+    "\n    SELECT doc_id,\n"
+    + "           CAST("
+    + " + ".join(
+        f"(length(text) - length(replace(text, '{p}', ''))) // {len(p)}"
+        for p in _BLOCK_PHRASES
+    )
+    + " AS BIGINT) AS n_hits,\n"
+    + "           CAST("
+    + " + ".join(
+        f"(CASE WHEN length(text) <> length(replace(text, '{p}', '')) "
+        "THEN 1 ELSE 0 END)"
+        for p in _BLOCK_PHRASES
+    )
+    + " AS BIGINT) AS n_phrases_hit,\n"
+    + "           ("
+    + " + ".join(
+        f"(length(text) - length(replace(text, '{p}', ''))) // {len(p)}"
+        for p in _BLOCK_PHRASES
+    )
+    + ") = 0 AS keep\n"
+    + "    FROM documents\n",
+)
+def phrase_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-phrase blocklist gate
+    (text/cleaning.py::phrase_blocklist_hits): non-overlapping occurrence
+    counts via the replace-diff identity — no regex dialect surface, one
+    zero-shuffle projection over the scan, fully codegen'd. The
+    synthetic-contamination filter ("as an AI language model",
+    cookie-banner templates) of a curation cascade."""
+    from pharmacodi_spark.text.cleaning import phrase_blocklist_hits
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_blocklist_hits(d, _BLOCK_PHRASES)
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff trigram LM (text/corpus.py::stupid_backoff_scores)
+# ---------------------------------------------------------------------------
+
+_SB_A = -1354  # floor(log2(0.4) * 2^10)
+
+
+@q(
+    "stupid_backoff_lm",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT token AS w, count(*) AS c1 FROM (
+        SELECT unnest(toks) AS token FROM tk WHERE doc_id % 7 <> 0
+      ) GROUP BY 1
+    ),
+    bi AS (
+      SELECT b, count(*) AS c2 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS b
+        FROM tk WHERE doc_id % 7 <> 0 AND len(toks) >= 2
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT t, count(*) AS c3 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS t
+        FROM tk WHERE doc_id % 7 <> 0 AND len(toks) >= 3
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT sum(c1) AS n_total FROM uni),
+    occ AS (
+      SELECT doc_id, g.t, g.ctx, g.suf, g.w2, g.w3 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> {{'t': array_to_string(toks[i:i+2], ' '),
+                       'ctx': array_to_string(toks[i:i+1], ' '),
+                       'suf': array_to_string(toks[i+1:i+2], ' '),
+                       'w2': toks[i+1], 'w3': toks[i+2]}})) AS g
+        FROM tk WHERE doc_id % 7 = 0 AND len(toks) >= 3
+      )
+    ),
+    dt AS (SELECT DISTINCT t, ctx, suf, w2, w3 FROM occ),
+    sc AS (
+      SELECT dt.t,
+             CASE
+               WHEN tri.c3 IS NOT NULL
+                 THEN {_il("tri.c3")} - {_il("bc.c2")}
+               WHEN bs.c2 IS NOT NULL
+                 THEN {_SB_A} + {_il("bs.c2")} - {_il("u2.c1")}
+               ELSE {2 * _SB_A} + {_il("coalesce(u3.c1, 0) + 1")}
+                    - {_il("tot.n_total")}
+             END AS score_fp,
+             CASE WHEN tri.c3 IS NOT NULL THEN 0
+                  WHEN bs.c2 IS NOT NULL THEN 1 ELSE 2 END AS bo
+      FROM dt
+      LEFT JOIN tri ON tri.t = dt.t
+      LEFT JOIN bi bc ON bc.b = dt.ctx
+      LEFT JOIN bi bs ON bs.b = dt.suf
+      LEFT JOIN uni u2 ON u2.w = dt.w2
+      LEFT JOIN uni u3 ON u3.w = dt.w3
+      CROSS JOIN tot
+    ),
+    per AS (
+      SELECT occ.doc_id,
+             count(*) AS n_trigrams,
+             sum(sc.score_fp) AS sb_fp,
+             sum(CASE WHEN sc.bo = 1 THEN 1 ELSE 0 END) AS n_backoff1,
+             sum(CASE WHEN sc.bo = 2 THEN 1 ELSE 0 END) AS n_backoff2
+      FROM occ JOIN sc ON sc.t = occ.t GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(coalesce(per.sb_fp, 0) AS BIGINT) AS sb_fp,
+           CAST(coalesce(per.n_backoff1, 0) AS BIGINT) AS n_backoff1,
+           CAST(coalesce(per.n_backoff2, 0) AS BIGINT) AS n_backoff2
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
+    """,
+)
+def stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM perplexity gate
+    (text/corpus.py::stupid_backoff_scores, Brants et al. 2007): held-out
+    slice (doc_id % 7 = 0) scored against counts from the rest — unseen
+    trigrams back off through α·bigram and α²·unigram with the integer
+    fixed-point α = log2(0.4)·2^10. Scoring runs per DISTINCT trigram
+    (vocabulary-scale), not per occurrence; the backoff-depth counters
+    expose out-of-domain mass."""
+    from pharmacodi_spark.text.corpus import stupid_backoff_scores
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 7 != 0)
+    sc = d.where(F.col("doc_id") % 7 == 0)
+    return stupid_backoff_scores(ref, sc, alpha_fp=_SB_A)

@@ -319,3 +319,48 @@ def strip_source_boilerplate(
         F.when(hit, stripped).otherwise(F.col(content_col)).alias(out_col),
         hit.alias("boilerplate_stripped"),
     )
+
+
+def phrase_blocklist_hits(
+    df: DataFrame,
+    phrases: list[str],
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document occurrence counts for a list of literal phrases — the
+    synthetic-contamination / template gate ("as an AI language model",
+    "lorem ipsum", cookie-banner strings). A doc with any hit usually gets
+    dropped or routed to review.
+
+    Counting trick: non-overlapping occurrences of phrase ``p`` are
+    ``(length(text) − length(replace(text, p, ''))) / length(p)`` — plain
+    string arithmetic every engine evaluates identically (no regex dialect
+    surface, unlike ``regexp_count``), fully codegen'd, ZERO shuffle: one
+    projection over the scan, one expression per phrase. At 1000 phrases
+    prefer an Aho–Corasick pass in a mapInPandas seam; for the typical
+    dozens-long curated blocklist the expression form wins (no Python
+    boundary).
+
+    Returns ``(id, n_hits, n_phrases_hit, keep)`` — ``keep`` iff no
+    phrase occurs.
+    """
+    assert phrases and all(p for p in phrases)
+    t = F.col(content_col)
+    counts = [
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit(p), F.lit(""))))
+            / F.lit(len(p))
+        ).cast("long")
+        for p in phrases
+    ]
+    total = counts[0]
+    distinct_hit = F.when(counts[0] > 0, 1).otherwise(0)
+    for c in counts[1:]:
+        total = total + c
+        distinct_hit = distinct_hit + F.when(c > 0, 1).otherwise(0)
+    return df.select(
+        F.col(id_col),
+        total.alias("n_hits"),
+        distinct_hit.cast("long").alias("n_phrases_hit"),
+        (total == 0).alias("keep"),
+    )

@@ -672,3 +672,132 @@ def ngram_diversity(
             .alias("diversity_ppm"),
         )
     )
+
+
+def stupid_backoff_scores(
+    ref: DataFrame,
+    scored: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_fp: int = -1354,
+) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — THE count-based LM built at
+    web scale precisely because it needs no smoothing pass): score each
+    document of ``scored`` against n-gram counts from ``ref``:
+
+    - trigram seen:      S = c3(w1w2w3) / c2(w1w2)
+    - else bigram seen:  S = α · c2(w2w3) / c1(w2)
+    - else:              S = α² · (c1(w3)+1) / N   (+1: unseen-word floor)
+
+    in 10-frac-bit fixed point: ``log2 S = il(a) − il(b) + k·alpha_fp``
+    with ``alpha_fp = floor(log2(0.4)·2^10) = −1354`` — all-integer, so
+    scores are bit-identical across engines. Per doc:
+    ``(n_trigrams, sb_fp = Σ log2 S, n_backoff1, n_backoff2)`` — the
+    perplexity gate plus WHERE the mass backed off (a doc scoring mostly
+    through α² is out-of-domain or gibberish even if its total looks ok).
+
+    Scale shape: count tables collapse map-side (Zipf-small vs the
+    stream); scoring runs per DISTINCT trigram of the scored slice — the
+    5 count lookups join a vocabulary-scale table, not the token stream —
+    then scores join back to (id, trigram) occurrences and collapse per
+    doc. No window, no driver state; join keys are gram strings (swap in
+    60-bit hashes off the oracle path to narrow the shuffles).
+    """
+    from pharmacodi_spark.text.retrieval import ilog2_fp
+
+    def toks(d: DataFrame) -> DataFrame:
+        t = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        return d.select(F.col(id_col), t.alias("__tk"))
+
+    def grams(d: DataFrame, n: int, out: str) -> DataFrame:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+            lambda i: F.array_join(F.slice("__tk", i, n), " "),
+        )
+        return (
+            d.where(F.size("__tk") >= n)
+            .select(F.col(id_col), F.explode(g).alias(out))
+        )
+
+    r = toks(ref)
+    uni = grams(r, 1, "w").groupBy("w").agg(F.count("*").alias("c1"))
+    bi = grams(r, 2, "b").groupBy("b").agg(F.count("*").alias("c2"))
+    tri = grams(r, 3, "t").groupBy("t").agg(F.count("*").alias("c3"))
+    tot = uni.agg(F.sum("c1").alias("n_total"))
+
+    s = toks(scored)
+    occ3 = F.transform(
+        F.sequence(F.lit(1), F.size("__tk") - 2),
+        lambda i: F.struct(
+            F.array_join(F.slice("__tk", i, 3), " ").alias("t"),
+            F.array_join(F.slice("__tk", i, 2), " ").alias("ctx"),
+            F.array_join(F.slice("__tk", i + 1, 2), " ").alias("suf"),
+            F.element_at("__tk", (i + 1).cast("int")).alias("w2"),
+            F.element_at("__tk", (i + 2).cast("int")).alias("w3"),
+        ),
+    )
+    occ = (
+        s.where(F.size("__tk") >= 3)
+        .select(F.col(id_col), F.explode(occ3).alias("g"))
+        .select(id_col, "g.t", "g.ctx", "g.suf", "g.w2", "g.w3")
+    )
+    dt = occ.select("t", "ctx", "suf", "w2", "w3").distinct()
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2"))
+    u3 = uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1w3"))
+    b_ctx = bi.select(F.col("b").alias("ctx"), F.col("c2").alias("c2ctx"))
+    b_suf = bi.select(F.col("b").alias("suf"), F.col("c2").alias("c2suf"))
+    a = F.lit(int(alpha_fp))
+    scored_t = (
+        dt.join(tri, "t", "left")
+        .join(b_ctx, "ctx", "left")
+        .join(b_suf, "suf", "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.when(
+                F.col("c3").isNotNull(),
+                ilog2_fp(F.col("c3")) - ilog2_fp(F.col("c2ctx")),
+            )
+            .when(
+                F.col("c2suf").isNotNull(),
+                a + ilog2_fp(F.col("c2suf")) - ilog2_fp(F.col("c1w2")),
+            )
+            .otherwise(
+                a * 2
+                + ilog2_fp(F.coalesce(F.col("c1w3"), F.lit(0)) + 1)
+                - ilog2_fp(F.col("n_total"))
+            )
+            .cast("long")
+            .alias("score_fp"),
+            F.when(F.col("c3").isNotNull(), 0)
+            .when(F.col("c2suf").isNotNull(), 1)
+            .otherwise(2)
+            .alias("bo"),
+        )
+    )
+    per_doc = (
+        occ.select(id_col, "t")
+        .join(scored_t, "t")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum("score_fp").cast("long").alias("sb_fp"),
+            F.sum(F.when(F.col("bo") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_backoff1"),
+            F.sum(F.when(F.col("bo") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_backoff2"),
+        )
+    )
+    out = scored.select(F.col(id_col)).join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        F.coalesce("sb_fp", F.lit(0)).cast("long").alias("sb_fp"),
+        F.coalesce("n_backoff1", F.lit(0)).cast("long").alias("n_backoff1"),
+        F.coalesce("n_backoff2", F.lit(0)).cast("long").alias("n_backoff2"),
+    )
