@@ -703,7 +703,14 @@ def stupid_backoff_scores(
     then scores join back to (id, trigram) occurrences and collapse per
     doc. No window, no driver state; join keys are gram strings (swap in
     60-bit hashes off the oracle path to narrow the shuffles).
+
+    The unigram/bigram tables feed 2-3 downstream joins each and the
+    occurrence stream feeds two consumers (distinct + score-back) — all
+    three are stage-barrier-pinned so the tokenize/explode/count subplans
+    run once instead of re-expanding lazily per consumer (unpinned this
+    compiled to 18 corpus scans / 16 explodes; pinned: 4).
     """
+    from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.text.retrieval import ilog2_fp
 
     def toks(d: DataFrame) -> DataFrame:
@@ -721,8 +728,14 @@ def stupid_backoff_scores(
         )
 
     r = toks(ref)
-    uni = grams(r, 1, "w").groupBy("w").agg(F.count("*").alias("c1"))
-    bi = grams(r, 2, "b").groupBy("b").agg(F.count("*").alias("c2"))
+    uni = stage_barrier(
+        grams(r, 1, "w").groupBy("w").agg(F.count("*").alias("c1")),
+        name="sb_uni",
+    )
+    bi = stage_barrier(
+        grams(r, 2, "b").groupBy("b").agg(F.count("*").alias("c2")),
+        name="sb_bi",
+    )
     tri = grams(r, 3, "t").groupBy("t").agg(F.count("*").alias("c3"))
     tot = uni.agg(F.sum("c1").alias("n_total"))
 
@@ -737,10 +750,11 @@ def stupid_backoff_scores(
             F.element_at("__tk", (i + 2).cast("int")).alias("w3"),
         ),
     )
-    occ = (
+    occ = stage_barrier(
         s.where(F.size("__tk") >= 3)
         .select(F.col(id_col), F.explode(occ3).alias("g"))
-        .select(id_col, "g.t", "g.ctx", "g.suf", "g.w2", "g.w3")
+        .select(id_col, "g.t", "g.ctx", "g.suf", "g.w2", "g.w3"),
+        name="sb_occ",
     )
     dt = occ.select("t", "ctx", "suf", "w2", "w3").distinct()
     u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2"))

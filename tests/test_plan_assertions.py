@@ -70,6 +70,13 @@ CASES = [
     ("winnow_near_pairs", r"SortMergeJoin", False,
      "pair expansion is bucket-local; containment joins stay "
      "broadcast/hash"),
+    ("phrase_blocklist_gate", r"\bExchange\b", False,
+     "replace-diff counting is one zero-shuffle projection over the scan"),
+    ("phrase_blocklist_gate", r"\bGenerate\b", False,
+     "no explode — occurrence counts are string arithmetic"),
+    ("stupid_backoff_lm", r"Scan ExistingRDD", True,
+     "uni/bi count tables and the occurrence stream are barrier-pinned — "
+     "the tokenize/count subplans run once, not per consumer"),
 ]
 
 
