@@ -1920,3 +1920,66 @@ def stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.where(F.col("doc_id") % 7 != 0)
     sc = d.where(F.col("doc_id") % 7 == 0)
     return stupid_backoff_scores(ref, sc, alpha_fp=_SB_A)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift PSI (operators/profile.py::distribution_psi)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corpus_drift_psi",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             lang || '/' || CAST(length(bin(n_chars)) - 1 AS VARCHAR)
+               AS bucket
+      FROM documents
+    ),
+    cp AS (SELECT bucket, count(*) AS c_ref FROM b WHERE doc_id % 2 = 0
+           GROUP BY 1),
+    cq AS (SELECT bucket, count(*) AS c_cur FROM b WHERE doc_id % 2 = 1
+           GROUP BY 1),
+    tp AS (SELECT sum(c_ref) AS n_ref FROM cp),
+    tq AS (SELECT sum(c_cur) AS n_cur FROM cq),
+    j AS (
+      SELECT coalesce(cp.bucket, cq.bucket) AS bucket,
+             coalesce(cp.c_ref, 0) AS c_ref,
+             coalesce(cq.c_cur, 0) AS c_cur
+      FROM cp FULL OUTER JOIN cq ON cp.bucket = cq.bucket
+    )
+    SELECT bucket,
+           CAST(c_ref AS BIGINT) AS c_ref,
+           CAST(c_cur AS BIGINT) AS c_cur,
+           CAST((c_ref * 1000000) // n_ref AS BIGINT) AS ppm_ref,
+           CAST((c_cur * 1000000) // n_cur AS BIGINT) AS ppm_cur,
+           CAST(((c_ref * 1000000) // n_ref - (c_cur * 1000000) // n_cur)
+                * ({_il("c_ref + 1")} + {_il("n_cur")}
+                   - {_il("c_cur + 1")} - {_il("n_ref")}) AS BIGINT)
+             AS psi_term_fp
+    FROM j, tp, tq
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl drift monitor
+    (operators/profile.py::distribution_psi): PSI between the even- and
+    odd-id snapshot halves over (lang, next-pow2 length class) buckets —
+    exact integer ppm shares, fixed-point log ratio with Laplace +1 (no
+    cross-products, int64-safe at any corpus size). Two metadata-scale
+    histograms full-outer join; totals broadcast as 1-row aggregates."""
+    from pharmacodi_spark.operators.profile import distribution_psi
+
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.concat(
+            F.col("lang"),
+            F.lit("/"),
+            (F.length(F.bin(F.col("n_chars"))) - 1).cast("string"),
+        ).alias("bucket"),
+    )
+    return distribution_psi(
+        b.where(F.col("doc_id") % 2 == 0),
+        b.where(F.col("doc_id") % 2 == 1),
+        "bucket",
+    )

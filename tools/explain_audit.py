@@ -504,6 +504,19 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the stats join back to documents broadcasts the per-doc "
          "aggregate"),
     ],
+    "phrase_blocklist_gate": [
+        (r"\bExchange\b", False,
+         "replace-diff counting is one zero-shuffle projection over the "
+         "scan — no regex dialect, no explode, no aggregation"),
+    ],
+    "stupid_backoff_lm": [
+        (r"Scan ExistingRDD", True,
+         "uni/bi count tables + the occurrence stream are barrier-pinned "
+         "(unpinned: 18 corpus scans / 16 explodes; pinned: 4 scans)"),
+        (r"BroadcastHashJoin", True,
+         "the vocabulary-scale score table joins broadcast-side where it "
+         "fits; only the two stream-scale joins may sort-merge"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "
