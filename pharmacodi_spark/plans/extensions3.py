@@ -1983,3 +1983,46 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.where(F.col("doc_id") % 2 == 1),
         "bucket",
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard write-validation manifest (text/packing.py::shard_manifest)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "shard_manifest",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1,
+                   15)) AS BIGINT) AS shuffle_key
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shuffle_key, n_chars,
+             coalesce(sum(n_chars) OVER (ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS byte_start
+      FROM k
+    )
+    SELECT CAST(byte_start // 16384 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+           CAST(min(byte_start) AS BIGINT) AS first_byte,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+           CAST(bit_xor(shuffle_key) AS BIGINT) AS key_xor
+    FROM c GROUP BY 1
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-validation manifest over the epoch-shuffle shard layout
+    (text/packing.py::shard_manifest on shuffle_shards' output): per-shard
+    counts, byte mass, and order-insensitive 60-bit XOR checksums — the
+    table a reader diffs to detect missing/truncated/double-delivered
+    shards without re-reading bodies. Same prefix-sum topology as
+    training_shuffle_shards plus ONE metadata-scale aggregation."""
+    from pharmacodi_spark.text.packing import shard_manifest, shuffle_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return shard_manifest(shuffle_shards(d, shard_bytes=16384))

@@ -223,3 +223,28 @@ def length_buckets(
             .alias("efficiency_pct"),
         )
     )
+
+
+def shard_manifest(
+    shards: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard write-validation manifest from a :func:`shuffle_shards`
+    layout: ``(shard_id, n_docs, n_bytes, first_byte, id_xor, key_xor)``.
+
+    The production writer emits this table IN THE SAME PASS as the shard
+    files; a reader (or the next pipeline stage) recomputes it from what
+    it actually read and diffs — a missing file, a truncated write, or a
+    double-delivered document surfaces as a count/xor mismatch without
+    re-reading bodies. XORs are order-insensitive (safe to recompute in
+    any partition order) and 60-bit, so collisions need ~2^30 corrupted
+    rows to cancel. One aggregation keyed by ``shard_id`` — counts and
+    checksums collapse map-side; output rows = #shards (metadata-scale).
+    """
+    return shards.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.min("byte_start").cast("long").alias("first_byte"),
+        F.expr(f"bit_xor({id_col})").cast("long").alias("id_xor"),
+        F.expr("bit_xor(shuffle_key)").cast("long").alias("key_xor"),
+    )
