@@ -348,6 +348,50 @@ def ops(spark, mult: int) -> dict[str, float]:
     out["phrase_detection"] = timed(
         lambda: detect_phrases(docs, min_count=5, threshold_fp=100)
     )
+
+    # round-6 late family: winnowing fingerprints + overlap pairs (the
+    # positional near-dup path), the entropy and backoff-LM gates, the
+    # PSI drift monitor, and the per-source exact quantiles
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.operators.profile import (
+        distribution_psi,
+        group_quantiles,
+    )
+    from pharmacodi_spark.text.analysis import token_entropy
+    from pharmacodi_spark.text.corpus import stupid_backoff_scores
+    from pharmacodi_spark.text.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    out["winnow_fingerprints"] = timed(
+        lambda: winnow_fingerprints(docs, k=5, w=4)
+    )
+    fp = stage_barrier(winnow_fingerprints(docs, k=5, w=4), name="sc_wfp")
+    out["winnow_overlap_pairs"] = timed(
+        lambda: winnow_overlap_pairs(fp, min_shared=2, max_cell_size=256)
+    )
+    out["token_entropy"] = timed(lambda: token_entropy(docs))
+    out["stupid_backoff"] = timed(
+        lambda: stupid_backoff_scores(
+            docs.where(F.col("doc_id") % 7 != 0),
+            docs.where(F.col("doc_id") % 7 == 0),
+        )
+    )
+    bucketed = docs.select(
+        "doc_id",
+        (F.length(F.bin(F.col("n_chars"))) - 1).cast("string").alias("bucket"),
+    )
+    out["distribution_psi"] = timed(
+        lambda: distribution_psi(
+            bucketed.where(F.col("doc_id") % 2 == 0),
+            bucketed.where(F.col("doc_id") % 2 == 1),
+            "bucket",
+        )
+    )
+    out["group_quantiles"] = timed(
+        lambda: group_quantiles(srctext, "n_chars", "source")
+    )
     return out
 
 
