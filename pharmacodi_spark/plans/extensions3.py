@@ -2026,3 +2026,65 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return shard_manifest(shuffle_shards(d, shard_bytes=16384))
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-consistency eval (text/similarity.py::knn_label_eval)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "knn_label_eval",
+    """
+    WITH un AS (
+      SELECT vec_id, label,
+             CAST(floor((CAST(unnest(embedding) AS DOUBLE) * 10000) + 0.5)
+                  AS BIGINT) AS qv,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+             c.vec_id AS cid, any_value(c.label) AS clabel,
+             CAST(sum(q.qv * c.qv) AS BIGINT) AS dot
+      FROM un q JOIN un c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % 23 = 0
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    topk AS (
+      SELECT qid, qlabel, clabel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot DESC, cid) AS rn
+      FROM pairs
+    ),
+    votes AS (
+      SELECT qid, qlabel, clabel, count(*) AS c
+      FROM topk WHERE rn <= 10 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT qid, qlabel, clabel AS pred,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY c DESC, clabel) AS pr
+      FROM votes
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST((sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS acc_ppm
+    FROM pred WHERE pr = 1 GROUP BY 1
+    """,
+)
+def knn_label_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN label consistency over the embedding column
+    (text/similarity.py::knn_label_eval): bounded query sample broadcasts
+    against the corpus scan (the corpus never shuffles for pair
+    generation), integer-quantized dots, per-query ranking windows on the
+    sampled stream, majority vote with deterministic tie-breaks. The
+    go/no-go eval before an embedding column is trusted for semantic
+    dedup or ANN retrieval."""
+    from pharmacodi_spark.text.similarity import knn_label_eval
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_label_eval(e, k=10, query_mod=23)

@@ -672,3 +672,89 @@ def jl_project(
             ).alias(f"p{j}")
         )
     return df.select(*cols)
+
+
+def knn_label_eval(
+    df: DataFrame,
+    k: int = 10,
+    query_mod: int = 23,
+    scale: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space quality eval: leave-one-out k-NN label consistency
+    on a deterministic query sample (``id % query_mod == 0``) — the
+    standard check that an embedding column actually clusters by label
+    before it is trusted for semantic dedup / ANN retrieval / hard-negative
+    mining. Returns per-label ``(n_queries, n_correct, acc_ppm)``.
+
+    Exactness: vectors quantize once to integers
+    (``floor(x·scale + 0.5)``), dots are integer, neighbor ranking
+    tie-breaks on id, majority vote tie-breaks on the smaller label — every
+    step engine-deterministic.
+
+    Scale shape: the query sample is bounded (``n/query_mod`` rows) and
+    broadcasts against the corpus scan — the corpus never shuffles for the
+    pair generation; per-query ranking is a window keyed by query id
+    (1/query_mod of the pair stream). For corpus-side fan-out beyond
+    brute-force, feed candidates from ``ivf_topk``/``int8_weighted_topk``
+    instead — the voting tail is identical.
+    """
+    from pyspark.sql import Window
+
+    q = F.transform(F.col(vec_col), lambda x: (
+        F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    ))
+    base = df.select(
+        F.col(id_col), F.col(label_col), q.alias("__q")
+    )
+    queries = base.where(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("__qid"),
+        F.col(label_col).alias("__qlabel"),
+        F.col("__q").alias("__qv"),
+    )
+    pairs = base.join(
+        F.broadcast(queries), F.col(id_col) != F.col("__qid")
+    ).select(
+        "__qid",
+        "__qlabel",
+        F.col(label_col),
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(F.col("__q"), F.col("__qv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__dot"),
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__dot").desc(), F.col(id_col)
+    )
+    topk = pairs.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    votes = topk.groupBy("__qid", "__qlabel", label_col).agg(
+        F.count("*").alias("__c")
+    )
+    pred = votes.groupBy("__qid", "__qlabel").agg(
+        F.min(
+            F.struct(
+                (-F.col("__c")).alias("nc"), F.col(label_col).alias("l")
+            )
+        )["l"].alias("__pred")
+    )
+    return (
+        pred.groupBy(F.col("__qlabel").alias(label_col))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("__pred") == F.col("__qlabel"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "acc_ppm",
+            F.expr("(n_correct * 1000000) div n_queries").cast("long"),
+        )
+    )
