@@ -2088,3 +2088,57 @@ def knn_label_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return knn_label_eval(e, k=10, query_mod=23)
+
+
+# ---------------------------------------------------------------------------
+# Incremental winnow dedup (text/winnow.py::winnow_incremental_flags)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "incremental_winnow",
+    f"""
+    WITH {_WIN_FP_CTE},
+    fph AS (SELECT DISTINCT doc_id, h FROM fp),
+    n AS (SELECT doc_id, h FROM fph WHERE doc_id % 11 = 0),
+    nf AS (SELECT doc_id, count(*) AS n_fp FROM n GROUP BY 1),
+    idx AS (SELECT doc_id, h FROM fph WHERE doc_id % 11 <> 0),
+    sh AS (
+      SELECT n.doc_id AS nid, idx.doc_id AS cid, count(*) AS shared
+      FROM n JOIN idx ON n.h = idx.h
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    best AS (
+      SELECT nid, cid AS best_match, shared,
+             row_number() OVER (PARTITION BY nid
+                                ORDER BY shared DESC, cid) AS rn
+      FROM sh
+    )
+    SELECT best.nid AS doc_id,
+           CAST(nf.n_fp AS BIGINT) AS n_fp,
+           best.best_match,
+           CAST(best.shared AS BIGINT) AS shared,
+           CAST((best.shared * 1000000) // nf.n_fp AS BIGINT)
+             AS containment_ppm
+    FROM best JOIN nf ON nf.doc_id = best.nid
+    WHERE best.rn = 1
+    """,
+)
+def incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-vs-corpus positional dedup
+    (text/winnow.py::winnow_incremental_flags): the arriving slice
+    (doc_id % 11 = 0) fingerprints once, joins the corpus fingerprint
+    index on the 8-byte hash, and reports each flagged doc's strongest
+    corpus match with containment — passage-granular "already ingested"
+    evidence the whole-doc minhash flags miss. Bodies never rejoin; the
+    index side is exactly the table the streaming upsert maintains."""
+    from pharmacodi_spark.text.winnow import (
+        winnow_fingerprints,
+        winnow_incremental_flags,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, k=_WIN_K, w=_WIN_W)
+    new_fp = fp.where(F.col("doc_id") % 11 == 0)
+    idx_fp = fp.where(F.col("doc_id") % 11 != 0)
+    return winnow_incremental_flags(new_fp, idx_fp, min_shared=2)

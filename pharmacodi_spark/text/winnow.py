@@ -199,3 +199,64 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def winnow_incremental_flags(
+    new_fp: DataFrame,
+    index_fp: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Ingest-time positional dedup: flag arriving documents whose
+    winnowing fingerprints overlap an EXISTING corpus fingerprint index —
+    the "is this (or a paragraph of it) already in the corpus?" gate a
+    crawler runs before admitting a batch, at passage granularity (the
+    whole-doc minhash flags of pipelines/ingest.py miss a lifted
+    paragraph pasted into fresh text).
+
+    Inputs are fingerprint frames (``winnow_fingerprints`` output for the
+    batch; the stored index for the corpus). Per flagged doc:
+    ``(id, n_fp, best_match, shared, containment_ppm)`` — the strongest
+    corpus match (most shared hashes, ties → smaller id) and how much of
+    the NEW document it covers.
+
+    Scale shape: both sides reduce to distinct (id, hash) and join on the
+    8-byte hash — batch-side rows × per-hash index fan-out; the per-pair
+    count and best-match selection key on the batch id (a bounded
+    micro-batch). The corpus index never rescans bodies — it is exactly
+    the table the streaming upsert maintains.
+    """
+    n = new_fp.select(F.col(id_col).alias("__nid"), "h").distinct()
+    nf = n.groupBy("__nid").agg(F.count(F.lit(1)).alias("__nfp"))
+    idx = index_fp.select(F.col(id_col).alias("__cid"), "h").distinct()
+    shared = (
+        n.join(idx, "h")
+        .groupBy("__nid", "__cid")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    best = (
+        shared.groupBy("__nid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("shared")).alias("ns"),
+                    F.col("__cid").alias("cid"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            "__nid",
+            F.col("__b.cid").alias("best_match"),
+            (-F.col("__b.ns")).cast("long").alias("shared"),
+        )
+    )
+    return best.join(nf, "__nid").select(
+        F.col("__nid").alias(id_col),
+        F.col("__nfp").cast("long").alias("n_fp"),
+        "best_match",
+        "shared",
+        F.expr("(shared * 1000000) div __nfp").cast("long").alias(
+            "containment_ppm"
+        ),
+    )
