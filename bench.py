@@ -123,11 +123,13 @@ HEADLINE = HEADLINE_R1 + [
     "unimax_allocation",
     "curation_select_pipeline",
     # round-6 final additions: winnowing near-dup family, entropy gate,
-    # per-source exact quantiles
+    # per-source exact quantiles, backoff LM, ingest-vs-corpus winnow
     "winnowing_fingerprints",
     "winnow_near_pairs",
     "token_entropy_gate",
     "source_length_quantiles",
+    "stupid_backoff_lm",
+    "incremental_winnow",
 ]
 
 

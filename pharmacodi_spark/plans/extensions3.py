@@ -2142,3 +2142,31 @@ def incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_fp = fp.where(F.col("doc_id") % 11 == 0)
     idx_fp = fp.where(F.col("doc_id") % 11 != 0)
     return winnow_incremental_flags(new_fp, idx_fp, min_shared=2)
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup loss weights (text/dedup.py::soft_dedup_weights)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "soft_dedup_weights",
+    """
+    WITH c AS (SELECT doc_id, md5(text) AS h FROM documents),
+    s AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS m FROM c)
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS cluster_size,
+           CAST(1000000 // m AS BIGINT) AS weight_ppm
+    FROM s
+    """,
+)
+def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-cluster-size loss weights
+    (text/dedup.py::soft_dedup_weights): the soft alternative to hard
+    dedup — duplicate content keeps constant total gradient mass instead
+    of being dropped. One hash projection + one COUNT OVER partitioned by
+    the content hash; bodies never shuffle."""
+    from pharmacodi_spark.text.dedup import soft_dedup_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return soft_dedup_weights(d)

@@ -841,3 +841,32 @@ def source_overlap_minhash(
             .alias("est_jaccard_ppm"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, weight each
+    document by the inverse of its exact-duplicate cluster size
+    (``weight_ppm = 10⁶ div m``) — the loss-weighting alternative to hard
+    dedup (total gradient mass per unique content stays constant, but no
+    data is discarded and the sampler needs no drop-list).
+
+    One projection (id, md5 content hash) and one
+    ``COUNT OVER (PARTITION BY hash)`` — a single shuffle keyed by the
+    hash, bodies never move, no count-table + semi-join double pass.
+    Compose with the CC cluster table (``clusters.connected_components``)
+    when near-dup clusters should share weight too.
+    """
+    h = F.md5(F.col(content_col))
+    s = df.select(F.col(id_col), h.alias("__h")).withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("__h")).cast("long"),
+    )
+    return s.select(
+        id_col,
+        "cluster_size",
+        F.expr("(1000000) div cluster_size").cast("long").alias("weight_ppm"),
+    )

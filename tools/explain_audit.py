@@ -504,6 +504,42 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the stats join back to documents broadcasts the per-doc "
          "aggregate"),
     ],
+    "source_length_quantiles": [
+        (r"windowspecdefinition\(source", True,
+         "the cumulative window runs over the per-source distinct-value "
+         "histogram, never the corpus; no global sort anywhere"),
+        (r"SortMergeJoin", False, "quantiles are join-free"),
+    ],
+    "corpus_drift_psi": [
+        (r"BroadcastExchange", True,
+         "the two totals ride as 1-row broadcast aggregates"),
+        (r"partial_count", True,
+         "each snapshot collapses to its bucket histogram map-side; the "
+         "full-outer join (SMJ by necessity — full outer can't "
+         "broadcast) runs on metadata-scale histograms only"),
+    ],
+    "shard_manifest": [
+        (r"Scan ExistingRDD", True,
+         "rides shuffle_shards' barrier-pinned range-partition prefix-sum "
+         "topology; the manifest adds ONE metadata-scale aggregation"),
+    ],
+    "knn_label_eval": [
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin", True,
+         "the bounded query sample broadcasts against the corpus scan — "
+         "the corpus never shuffles for pair generation"),
+        (r"SortMergeJoin", False, "no corpus-scale join"),
+    ],
+    "incremental_winnow": [
+        (r"SortMergeJoin", False,
+         "batch fingerprints join the index on the 8-byte hash "
+         "hash-side; best-match selection keys on the bounded batch id"),
+    ],
+    "soft_dedup_weights": [
+        (r"hashpartitioning\(__h", True,
+         "ONE shuffle keyed by the content hash — COUNT OVER, not a "
+         "count-table + semi-join double pass"),
+        (r"\bJoin\b", False, "no join anywhere"),
+    ],
     "phrase_blocklist_gate": [
         (r"\bExchange\b", False,
          "replace-diff counting is one zero-shuffle projection over the "
