@@ -2170,3 +2170,112 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return soft_dedup_weights(d)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup detector agreement (minhash vs simhash vs winnowing)
+# ---------------------------------------------------------------------------
+
+
+def _detector_agreement_sql() -> str:
+    from pharmacodi_spark.plans.extensions import (
+        _minhash_sql_select,
+        _SHINGLE_SQL,
+    )
+    from pharmacodi_spark.plans.extensions2 import _SIM_SQL
+
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_minhash_sql_select(4)}
+      FROM ({_SHINGLE_SQL})
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS v1, h1 AS v2 FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 AS v1, h3 AS v2 FROM sig
+    ),
+    mh AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+      WHERE a.doc_id < b.doc_id
+    ),
+    sim AS ({_SIM_SQL}),
+    sb AS (SELECT doc_id, simhash16, simhash16 // 256 AS bucket FROM sim),
+    sh AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM sb a JOIN sb b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      WHERE bit_count(xor(a.simhash16, b2.simhash16)) <= 3
+    ),
+    {_WIN_FP_CTE},
+    fph AS (SELECT DISTINCT doc_id, h FROM fp),
+    wn AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tagged AS (
+      SELECT doc_a, doc_b, 1 AS m, 0 AS s, 0 AS w FROM mh
+      UNION ALL
+      SELECT doc_a, doc_b, 0, 1, 0 FROM sh
+      UNION ALL
+      SELECT doc_a, doc_b, 0, 0, 1 FROM wn
+    ),
+    per_pair AS (
+      SELECT doc_a, doc_b, max(m) AS in_minhash, max(s) AS in_simhash,
+             max(w) AS in_winnow
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT CAST(in_minhash AS BIGINT) AS in_minhash,
+           CAST(in_simhash AS BIGINT) AS in_simhash,
+           CAST(in_winnow AS BIGINT) AS in_winnow,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM per_pair GROUP BY 1, 2, 3
+    """
+
+
+@q("detector_agreement", _detector_agreement_sql())
+def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referee table over the three near-dup families: which candidate
+    pairs does each detector surface, and where do they disagree — the
+    tuning evidence for picking thresholds before a full-corpus dedup run
+    (a pair flagged by winnowing but neither hash family is usually a
+    lifted PASSAGE; simhash-only pairs are usually topical twins). Runs
+    the three in-engine pipelines (LSH banding, simhash prefix buckets,
+    winnow hash buckets — each through its own guard) and reduces every
+    pair to membership bits; the final rollup is 8-row metadata."""
+    from pharmacodi_spark.plans.extensions import minhash_band_pairs
+    from pharmacodi_spark.plans.extensions2 import simhash_near_pairs
+
+    mh = minhash_band_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("m"), F.lit(0).alias("s"),
+        F.lit(0).alias("w"),
+    )
+    sh = simhash_near_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(1).alias("s"),
+        F.lit(0).alias("w"),
+    )
+    wn = winnow_near_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(0).alias("s"),
+        F.lit(1).alias("w"),
+    )
+    per_pair = (
+        mh.unionByName(sh)
+        .unionByName(wn)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("m").alias("in_minhash"),
+            F.max("s").alias("in_simhash"),
+            F.max("w").alias("in_winnow"),
+        )
+    )
+    return per_pair.groupBy("in_minhash", "in_simhash", "in_winnow").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    ).select(
+        F.col("in_minhash").cast("long").alias("in_minhash"),
+        F.col("in_simhash").cast("long").alias("in_simhash"),
+        F.col("in_winnow").cast("long").alias("in_winnow"),
+        "n_pairs",
+    )
