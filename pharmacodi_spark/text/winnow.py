@@ -231,6 +231,8 @@ def winnow_incremental_flags(
     idx = index_fp.select(F.col(id_col).alias("__cid"), "h").distinct()
     shared = (
         n.join(idx, "h")
+        # a re-processed document's own index entries are not evidence
+        .where(F.col("__nid") != F.col("__cid"))
         .groupBy("__nid", "__cid")
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)

@@ -378,7 +378,9 @@ def ops(spark, mult: int) -> dict[str, float]:
             docs.where(F.col("doc_id") % 7 == 0),
         )
     )
-    bucketed = docs.select(
+    # the materialized 10x table carries (doc_id, text) only
+    sized = docs.select("doc_id", F.length("text").alias("n_chars"))
+    bucketed = sized.select(
         "doc_id",
         (F.length(F.bin(F.col("n_chars"))) - 1).cast("string").alias("bucket"),
     )
@@ -390,7 +392,11 @@ def ops(spark, mult: int) -> dict[str, float]:
         )
     )
     out["group_quantiles"] = timed(
-        lambda: group_quantiles(srctext, "n_chars", "source")
+        lambda: group_quantiles(
+            srctext.withColumn("n_chars", F.length("text")),
+            "n_chars",
+            "source",
+        )
     )
     return out
 
