@@ -2279,3 +2279,55 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("in_winnow").cast("long").alias("in_winnow"),
         "n_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnow dedup E2E: fingerprints -> pairs -> CC -> keeper drop-list
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "winnow_dedup_pipeline",
+    f"""
+    WITH RECURSIVE {_WIN_FP_CTE},
+    fph AS (SELECT DISTINCT doc_id, h FROM fp),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component, component = node AS keep FROM comp
+    """,
+)
+def winnow_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-granular dedup E2E — the fuzzy_dedup_pipeline shape at
+    winnowing granularity: MOSS fingerprints → shared-hash pairs
+    (≥ 2 shared, through the triangle hot-cell guard) → iterative
+    connected components → min-id keeper per cluster
+    (text/clusters.py::near_dup_droplist). Catches chains of documents
+    linked by lifted PASSAGES that whole-doc Jaccard dilutes; the DuckDB
+    oracle re-derives every stage including the transitive closure. The
+    fingerprint set is barrier-pinned before pair expansion (the
+    winnow_near_pairs plan lesson)."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.clusters import near_dup_droplist
+    from pharmacodi_spark.text.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fp = stage_barrier(
+        winnow_fingerprints(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
+    )
+    pairs = winnow_overlap_pairs(fp, min_shared=2, max_cell_size=256).select(
+        "doc_a", "doc_b"
+    )
+    return near_dup_droplist(d.select("doc_id"), pairs)
