@@ -343,13 +343,13 @@ def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SO_K = 32
-_SO_DIGESTS = "".join(
-    f",\n             md5('so{j}:' || sh) AS m{j}" for j in range(_SO_K // 4)
+# one md5 per shingle; seeds h_i = (g1 + i*g2) mod 2^32 (Kirsch-Mitzenmacher)
+_SO_DIGESTS = (
+    ",\n             CAST(('0x' || substr(m, 1, 8)) AS BIGINT) AS g1"
+    ",\n             CAST(('0x' || substr(m, 9, 8)) AS BIGINT) AS g2"
 )
 _SO_MINS = ",\n             ".join(
-    f"min(CAST(('0x' || substr(m{i // 4}, {1 + 8 * (i % 4)}, 8)) AS BIGINT))"
-    f" AS h{i}"
-    for i in range(_SO_K)
+    f"min((g1 + {i} * g2) % 4294967296) AS h{i}" for i in range(_SO_K)
 )
 _SO_MATCH = " + ".join(
     f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_SO_K)
@@ -368,7 +368,7 @@ _SO_MATCH = " + ".join(
     ),
     d AS (
       SELECT source{_SO_DIGESTS}
-      FROM sh
+      FROM (SELECT source, md5('so:' || sh) AS m FROM sh)
     ),
     sig AS (
       SELECT source,

@@ -770,19 +770,23 @@ def source_overlap_minhash(
     budgets double-count it).
 
     Single-permutation-per-seed MinHash at GROUP granularity: per
-    (group, seed) the min of an md5-slice hash over every shingle the
-    group contains (set semantics — duplicated shingles collapse in the
-    min).  ``est_jaccard_ppm`` = matching seeds · 10⁶ / num_hashes,
-    integer floor.  md5 slices (not xxhash64) keep the whole op
-    oracle-expressible.
+    (group, seed) the min of the seed hash over every shingle the group
+    contains (set semantics — duplicated shingles collapse in the min).
+    ``est_jaccard_ppm`` = matching seeds · 10⁶ / num_hashes, integer
+    floor.  The k seed hashes come from ONE md5 per shingle via the
+    two-hash composition ``h_i = (g1 + i·g2) mod 2³²`` (Kirsch &
+    Mitzenmacher 2006 — g1/g2 are the digest's first two 32-bit slices);
+    hashing cost is independent of k, and md5 (not xxhash64) keeps the
+    whole op oracle-expressible.
 
     Scale shape (100 TB): ONE fact-scale stage — shingle explode feeding
     a groupBy(``group_col``) whose k min-aggregates collapse map-side, so
     the shuffle carries (group, k longs) partial rows; everything after
     (the pair matrix) runs on a groups × k table — pure metadata.  The
-    quadratic term is group-pairs, not documents.
+    quadratic term is group-pairs, not documents.  The md5-per-shingle
+    term dominated the sf1 bench at k=32 (8 digests/shingle, 14.8 s);
+    the two-hash scheme is one digest/shingle at any k.
     """
-    n_digests = (num_hashes + 3) // 4
     # shingle+md5 is the dominant CPU term; a small-file scan can arrive as
     # ONE partition and serialize it. Round-robin (NOT by group: only
     # #groups partitions would fill) — min is commutative, so partitioning
@@ -792,22 +796,27 @@ def source_overlap_minhash(
     base = df.select(F.col(group_col), F.col(content_col))
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par)
-    shing = base.select(
-        F.col(group_col), F.explode(_shingle_col(content_col, shingle_len)).alias("sh")
-    ).select(
-        group_col,
-        # one md5 per 4 hash families (32-bit hex slices), computed in an
-        # explicit projection so each digest is evaluated once per shingle
-        *[
-            F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col("sh"))).alias(f"m{j}")
-            for j in range(n_digests)
-        ],
+    shing = (
+        base.select(
+            F.col(group_col),
+            F.explode(_shingle_col(content_col, shingle_len)).alias("sh"),
+        )
+        # digest in its own projection: g1/g2 reference it twice, and
+        # CollapseProject keeps non-cheap expressions single-evaluated
+        .select(
+            group_col,
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("sh"))).alias("m"),
+        )
+        .select(
+            group_col,
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("g1"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("g2"),
+        )
     )
     aggs = [
-        F.min(
-            F.conv(F.substring(F.col(f"m{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10)
-            .cast("long")
-        ).alias(f"h{i}")
+        F.min((F.col("g1") + F.lit(i) * F.col("g2")) % F.lit(1 << 32)).alias(
+            f"h{i}"
+        )
         for i in range(num_hashes)
     ]
     sigs = shing.groupBy(group_col).agg(*aggs)

@@ -187,27 +187,31 @@ def percentile_gate(
     """
     assert 0 <= keep_pct <= 100
     hist = df.groupBy(score_col).agg(F.count("*").alias("n"))
-    # histogram is metadata-scale; the window runs over distinct scores,
-    # not the corpus (same budget class as the barrier id-sets)
+    # histogram is metadata-scale; the windows run over distinct scores,
+    # not the corpus (same budget class as the barrier id-sets). n_total
+    # is the unbounded frame over the SAME ordering — one Window node,
+    # no second corpus scan, no cross-join.
     from pyspark.sql import Window
 
-    cum = hist.withColumn(
-        "cum",
-        F.sum("n").over(
-            Window.orderBy(F.desc(score_col)).rowsBetween(
-                Window.unboundedPreceding, 0
+    order = Window.orderBy(F.desc(score_col))
+    cum = hist.select(
+        F.col(score_col),
+        F.col("n"),
+        F.sum("n")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("n")
+        .over(
+            order.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
             )
-        ),
-    )
-    tot = hist.agg(F.sum("n").alias("n_total"))
-    thr = (
-        cum.crossJoin(F.broadcast(tot))
-        .where(
-            (F.col("cum") - F.col("n"))
-            < F.expr(f"(n_total * {int(keep_pct)}) div 100")
         )
-        .agg(F.min(score_col).alias("thr"))
+        .alias("n_total"),
     )
+    thr = cum.where(
+        (F.col("cum") - F.col("n"))
+        < F.expr(f"(n_total * {int(keep_pct)}) div 100")
+    ).agg(F.min(score_col).alias("thr"))
     return df.join(F.broadcast(thr), F.col(score_col) >= F.col("thr"), "inner").drop(
         "thr"
     )
