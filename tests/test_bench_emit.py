@@ -1,8 +1,11 @@
-"""BENCH_r{N}.json guard: the headline JSON line bench.py prints must stay
-well inside the driver's tail-capture window. Round 5 lost its official
-bench artifact (parsed:null) because the line inlined the whole of
-BENCH_SF1.json; _emit now attaches sf1 by summary + path only, and this
-test pins both the size budget and the schema the driver parses."""
+"""BENCH_r{N}.json guard: the driver captures only the LAST 2,000 bytes of
+bench.py's stdout and parses the final line. Rounds 5 and 6 both recorded
+parsed:null because the final line carried the full per-query dict (~3.4 KB
+at 68 queries). _emit now prints the COMPLETE results object as the FIRST
+line (and writes it to BENCH_FULL.json), then a compact final line that
+must fit the driver window with slack even when every registry query is
+benchmarked. This test pins that contract by replaying the driver's exact
+capture: tail -c 2000 -> last line -> json.loads."""
 
 from __future__ import annotations
 
@@ -11,43 +14,52 @@ import io
 import json
 
 import bench
+import pytest
 
-# Conservative budget: driver tail capture is far larger, but one line with
-# ~130 query timings plus the sf1 summary sits around 2.5 KB — a 4 KB cap
-# leaves headroom for registry growth while catching any re-inlining.
-LINE_BUDGET_BYTES = 4096
+DRIVER_TAIL_BYTES = 2000
 
 
-def _emit_line(timings):
+@pytest.fixture(autouse=True)
+def _redirect_sidecar(tmp_path, monkeypatch):
+    """Never clobber the committed BENCH_FULL.json with fake timings."""
+    monkeypatch.setattr(bench, "BENCH_FULL_PATH", str(tmp_path / "BENCH_FULL.json"))
+
+
+def _emit_lines(timings):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         bench._emit(timings, "/root/testdata/sf0.1", mode="isolated")
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     assert lines, "bench._emit printed nothing"
-    return lines[-1]
+    return buf.getvalue(), lines
 
 
-def test_headline_line_compact_and_parseable():
+def _driver_parse(stdout: str):
+    """Replay the driver: keep the last 2,000 BYTES, parse the last line."""
+    tail = stdout.encode()[-DRIVER_TAIL_BYTES:].decode(errors="replace")
+    last = [l for l in tail.splitlines() if l.strip()][-1]
+    return json.loads(last)
+
+
+def test_final_line_survives_driver_tail_capture():
     # The real emission: exactly the HEADLINE list (what run_suite passes).
     timings = {name: 123.456 for name in bench.HEADLINE}
-    line = _emit_line(timings)
-    assert len(line.encode()) <= LINE_BUDGET_BYTES, (
-        f"headline line is {len(line.encode())} bytes > {LINE_BUDGET_BYTES}; "
-        "did something inline a large blob into _emit again, or did the "
-        "HEADLINE list outgrow the budget?"
+    stdout, lines = _emit_lines(timings)
+    final = lines[-1]
+    assert len(final.encode()) <= bench.FINAL_LINE_BUDGET <= DRIVER_TAIL_BYTES - 100, (
+        f"final line is {len(final.encode())} bytes > {bench.FINAL_LINE_BUDGET}; "
+        "the driver window is 2,000 bytes — keep slack for a partial "
+        "previous line sharing the tail"
     )
-    obj = json.loads(line)
+    obj = _driver_parse(stdout)
     assert obj["metric"] == "headline_queries_total_sec"
     assert isinstance(obj["value"], float)
-    assert obj["queries"] == timings
     assert obj["sf"] == 0.1
-    # absolute bound even if someone ever emits the WHOLE registry: stay
-    # far inside the driver's tail-capture window
-    from pharmacodi_spark.plans import QUERIES
-
-    full = _emit_line({name: 123.456 for name in QUERIES})
-    assert len(full.encode()) <= 2 * LINE_BUDGET_BYTES
-    json.loads(full)
+    assert obj["n_queries"] == len(timings)
+    assert obj["queries_full"] == "BENCH_FULL.json"
+    # the compact queries dict is a subset of the real timings
+    assert set(obj["queries"]) <= set(timings)
+    assert all(obj["queries"][k] == timings[k] for k in obj["queries"])
     # sf1 evidence is attached by summary + path, never inlined.
     if "sf1" in obj:
         sf1 = obj["sf1"]
@@ -56,15 +68,46 @@ def test_headline_line_compact_and_parseable():
         assert len(json.dumps(sf1).encode()) < 512
 
 
-def test_failed_queries_surface_and_exit_nonzero():
-    import pytest
+def test_full_record_on_first_line_and_sidecar():
+    timings = {name: 123.456 for name in bench.HEADLINE}
+    _, lines = _emit_lines(timings)
+    first = json.loads(lines[0])
+    assert first["queries"] == timings  # complete, not truncated
+    with open(bench.BENCH_FULL_PATH) as fh:
+        sidecar = json.load(fh)
+    assert sidecar["queries"] == timings
 
+
+def test_full_registry_still_fits_window():
+    # absolute bound even if someone ever benches the WHOLE registry
+    from pharmacodi_spark.plans import QUERIES
+
+    timings = {name: 123.456 for name in QUERIES}
+    stdout, lines = _emit_lines(timings)
+    assert len(lines[-1].encode()) <= bench.FINAL_LINE_BUDGET
+    obj = _driver_parse(stdout)
+    assert obj["n_queries"] == len(timings)
+
+
+def test_compact_keeps_slowest_queries():
+    # truncation drops the CHEAP queries; the expensive tail stays visible
+    timings = {f"q{i:03d}": float(i) for i in range(200)}
+    stdout, _ = _emit_lines(timings)
+    obj = _driver_parse(stdout)
+    kept = obj["queries"]
+    assert 0 < len(kept) < len(timings)
+    cutoff = min(kept.values())
+    dropped_max = max(v for k, v in timings.items() if k not in kept)
+    assert cutoff >= dropped_max
+
+
+def test_failed_queries_surface_and_exit_nonzero():
     timings = {"ok_query": 1.0, "bad_query": -1.0}
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         with pytest.raises(SystemExit) as exc:
             bench._emit(timings, "/root/testdata/sf0.1", mode="isolated")
     assert exc.value.code == 3
-    obj = json.loads([l for l in buf.getvalue().splitlines() if l.strip()][-1])
+    obj = _driver_parse(buf.getvalue())
     assert obj["failed"] == ["bad_query"]
     assert obj["value"] == 1.0
