@@ -164,23 +164,22 @@ def streaming_cm_sketch(
     :func:`read_cm_sketch` folds the partitions with :func:`cm_merge` at
     question time.  State size: ≤ depth·width rows per batch — KB-scale
     regardless of stream volume.  availableNow drain, as the repo's other
-    sinks."""
-    spark_conf_key = "spark.sql.sources.partitionOverwriteMode"
+    sinks.
+
+    Overwrite mode is scoped to THIS writer via
+    ``.option("partitionOverwriteMode", "dynamic")`` — never by mutating
+    session conf, which would leak dynamic semantics into any concurrent
+    write in the same SparkSession mid-batch (ADVICE r6)."""
 
     def do_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        prev = spark.conf.get(spark_conf_key, "static")
-        spark.conf.set(spark_conf_key, "dynamic")
-        try:
-            (
-                cm_sketch(batch, col, depth, width, salt)
-                .withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(f"{base_dir}/cm_sketch")
-            )
-        finally:
-            spark.conf.set(spark_conf_key, prev)
+        (
+            cm_sketch(batch, col, depth, width, salt)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{base_dir}/cm_sketch")
+        )
 
     return (
         stream.writeStream.foreachBatch(do_batch)

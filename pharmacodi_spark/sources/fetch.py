@@ -86,7 +86,14 @@ def fetch_manifest(
                 if payload is None:
                     out.append((rel, 0, None, False, err))
                     continue
-                path = os.path.join(dest_dir, rel)
+                # A manifest is DATA, not trusted config: a '../..'-style or
+                # absolute relpath must not escape the staging dir and
+                # overwrite arbitrary worker paths (ADVICE r6).
+                root = os.path.realpath(dest_dir)
+                path = os.path.realpath(os.path.join(dest_dir, rel))
+                if path != root and not path.startswith(root + os.sep):
+                    out.append((rel, 0, None, False, "bad relpath"))
+                    continue
                 os.makedirs(os.path.dirname(path) or dest_dir, exist_ok=True)
                 with open(path, "wb") as f:
                     f.write(payload)

@@ -241,6 +241,9 @@ def shard_manifest(
     rows to cancel. One aggregation keyed by ``shard_id`` — counts and
     checksums collapse map-side; output rows = #shards (metadata-scale).
     """
+    # id_col is interpolated into F.expr SQL — refuse non-identifier names
+    # (the same guard analysis.py::lang_confusion uses; ADVICE r6)
+    assert id_col.isidentifier(), id_col
     return shards.groupBy("shard_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_bytes").cast("long").alias("n_bytes"),

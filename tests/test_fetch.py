@@ -52,6 +52,33 @@ def test_fetch_manifest_staging_checksums_and_failures(spark, tmp_path):
     assert sorted(failed) == ["shard/b.bin", "shard/c.bin"]
 
 
+def test_fetch_manifest_rejects_escaping_relpaths(spark, tmp_path):
+    """A manifest row is DATA: '../'-style or absolute relpaths must not
+    write outside the staging dir (ADVICE r6)."""
+    from pharmacodi_spark.sources.fetch import fetch_manifest
+
+    dest = str(tmp_path / "stage")
+    victim = tmp_path / "victim.txt"
+    victim.write_text("precious")
+    manifest = spark.createDataFrame(
+        [
+            ("http://x/evil.bin", "../victim.txt"),
+            ("http://x/abs.bin", str(victim)),
+            ("http://x/fine.bin", "ok/fine.bin"),
+        ],
+        "url string, relpath string",
+    )
+    rep = {
+        r.relpath: r
+        for r in fetch_manifest(manifest, lambda u: b"payload", dest).collect()
+    }
+    assert not rep["../victim.txt"].ok and rep["../victim.txt"].err == "bad relpath"
+    assert not rep[str(victim)].ok and rep[str(victim)].err == "bad relpath"
+    assert rep["ok/fine.bin"].ok
+    assert victim.read_text() == "precious"  # never overwritten
+    assert open(os.path.join(dest, "ok/fine.bin"), "rb").read() == b"payload"
+
+
 def test_scrape_tables_extracts_rendered_rows(spark):
     from pyspark.sql import functions as F
 
