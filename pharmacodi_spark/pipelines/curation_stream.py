@@ -15,9 +15,12 @@ into two phases:
   passage-owner index (text/dedup.py::passage_first_owner_stats — the
   prefix-consistent semantics), (5) exact dedup (min-id keeper within
   batch + anti-join of the persisted content-hash index), then upserts
-  survivors and extends the owner/hash indices (anti-joined appends —
-  idempotent under micro-batch replay, same discipline as
-  pipelines/ingest.py).
+  survivors and extends the owner/hash indices. Index rows carry the
+  ``batch_id`` that wrote them; reads take the strictly-earlier view
+  (``batch_id < current``) and writes are per-batch-id dynamic partition
+  overwrites — so a replayed micro-batch recomputes bit-identical
+  verdicts and rewrites identical state, whatever partial writes the
+  crashed attempt left behind (the winnow_stream discipline).
 
 The temperature-mixture stage is deliberately ABSENT from the stream: its
 per-source rates depend on the FINAL curated counts, a corpus-global
@@ -132,15 +135,14 @@ def _gates_1_to_3(
         .crossJoin(F.broadcast(total))
         .select(
             id_col,
+            # shift-free fixed point: floor(log2(n·2^s/c)) ==
+            # floor(log2(n div c)) + s for n >= c >= 1, so no pre-shift
+            # that would overflow int64 once the frozen LM exceeds
+            # ~2^43 tokens (ADVICE r6); matches unigram_surprisal
             (
-                F.length(
-                    F.bin(
-                        F.expr(
-                            f"(n * {1 << _SCALE_BITS}) div coalesce(c, 1L)"
-                        )
-                    )
-                )
+                F.length(F.bin(F.expr("n div coalesce(c, 1L)")))
                 - 1
+                + _SCALE_BITS
             ).alias("bits"),
         )
         .groupBy(id_col)
@@ -157,23 +159,53 @@ def _gates_1_to_3(
     return gop.join(bits, id_col).join(contam, id_col, "left_anti")
 
 
+#: read schema for the two index tables — explicit so an index directory
+#: whose only batches were empty (no part files) still reads as an empty
+#: frame instead of failing schema inference
+_INDEX_SCHEMA = "h string, batch_id bigint"
+
+
+def _strictly_earlier(
+    spark: SparkSession, path: str, batch_id: int
+) -> DataFrame | None:
+    """The index view a micro-batch is allowed to see: rows written by
+    STRICTLY earlier batches. Structured Streaming re-delivers a failed
+    batch under the SAME batch id, so a replay sees the index exactly as
+    the first delivery did — even if the crash happened after some of this
+    batch's own index writes landed (the winnow_stream discipline;
+    ADVICE r6)."""
+    if not path_exists(spark, path):
+        return None
+    return (
+        spark.read.schema(_INDEX_SCHEMA)
+        .parquet(path)
+        .where(F.col("batch_id") < int(batch_id))
+        .select("h")
+    )
+
+
 def curate_stream_batch(
     spark: SparkSession,
     base_dir: str,
     new: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: int = 0,
 ) -> None:
     """One micro-batch through gates 1-5 against the persisted state; also
     the ``foreachBatch`` body of :func:`streaming_curation`. Idempotent
-    under replay: survivors merge_upsert by id, index appends anti-join
-    the current index first."""
+    under replay: index rows carry the ``batch_id`` that wrote them, reads
+    take the strictly-earlier view (so a replayed batch never sees its own
+    first-delivery rows — first-owner verdicts recompute bit-identically),
+    writes are per-batch-id dynamic partition overwrites (a replay rewrites
+    its own partition with identical content), and survivors merge_upsert
+    by id. Each state path is gated on ITS OWN existence, so a crash
+    between the two index writes cannot wedge a replay."""
     p = _paths(base_dir)
     lm = spark.read.parquet(p["lm"])
     eval_grams = spark.read.parquet(p["eval_grams"])
-    have_state = path_exists(spark, p["passage_owner"])
-    prior_owned = spark.read.parquet(p["passage_owner"]) if have_state else None
-    hash_index = spark.read.parquet(p["hash_index"]) if have_state else None
+    prior_owned = _strictly_earlier(spark, p["passage_owner"], batch_id)
+    hash_index = _strictly_earlier(spark, p["hash_index"], batch_id)
 
     entrants = _gates_1_to_3(new, lm, eval_grams, content_col, id_col)
     q3 = new.join(entrants, id_col).localCheckpoint()
@@ -241,16 +273,22 @@ def curate_stream_batch(
         .distinct()
     )
     new_hashes = survivors.select(F.md5(F.col(content_col)).alias("h")).distinct()
-    if have_state:
-        merge_upsert(spark, p["curated"], survivors, [id_col])
+    if prior_owned is not None:
         new_owned = new_owned.join(prior_owned, "h", "left_anti")
+    if hash_index is not None:
         new_hashes = new_hashes.join(hash_index, "h", "left_anti")
-        new_owned.write.mode("append").parquet(p["passage_owner"])
-        new_hashes.write.mode("append").parquet(p["hash_index"])
+    for df, path in ((new_owned, p["passage_owner"]), (new_hashes, p["hash_index"])):
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    if path_exists(spark, p["curated"]):
+        merge_upsert(spark, p["curated"], survivors, [id_col])
     else:
         survivors.write.parquet(p["curated"])
-        new_owned.write.parquet(p["passage_owner"])
-        new_hashes.write.parquet(p["hash_index"])
 
 
 def streaming_curation(
@@ -263,9 +301,10 @@ def streaming_curation(
     """Gates 1-5 under Structured Streaming (availableNow drain — the
     repo's upsert_sink convention). Returns the started StreamingQuery."""
 
-    def do_batch(batch: DataFrame, _batch_id: int) -> None:
+    def do_batch(batch: DataFrame, batch_id: int) -> None:
         curate_stream_batch(
-            batch.sparkSession, base_dir, batch, content_col, id_col
+            batch.sparkSession, base_dir, batch, content_col, id_col,
+            batch_id=batch_id,
         )
 
     return (

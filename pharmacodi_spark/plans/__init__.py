@@ -20,8 +20,13 @@ _DRIVER_WINDOW = [
     # flagship + TPC-H headline
     "pricing_summary", "experiment_join",
     # sources / sinks (S1-S5, S7, S9, S12)
+    # (r7: record_text_parse rotated out — S9/R6's record assembly is a
+    # group-concat + pivot, both of which keep hard in-window evidence via
+    # synonym_pipeline's ||| synonym assembly (the same reshape.py:80
+    # group-concat) and the enrichment cascade's pivot; oracle row stays
+    # green in the driver-sim + pytest mirror)
     "csv_na_roundtrip", "catalog_scan", "glob_union_shards",
-    "api_connector_enrich", "record_text_parse",
+    "api_connector_enrich",
     # projections / predicates / updates (P1-P13)
     # (r5 cont.: constant_flag rotated out — P12/P13's constant/derived-flag
     # paths stay driver-exercised via harmonize_contract's typed-null pad
@@ -47,7 +52,12 @@ _DRIVER_WINDOW = [
     # driver evidence via ingest_pipeline's semi-join survivor stages and
     # incremental_curation's entrant semi-joins, both in-window; its
     # oracle row stays green in the driver-sim + pytest mirror)
-    "update_join_coalesce", "dim_preserving_join",
+    # (r7: dim_preserving_join rotated out — J7's row-count-preserving
+    # left-join contract is the core join discipline of the in-window
+    # combine_pipeline / meta_pipeline cascades (every dim attach there is
+    # dim-preserving by construction) and of experiment_join; its oracle
+    # row stays green in the driver-sim + pytest mirror)
+    "update_join_coalesce",
     # aggregation / audit (A1-A8). Round-4 rotation (VERDICT r3 item 10):
     # table_stats (A5) and group_concat (A7) yield their slots to extension
     # queries — A5 stays driver-covered via null_counts/cube_stats-style
@@ -76,7 +86,12 @@ _DRIVER_WINDOW = [
     # driver-exercised via record_text_parse's record assembly; r5 cont.:
     # melt_columns out — R2's list-melt is the R1 regex-melt minus the
     # column-match step, kept by melt_unpivot + the driver-sim mirror)
-    "melt_unpivot", "explode_tokens", "json_props_extract",
+    # (r7: json_props_extract rotated out — R4's JSON flatten is a native
+    # from_json/getField projection with no join/shuffle of its own; the
+    # native-expression kit keeps in-window evidence via regex_kit and
+    # harmonize_contract's typed casts; oracle row stays green in the
+    # driver-sim + pytest mirror)
+    "melt_unpivot", "explode_tokens",
     # scalar kit / UDF-elimination (F1-F12, X1-X3)
     "regex_kit",
     # custom temporal/OLAP operators
@@ -151,6 +166,12 @@ _DRIVER_WINDOW = [
     # winnowing fingerprint overlap (positional/containment evidence the
     # MinHash and ExactSubstr rows can't give)
     "token_budget_report", "unimax_allocation", "winnow_near_pairs",
+    # r7 rotation (VERDICT r6 item 2): hard driver rows for the round-6-late
+    # flagships that only ever had r-sim/pytest evidence — the full MOSS
+    # winnowing E2E (fingerprints → pairs → CC → keeper droplist), the
+    # three-detector near-dup agreement referee, and the stupid-backoff
+    # trigram LM gate
+    "winnow_dedup_pipeline", "detector_agreement", "stupid_backoff_lm",
 ]
 
 

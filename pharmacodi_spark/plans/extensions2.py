@@ -2985,7 +2985,7 @@ def vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT count(*) AS n FROM toks),
     scored AS (
       SELECT t.doc_id,
-             length(bin(((SELECT n FROM tot) * 1048576) // c.c)) - 1 AS bits
+             length(bin((SELECT n FROM tot) // c.c)) - 1 + 20 AS bits
       FROM toks t JOIN cnt c ON t.token = c.token
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
@@ -3535,7 +3535,7 @@ def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT count(*) AS n FROM tok),
     bits AS (
       SELECT tok.doc_id,
-             length(bin(((SELECT n FROM tot) * 1048576) // c.c)) - 1 AS bits
+             length(bin((SELECT n FROM tot) // c.c)) - 1 + 20 AS bits
       FROM tok JOIN cnt c USING (token)
     ),
     sur_keep AS (
@@ -3739,7 +3739,7 @@ def _curation_cascade(
     tot AS (SELECT count(*) AS n FROM tok),
     bits AS (
       SELECT tok.doc_id,
-             length(bin(((SELECT n FROM tot) * 1048576) // c.c)) - 1 AS bits
+             length(bin((SELECT n FROM tot) // c.c)) - 1 + 20 AS bits
       FROM tok JOIN cnt c USING (token)
     ),
     sur_keep AS (
@@ -3926,7 +3926,7 @@ def auto_salted_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT count(*) AS n FROM tok),
     bits AS (
       SELECT tok.doc_id,
-             length(bin(((SELECT n FROM tot) * 1048576) // c.c)) - 1 AS bits
+             length(bin((SELECT n FROM tot) // c.c)) - 1 + 20 AS bits
       FROM tok JOIN cnt c USING (token)
     ),
     sur_keep AS (
@@ -4370,7 +4370,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT x, sum(c2) AS c1 FROM c2 GROUP BY 1),
     b AS (
       SELECT tt.doc_id,
-             length(bin((c1 * 1048576) // c2)) - 1 AS bits
+             length(bin(c1 // c2)) - 1 + 20 AS bits
       FROM tt JOIN c2 USING (x, y) JOIN c1 USING (x)
     )
     SELECT doc_id,

@@ -151,8 +151,12 @@ def unigram_surprisal(
         .crossJoin(F.broadcast(total))
         .select(
             id_col,
+            # shift-free: floor(log2(n·2^s/c)) == floor(log2(n div c)) + s
+            # for n >= c >= 1 (exact — 2^s is an integer factor and
+            # floor∘log2 commutes with floor for x >= 1), so the pre-shift
+            # that overflowed int64 at n >= 2^(63-s) is eliminated (ADVICE r6)
             (
-                F.length(F.bin(F.expr(f"(n * {1 << scale_bits}) div c"))) - 1
+                F.length(F.bin(F.expr("n div c"))) - 1 + scale_bits
             ).alias("bits"),
         )
     )
@@ -344,8 +348,10 @@ def bigram_surprisal(
         .join(c1, "x")
         .select(
             id_col,
+            # shift-free form (c1 >= c2 >= 1 — prefix count bounds the
+            # bigram count), same overflow guard as unigram_surprisal
             (
-                F.length(F.bin(F.expr(f"(c1 * {1 << scale_bits}) div c2"))) - 1
+                F.length(F.bin(F.expr("c1 div c2"))) - 1 + scale_bits
             ).alias("bits"),
         )
     )

@@ -88,8 +88,8 @@ def test_stream_batch_replay_idempotent(spark, tmp_path):
     b2 = spark.createDataFrame(
         [(r["doc_id"], r["text"], r["source"]) for r in rows[half:]], SCHEMA
     )
-    curate_stream_batch(spark, base, b1)
-    curate_stream_batch(spark, base, b2)
+    curate_stream_batch(spark, base, b1, batch_id=0)
+    curate_stream_batch(spark, base, b2, batch_id=1)
 
     def snap():
         return (
@@ -99,5 +99,70 @@ def test_stream_batch_replay_idempotent(spark, tmp_path):
         )
 
     before = snap()
-    curate_stream_batch(spark, base, b2)  # replayed micro-batch
+    curate_stream_batch(spark, base, b2, batch_id=1)  # replayed micro-batch
     assert snap() == before
+
+
+def _split_batches(spark, rows):
+    half = len(rows) // 2
+    b1 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows[:half]], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows[half:]], SCHEMA
+    )
+    return b1, b2
+
+
+def _snap(spark, base):
+    return (
+        sorted(r.doc_id for r in spark.read.parquet(f"{base}/curated").collect()),
+        sorted(r.h for r in spark.read.parquet(f"{base}/passage_owner").collect()),
+        sorted(r.h for r in spark.read.parquet(f"{base}/hash_index").collect()),
+    )
+
+
+def test_replay_after_crash_between_index_writes(spark, tmp_path):
+    """ADVICE r6 (medium): a micro-batch that crashed AFTER its
+    passage_owner write but BEFORE its hash_index write must, on replay,
+    recompute identical verdicts (it must not see its own owner rows) and
+    converge to the uncrashed final state."""
+    import shutil
+
+    from pharmacodi_spark.pipelines.curation_stream import curate_stream_batch
+
+    docs, base, rows = _setup(spark, tmp_path)
+    b1, b2 = _split_batches(spark, rows)
+    curate_stream_batch(spark, base, b1, batch_id=0)
+    curate_stream_batch(spark, base, b2, batch_id=1)
+    want = _snap(spark, base)
+
+    # simulate the crash: batch 1's hash_index partition never landed
+    shutil.rmtree(f"{base}/hash_index/batch_id=1")
+    curate_stream_batch(spark, base, b2, batch_id=1)  # replay
+    assert _snap(spark, base) == want
+
+
+def test_replay_after_first_batch_partial_crash(spark, tmp_path):
+    """ADVICE r6 (medium): a FIRST batch that crashed between the owner
+    write and the hash_index write must not wedge the replay (the old code
+    keyed have_state on passage_owner alone and then failed reading the
+    missing hash_index path)."""
+    import shutil
+
+    from pharmacodi_spark.pipelines.curation_stream import curate_stream_batch
+
+    docs, base, rows = _setup(spark, tmp_path)
+    b1, b2 = _split_batches(spark, rows)
+    curate_stream_batch(spark, base, b1, batch_id=0)
+    want_b1 = _snap(spark, base)
+
+    # simulate: owner landed, hash_index (and curated) never did
+    shutil.rmtree(f"{base}/hash_index")
+    shutil.rmtree(f"{base}/curated")
+    curate_stream_batch(spark, base, b1, batch_id=0)  # replay wedges? no.
+    assert _snap(spark, base) == want_b1
+
+    curate_stream_batch(spark, base, b2, batch_id=1)  # stream continues
+    got = _snap(spark, base)
+    assert got[0] and set(got[0]) >= set(want_b1[0])
