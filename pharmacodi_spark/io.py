@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import re
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -415,7 +416,12 @@ def merge_upsert(
         merged.write.mode("overwrite").parquet(path)
 
 
-def read_pset_catalog(spark: SparkSession, pset_dir: str) -> dict[str, DataFrame]:
+def read_pset_catalog(
+    spark: SparkSession,
+    pset_dir: str,
+    schemas: Mapping[str, T.StructType | str] | None = None,
+    infer_sampling: float | None = None,
+) -> dict[str, DataFrame]:
     """Directory→catalog scan (S2): list a PSet export directory, split each
     filename on ``$`` into its slot path, strip ``.*@|.csv(.gz)?$|.parquet$|
     .txt$`` (read_pset.py:40-74), and return ``{'slot$sub': DataFrame}``.
@@ -424,14 +430,27 @@ def read_pset_catalog(spark: SparkSession, pset_dir: str) -> dict[str, DataFrame
     apply (read_pset.py:63-64); here the catalog holds *lazy* DataFrames —
     nothing is read until a downstream action, and Spark parallelizes each
     file scan itself (SURVEY §2.10 X1).
+
+    ``schemas`` maps slot keys (``'sensitivity$info'``) to declared
+    contracts (``StructType`` or DDL string — the schema.py convention):
+    slots with a contract skip CSV/JSON type inference entirely, so the
+    scan reads the data once (VERDICT r6 item 8 — without this the
+    engine's own double-scan warning fires on its own catalog reads).
+    Unknown slots fall back to ``infer_sampling``-bounded inference.
     """
+    schemas = schemas or {}
     catalog: dict[str, DataFrame] = {}
     for fname in sorted(os.listdir(pset_dir)):
         if fname.startswith("."):
             continue  # hidden-file filter, read_pset.py:48
         base = re.sub(r"@.*$|\.csv(\.gz)?$|\.parquet$|\.txt$", "", fname)
         key = base  # "$"-separated slot path, e.g. "sensitivity$info"
-        catalog[key] = load(spark, os.path.join(pset_dir, fname))
+        catalog[key] = load(
+            spark,
+            os.path.join(pset_dir, fname),
+            schema=schemas.get(key),
+            infer_sampling=infer_sampling,
+        )
     return catalog
 
 

@@ -211,3 +211,110 @@ def distribution_psi(
         ppm_cur.cast("long").alias("ppm_cur"),
         ((ppm_ref - ppm_cur) * log_ratio).cast("long").alias("psi_term_fp"),
     )
+
+
+def psi_series_from_snapshots(
+    snapshots: DataFrame,
+    ref: DataFrame,
+    bucket_col: str,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """PSI drift TIME SERIES: :func:`distribution_psi` of every snapshot
+    histogram against one reference, in a single plan (VERDICT r6 item 5 —
+    the per-crawl-window drift monitor). ``snapshots`` is a histogram
+    table ``(bucket_col, c_cur, batch_col)`` — e.g. the per-micro-batch
+    partitions :func:`streaming_bucket_snapshots` maintains — and ``ref``
+    is a raw-rows frame bucketed here.
+
+    Identical fixed-point arithmetic to :func:`distribution_psi` (exact
+    ppm shares, il() log-ratio with Laplace +1), evaluated per
+    ``(batch, bucket)`` over the union universe (reference buckets ×
+    batches, full-outer-joined with the snapshots so one-sided buckets
+    appear on both sides). Returns one row per batch:
+    ``(batch_col, psi_fp, n_buckets, n_ref, n_cur)``.
+
+    Scale shape: everything after the two input aggregations is
+    metadata-scale (batches × buckets rows); totals join per batch.
+    Nothing corpus-scale shuffles at all when fed stored snapshots.
+    """
+    from pharmacodi_spark.text.retrieval import ilog2_fp
+
+    cp = ref.groupBy(bucket_col).agg(F.count("*").cast("long").alias("c_ref"))
+    tp = cp.agg(F.sum("c_ref").alias("n_ref"))
+    snaps = snapshots.select(
+        F.col(batch_col), F.col(bucket_col), F.col("c_cur").cast("long")
+    )
+    batches = snaps.select(batch_col).distinct()
+    universe = batches.crossJoin(cp)  # batches × ref buckets: metadata-scale
+    tq = snaps.groupBy(batch_col).agg(F.sum("c_cur").alias("n_cur"))
+    j = (
+        universe.join(snaps, [batch_col, bucket_col], "full_outer")
+        .select(
+            batch_col,
+            bucket_col,
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+        .join(F.broadcast(tq), batch_col)
+        .crossJoin(F.broadcast(tp))
+    )
+    ppm_ref = F.expr("(c_ref * 1000000) div n_ref")
+    ppm_cur = F.expr("(c_cur * 1000000) div n_cur")
+    log_ratio = (
+        ilog2_fp(F.col("c_ref") + 1)
+        + ilog2_fp(F.col("n_cur"))
+        - ilog2_fp(F.col("c_cur") + 1)
+        - ilog2_fp(F.col("n_ref"))
+    )
+    terms = j.select(
+        batch_col,
+        F.col("n_ref"),
+        F.col("n_cur"),
+        ((ppm_ref - ppm_cur) * log_ratio).cast("long").alias("psi_term_fp"),
+    )
+    return terms.groupBy(batch_col).agg(
+        F.sum("psi_term_fp").cast("long").alias("psi_fp"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+    )
+
+
+def streaming_bucket_snapshots(
+    stream: DataFrame,
+    base_dir: str,
+    bucket_col: str,
+    checkpoint_dir: str,
+):
+    """Maintain per-micro-batch bucket histograms under ``base_dir`` — the
+    state :func:`psi_series_from_snapshots` folds into a drift series at
+    question time (the counts analogue is sketches.streaming_cm_sketch).
+    Each batch writes its own ``batch_id=N`` partition via a
+    writer-scoped dynamic partition overwrite, so a replayed batch
+    REWRITES its partition with identical content instead of appending a
+    duplicate — replay-idempotent by construction. State size: #buckets
+    rows per batch (KB-scale metadata regardless of stream volume).
+    availableNow drain, as the repo's other sinks."""
+
+    def do_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy(bucket_col)
+            .agg(F.count("*").cast("long").alias("c_cur"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{base_dir}/bucket_hist")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bucket_snapshots(spark, base_dir: str) -> DataFrame:
+    """The stored snapshot histograms: ``(bucket, c_cur, batch_id)``."""
+    return spark.read.parquet(f"{base_dir}/bucket_hist")

@@ -938,7 +938,13 @@ def catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.join(base, "stage"))
         shutil.rmtree(os.path.join(base, "stage2"))
         open(marker, "w").close()
-    cat = read_pset_catalog(spark, base)
+    # the nation sheet carries a declared contract, so the CSV scan reads
+    # the data ONCE — no inference pass, no double-scan warning (r6 item 8)
+    cat = read_pset_catalog(
+        spark,
+        base,
+        schemas={"meta$nation": "n_nationkey int, n_name string, n_regionkey int"},
+    )
     nation, region = cat["meta$nation"], cat["region"]
     return (
         nation.join(region, nation.n_regionkey == region.r_regionkey)

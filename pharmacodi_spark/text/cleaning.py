@@ -364,3 +364,111 @@ def phrase_blocklist_hits(
         distinct_hit.cast("long").alias("n_phrases_hit"),
         (total == 0).alias("keep"),
     )
+
+
+def build_aho_corasick(
+    phrases: list[str],
+) -> tuple[list[dict[str, int]], list[int], list[list[int]]]:
+    """Build the Aho–Corasick automaton for a literal-phrase list:
+    ``(goto, fail, out)`` where ``goto[s]`` maps char → next state,
+    ``fail[s]`` is the longest-proper-suffix fallback, and ``out[s]``
+    lists phrase indices ENDING at state ``s`` (own output plus the
+    fail-chain's, pre-merged so matching never walks the chain).
+
+    Plain picklable lists/dicts — built once driver-side (O(total phrase
+    chars)), shipped to executors via broadcast. 10^5 phrases ≈ a few MB.
+    """
+    assert phrases and all(p for p in phrases)
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for idx, p in enumerate(phrases):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = goto[s][ch] = len(goto) - 1
+            s = nxt
+        out[s].append(idx)
+    fail = [0] * len(goto)
+    queue = list(goto[0].values())
+    head = 0
+    while head < len(queue):
+        s = queue[head]
+        head += 1
+        for ch, t in goto[s].items():
+            queue.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+            out[t] = out[t] + out[fail[t]]  # pre-merge the fail chain
+    return goto, fail, out
+
+
+def phrase_blocklist_hits_ac(
+    df: DataFrame,
+    phrases: list[str],
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aho–Corasick variant of :func:`phrase_blocklist_hits` for LARGE
+    blocklists (a real toxicity/compliance list is 10^3–10^5 phrases):
+    one automaton pass per document instead of one replace-diff expression
+    per phrase, so per-doc cost is O(len(text) + matches) regardless of
+    list size.
+
+    Semantics are IDENTICAL to the replace-diff form — per-phrase
+    NON-overlapping occurrences, leftmost-greedy (a match is counted only
+    if it starts at/after the previous counted match of the SAME phrase
+    ends) — so the two forms are interchangeable gates and the small-list
+    oracle proves this one.
+
+    Scale shape: the automaton builds once driver-side and broadcasts;
+    matching is a single ``mapInPandas`` projection over Arrow batches —
+    ZERO shuffle, bodies never leave their partitions. Returns
+    ``(id, n_hits, n_phrases_hit, keep)``.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    goto, fail, out = build_aho_corasick(phrases)
+    plen = [len(p) for p in phrases]
+    bc = df.sparkSession.sparkContext.broadcast((goto, fail, out, plen))
+    schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "n_hits bigint, n_phrases_hit bigint, keep boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        goto, fail, out, plen = bc.value
+        n_p = len(plen)
+
+        def scan(text) -> tuple[int, int]:
+            if not isinstance(text, str) or not text:
+                return 0, 0
+            counts = [0] * n_p
+            next_start = [0] * n_p  # per-phrase non-overlap frontier
+            s = 0
+            for i, ch in enumerate(text):
+                while s and ch not in goto[s]:
+                    s = fail[s]
+                s = goto[s].get(ch, 0)
+                for idx in out[s]:
+                    start = i - plen[idx] + 1
+                    if start >= next_start[idx]:
+                        counts[idx] += 1
+                        next_start[idx] = i + 1
+            return sum(counts), sum(1 for c in counts if c)
+
+        for pdf in batches:
+            res = [scan(t) for t in pdf[content_col]]
+            o = pdf[[id_col]].copy()
+            o["n_hits"] = [r[0] for r in res]
+            o["n_phrases_hit"] = [r[1] for r in res]
+            o["keep"] = [r[0] == 0 for r in res]
+            yield o
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

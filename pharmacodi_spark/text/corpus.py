@@ -821,3 +821,141 @@ def stupid_backoff_scores(
         F.coalesce("n_backoff1", F.lit(0)).cast("long").alias("n_backoff1"),
         F.coalesce("n_backoff2", F.lit(0)).cast("long").alias("n_backoff2"),
     )
+
+
+def kneser_ney_scores(
+    ref: DataFrame,
+    scored: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    discount_num: int = 3,
+    discount_den: int = 4,
+) -> DataFrame:
+    """Kneser–Ney bigram LM scoring (Kneser & Ney 1995; the smoothing step
+    up from :func:`stupid_backoff_scores` — VERDICT r6 item 4): absolute
+    discounting ``D = discount_num/discount_den`` (default 3/4) with the
+    CONTINUATION-count unigram backoff that makes KN the reference
+    smoother — a word's backoff mass is how many distinct contexts it
+    follows (type count), not how often it occurs (token count), so
+    high-frequency-but-context-bound words ("Francisco") stop stealing
+    mass from genuinely versatile ones.
+
+    Backoff form (a pure product of rationals, so the whole chain stays in
+    the repo's 10-frac-bit integer ``il()`` fixed point — no doubles, no
+    int64 overflow for any corpus under 2^59 tokens):
+
+    - pair seen:        log2 P = il(den·c12 − num) − il(den·c1)
+    - ctx seen only:    log2 P = il(num·n1p(w1)) − il(den·c1)
+                                 + il(ncont(w2) + 1) − il(T + 1)
+      (the discounted mass λ(w1) = D·n1p/c1 routed to the continuation
+      distribution, add-one floored for never-followed words)
+    - ctx unseen:       log2 P = il(ncont(w2) + 1) − il(T + 1)
+
+    where ``c12 = c(w1,w2)``, ``c1 = Σ_w c(w1,w)``, ``n1p(w1) = |{w :
+    c(w1,w) > 0}|``, ``ncont(w2) = |{w : c(w,w2) > 0}|``, ``T = distinct
+    bigram types``. Per doc: ``(n_bigrams, kn_fp = Σ log2 P, n_backoff,
+    n_unseen_ctx)`` — the smoothed perplexity gate plus where the mass
+    backed off.
+
+    Scale shape (same topology as stupid_backoff): the bigram count table
+    collapses map-side and is stage-barrier-pinned — it feeds FIVE
+    consumers (c1/n1p rollup, ncont rollup, T, the scoring join) and would
+    otherwise re-expand the tokenize/explode subplan per consumer; the
+    continuation counts are the "one extra aggregation per order"
+    (vocabulary-scale rollups of the pinned table, no new corpus scan).
+    Scoring runs per DISTINCT bigram of the scored slice, then joins back
+    to occurrences and collapses per doc. No window, no driver state.
+    """
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.retrieval import ilog2_fp
+
+    assert 0 < discount_num < discount_den
+
+    def toks(d: DataFrame) -> DataFrame:
+        t = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        return d.select(F.col(id_col), t.alias("__tk"))
+
+    def bigrams(d: DataFrame) -> DataFrame:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - 1),
+            lambda i: F.struct(
+                F.element_at("__tk", i.cast("int")).alias("w1"),
+                F.element_at("__tk", (i + 1).cast("int")).alias("w2"),
+            ),
+        )
+        return (
+            d.where(F.size("__tk") >= 2)
+            .select(F.col(id_col), F.explode(g).alias("g"))
+            .select(id_col, "g.w1", "g.w2")
+        )
+
+    bi = stage_barrier(
+        bigrams(toks(ref)).groupBy("w1", "w2").agg(F.count("*").alias("c12")),
+        name="kn_bi",
+    )
+    # the extra continuation-count aggregations — vocabulary-scale rollups
+    # of the pinned bigram table, one per order
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p")
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("ncont"))
+    t_types = bi.agg(F.count("*").alias("t_types"))
+
+    occ = stage_barrier(
+        bigrams(toks(scored)), name="kn_occ"
+    )  # feeds distinct + score-back
+    dt = occ.select("w1", "w2").distinct()
+    num, den = F.lit(int(discount_num)), F.lit(int(discount_den))
+    scored_b = (
+        dt.join(bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(t_types))
+        .select(
+            "w1",
+            "w2",
+            F.when(
+                F.col("c12").isNotNull(),
+                ilog2_fp(den * F.col("c12") - num) - ilog2_fp(den * F.col("c1")),
+            )
+            .when(
+                F.col("c1").isNotNull(),
+                ilog2_fp(num * F.col("n1p"))
+                - ilog2_fp(den * F.col("c1"))
+                + ilog2_fp(F.coalesce(F.col("ncont"), F.lit(0)) + 1)
+                - ilog2_fp(F.col("t_types") + 1),
+            )
+            .otherwise(
+                ilog2_fp(F.coalesce(F.col("ncont"), F.lit(0)) + 1)
+                - ilog2_fp(F.col("t_types") + 1)
+            )
+            .cast("long")
+            .alias("score_fp"),
+            F.when(F.col("c12").isNotNull(), 0)
+            .when(F.col("c1").isNotNull(), 1)
+            .otherwise(2)
+            .alias("bo"),
+        )
+    )
+    per_doc = (
+        occ.join(scored_b, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("score_fp").cast("long").alias("kn_fp"),
+            F.sum(F.when(F.col("bo") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_backoff"),
+            F.sum(F.when(F.col("bo") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen_ctx"),
+        )
+    )
+    out = scored.select(F.col(id_col)).join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("kn_fp", F.lit(0)).cast("long").alias("kn_fp"),
+        F.coalesce("n_backoff", F.lit(0)).cast("long").alias("n_backoff"),
+        F.coalesce("n_unseen_ctx", F.lit(0)).cast("long").alias("n_unseen_ctx"),
+    )

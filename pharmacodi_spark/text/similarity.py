@@ -674,6 +674,73 @@ def jl_project(
     return df.select(*cols)
 
 
+def _referee_topk(
+    df: DataFrame,
+    pairs: DataFrame,
+    w,
+    scorer,
+    k: int,
+    pool_factor: int,
+    batch_size: int,
+    query_mod: int,
+    id_col: str,
+    label_col: str,
+    content_col: str | None,
+) -> DataFrame:
+    """The injected-scorer voting neighborhood for :func:`knn_label_eval`:
+    integer-dot recall pool (``pool_factor·k``) → Arrow-batched scorer
+    referee → top ``k`` by ``ce_score`` (ties on id). The pool is bounded
+    (queries × pool), so content fetches are broadcast joins against the
+    corpus scan and the scorer sees pool-sized batches only."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    assert content_col is not None, "scorer referee needs content_col"
+    assert pool_factor >= 1
+    pool = pairs.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k * pool_factor
+    )
+    qtext = df.where(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("__qid"), F.col(content_col).alias("__qtext")
+    )
+    cand = (
+        df.select(F.col(id_col), F.col(content_col).alias("__ctext"))
+        .join(F.broadcast(pool.select("__qid", id_col)), id_col)
+        .join(F.broadcast(qtext), "__qid")
+    )
+    schema = "__qid long, __cid long, ce_score double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[i : i + batch_size]
+                scores = scorer(
+                    chunk["__qtext"].tolist(), chunk["__ctext"].tolist()
+                )
+                yield pd.DataFrame(
+                    {
+                        "__qid": chunk["__qid"].values,
+                        "__cid": chunk[id_col].values,
+                        "ce_score": [float(s) for s in scores],
+                    }
+                )
+
+    scored = cand.select("__qid", id_col, "__qtext", "__ctext").mapInPandas(
+        run, schema
+    )
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.desc("ce_score"), F.asc("__cid")
+    )
+    keep = (
+        scored.withColumn("__rn2", F.row_number().over(w2))
+        .where(F.col("__rn2") <= k)
+        .select("__qid", F.col("__cid").alias(id_col))
+    )
+    return pool.join(keep, ["__qid", id_col])
+
+
 def knn_label_eval(
     df: DataFrame,
     k: int = 10,
@@ -682,6 +749,10 @@ def knn_label_eval(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    scorer=None,
+    content_col: str | None = None,
+    pool_factor: int = 3,
+    batch_size: int = 64,
 ) -> DataFrame:
     """Embedding-space quality eval: leave-one-out k-NN label consistency
     on a deterministic query sample (``id % query_mod == 0``) — the
@@ -694,12 +765,25 @@ def knn_label_eval(
     tie-breaks on id, majority vote tie-breaks on the smaller label — every
     step engine-deterministic.
 
+    With an injected ``scorer`` (VERDICT r6 item 6: the
+    ``rerank_with_scorer``-shaped callable ``(list[str], list[str]) ->
+    list[float]`` — production passes a cross-encoder's ``predict``), the
+    vote runs over a refereed neighborhood: the integer-dot recall pool
+    (``pool_factor·k`` candidates) is re-scored on
+    ``(query content, candidate content)`` pairs in an Arrow-batched
+    ``mapInPandas`` seam and the top ``k`` by ``ce_score`` (ties on id)
+    vote — the recall→precision stack of a retrieval pipeline, refereeing
+    label consistency instead of relevance. Requires ``content_col``.
+
     Scale shape: the query sample is bounded (``n/query_mod`` rows) and
     broadcasts against the corpus scan — the corpus never shuffles for the
     pair generation; per-query ranking is a window keyed by query id
-    (1/query_mod of the pair stream). For corpus-side fan-out beyond
-    brute-force, feed candidates from ``ivf_topk``/``int8_weighted_topk``
-    instead — the voting tail is identical.
+    (1/query_mod of the pair stream). The scorer path adds one broadcast
+    semi-join of the bounded pool against the corpus scan (to fetch
+    candidate content) and scores pool-sized batches only. For corpus-side
+    fan-out beyond brute-force, feed candidates from
+    ``ivf_topk``/``int8_weighted_topk`` instead — the voting tail is
+    identical.
     """
     from pyspark.sql import Window
 
@@ -730,9 +814,15 @@ def knn_label_eval(
     w = Window.partitionBy("__qid").orderBy(
         F.col("__dot").desc(), F.col(id_col)
     )
-    topk = pairs.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= k
-    )
+    if scorer is None:
+        topk = pairs.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= k
+        )
+    else:
+        topk = _referee_topk(
+            df, pairs, w, scorer, k, pool_factor, batch_size,
+            query_mod, id_col, label_col, content_col,
+        )
     votes = topk.groupBy("__qid", "__qlabel", label_col).agg(
         F.count("*").alias("__c")
     )

@@ -49,3 +49,98 @@ def test_eval_is_deterministic(spark):
     a = sorted(map(tuple, knn_label_eval(df, k=3, query_mod=5).collect()))
     b = sorted(map(tuple, knn_label_eval(df, k=3, query_mod=5).collect()))
     assert a == b
+
+
+def _py_referee_eval(rows, k, query_mod, scale, scorer, pool_factor=3):
+    """Driver-side replay of the scorer-refereed path: integer-dot pool ->
+    scorer re-rank (ties on id) -> majority vote (ties on smaller label)."""
+    # floor(x*scale+0.5) for possibly-negative x: mirror Spark's floor
+    import math
+
+    quant = {
+        vid: [math.floor(x * scale + 0.5) for x in vec]
+        for vid, vec, _ in rows
+    }
+    labels = {vid: lab for vid, _, lab in rows}
+    texts = {vid: f"{lab}:{vid}" for vid, _, lab in rows}
+    out = {}
+    for qid, qv, qlab in rows:
+        if qid % query_mod != 0:
+            continue
+        dots = [
+            (-sum(a * b for a, b in zip(quant[cid], quant[qid])), cid)
+            for cid, _, _ in rows
+            if cid != qid
+        ]
+        pool = [cid for _, cid in sorted(dots)[: k * pool_factor]]
+        scoredc = sorted(
+            pool,
+            key=lambda cid: (
+                -scorer([texts[qid]], [texts[cid]])[0], cid
+            ),
+        )[:k]
+        votes = {}
+        for cid in scoredc:
+            votes[labels[cid]] = votes.get(labels[cid], 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        n, c = out.get(qlab, (0, 0))
+        out[qlab] = (n + 1, c + (1 if pred == qlab else 0))
+    return {
+        lab: (n, c, c * 1_000_000 // n) for lab, (n, c) in out.items()
+    }
+
+
+def test_scorer_referee_matches_python_replay(spark):
+    from pharmacodi_spark.text.similarity import knn_label_eval
+
+    rows = _clustered(seed=11, n_per=12)
+    # content encodes the label so a deterministic "cross-encoder" can act
+    # on it: same-label pairs score by a stable hash, never by randomness
+    def scorer(qs, cs):
+        return [
+            (2.0 if q.split(":")[0] == c.split(":")[0] else 1.0)
+            + (int(c.split(":")[1]) % 7) / 100.0
+            for q, c in zip(qs, cs)
+        ]
+
+    df = spark.createDataFrame(
+        [(vid, vec, lab, f"{lab}:{vid}") for vid, vec, lab in rows],
+        "vec_id long, embedding array<double>, label int, text string",
+    )
+    got = {
+        r["label"]: (r["n_queries"], r["n_correct"], r["acc_ppm"])
+        for r in knn_label_eval(
+            df, k=5, query_mod=7, scorer=scorer, content_col="text"
+        ).collect()
+    }
+    want = _py_referee_eval(rows, k=5, query_mod=7, scale=10000, scorer=scorer)
+    assert got == want
+
+
+def test_scorer_referee_can_overrule_dot_vote(spark):
+    """A referee that inverts same-label preference must drag accuracy
+    DOWN vs the baseline — proof the scorer actually controls the vote."""
+    from pharmacodi_spark.text.similarity import knn_label_eval
+
+    rows = _clustered(seed=13, n_per=12, noise=6.0)  # noisy: pool is mixed
+
+    def adversary(qs, cs):
+        return [
+            0.0 if q.split(":")[0] == c.split(":")[0] else 1.0
+            for q, c in zip(qs, cs)
+        ]
+
+    df = spark.createDataFrame(
+        [(vid, vec, lab, f"{lab}:{vid}") for vid, vec, lab in rows],
+        "vec_id long, embedding array<double>, label int, text string",
+    )
+    base = sum(
+        r["n_correct"] for r in knn_label_eval(df, k=5, query_mod=7).collect()
+    )
+    refereed = sum(
+        r["n_correct"]
+        for r in knn_label_eval(
+            df, k=5, query_mod=7, scorer=adversary, content_col="text"
+        ).collect()
+    )
+    assert refereed < base

@@ -77,6 +77,21 @@ CASES = [
     ("stupid_backoff_lm", r"Scan ExistingRDD", True,
      "uni/bi count tables and the occurrence stream are barrier-pinned — "
      "the tokenize/count subplans run once, not per consumer"),
+    ("phrase_blocklist_ac", r"\bExchange\b", False,
+     "the automaton pass is a zero-shuffle mapInPandas projection — "
+     "bodies never leave their partitions"),
+    ("phrase_blocklist_ac", r"MapInPandas", True,
+     "matching runs in the Arrow-batched Python seam (the documented "
+     "large-blocklist path), not a per-phrase expression chain"),
+    ("kneser_ney_lm", r"Scan ExistingRDD", True,
+     "the bigram count table and the occurrence stream are barrier-pinned "
+     "— bi feeds five consumers (c1/n1p, ncont, T, the scoring join), "
+     "occ feeds two; unpinned each re-expands the tokenize/explode"),
+    ("psi_drift_series", r"\bGenerate\b", False,
+     "the drift series is pure histogram arithmetic — no explode anywhere"),
+    ("psi_drift_series", r"BroadcastHashJoin", True,
+     "per-batch totals join broadcast (metadata-scale); only the "
+     "full-outer universe join may sort-merge"),
 ]
 
 

@@ -545,6 +545,14 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "replace-diff counting is one zero-shuffle projection over the "
          "scan — no regex dialect, no explode, no aggregation"),
     ],
+    "phrase_blocklist_ac": [
+        (r"\bExchange\b", False,
+         "the broadcast-automaton pass is a zero-shuffle mapInPandas "
+         "projection — bodies never leave their partitions"),
+        (r"MapInPandas", True,
+         "matching runs in the Arrow-batched Python seam — the "
+         "large-blocklist (10^3-10^5 phrases) path"),
+    ],
     "stupid_backoff_lm": [
         (r"Scan ExistingRDD", True,
          "uni/bi count tables + the occurrence stream are barrier-pinned "
@@ -552,6 +560,23 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"BroadcastHashJoin", True,
          "the vocabulary-scale score table joins broadcast-side where it "
          "fits; only the two stream-scale joins may sort-merge"),
+    ],
+    "kneser_ney_lm": [
+        (r"Scan ExistingRDD", True,
+         "the bigram count table (five consumers: c1/n1p rollup, ncont "
+         "rollup, T, scoring join) and the occurrence stream (two "
+         "consumers) are barrier-pinned — same topology as stupid_backoff "
+         "plus one continuation-count rollup per order"),
+        (r"BroadcastHashJoin", True,
+         "the vocabulary-scale score table joins broadcast-side where it "
+         "fits"),
+    ],
+    "psi_drift_series": [
+        (r"\bGenerate\b", False,
+         "the drift series is pure histogram arithmetic — no explode"),
+        (r"BroadcastHashJoin", True,
+         "per-batch totals join broadcast; everything after the two input "
+         "aggregations is metadata-scale (batches × buckets)"),
     ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
