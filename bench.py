@@ -130,6 +130,15 @@ HEADLINE = HEADLINE_R1 + [
     "source_length_quantiles",
     "stupid_backoff_lm",
     "incremental_winnow",
+    # round-7 additions: Aho–Corasick large-blocklist gate, Kneser–Ney
+    # smoothed LM gate, PSI drift series, winnow E2E, detector referee
+    "phrase_blocklist_ac",
+    "kneser_ney_lm",
+    "psi_drift_series",
+    "winnow_dedup_pipeline",
+    "detector_agreement",
+    "url_canonicalize",
+    "url_domain_gate",
 ]
 
 

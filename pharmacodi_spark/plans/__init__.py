@@ -32,7 +32,13 @@ _DRIVER_WINDOW = [
     # paths stay driver-exercised via harmonize_contract's typed-null pad
     # constants and clamp_recode's recode flag; oracle row remains in the
     # driver-sim + pytest mirror)
-    "filter_predicates", "null_counts", "clamp_recode",
+    # (r7 cont.: filter_predicates rotated out — P4-P7's null/comparison/
+    # empty-string predicates are the WHERE clause of nearly every
+    # in-window query (null_counts carries the null-audit shape, the
+    # curation/ingest cascades run semi/anti predicate stages, regex_kit
+    # keeps the regex-predicate path); oracle row stays green in the
+    # driver-sim + pytest mirror)
+    "null_counts", "clamp_recode",
     "harmonize_contract",
     # joins (J1-J11)
     # (r4: anti_join rotated out — J9's anti path keeps hard driver
@@ -68,7 +74,11 @@ _DRIVER_WINDOW = [
     # evidence via union_dedup's distinct and exact_dedup's grouped min-id
     # keeper; A3 via null_counts / fk_unmatched_audit / every grouped agg
     # in-window; both keep oracle rows in the driver-sim + pytest mirror)
-    "first_per_group", "fk_unmatched_audit",
+    # (r7 cont.: first_per_group rotated out — A2's deterministic
+    # first-per-key keeper is the min-id exact-dedup stage INSIDE the
+    # in-window curation/ingest E2Es and the dim path of the pipeline
+    # cascades; oracle row stays green in the driver-sim + pytest mirror)
+    "fk_unmatched_audit",
     # ids / sort / limit (W1/W2, O1-O5)
     # (r6 cont.: top_k_orders rotated out — O5's limit/top-k shape is
     # exercised in-window by every TakeOrderedAndProject query (bm25_topk,
@@ -91,7 +101,11 @@ _DRIVER_WINDOW = [
     # native-expression kit keeps in-window evidence via regex_kit and
     # harmonize_contract's typed casts; oracle row stays green in the
     # driver-sim + pytest mirror)
-    "melt_unpivot", "explode_tokens",
+    # (r7 cont.: explode_tokens rotated out — R3's explode(split) path runs
+    # inside nearly every in-window text query: winnow fingerprints, the
+    # curation gram explodes, both LM gates, vocab_token_count; oracle row
+    # stays green in the driver-sim + pytest mirror)
+    "melt_unpivot",
     # scalar kit / UDF-elimination (F1-F12, X1-X3)
     "regex_kit",
     # custom temporal/OLAP operators
@@ -172,6 +186,13 @@ _DRIVER_WINDOW = [
     # three-detector near-dup agreement referee, and the stupid-backoff
     # trigram LM gate
     "winnow_dedup_pipeline", "detector_agreement", "stupid_backoff_lm",
+    # r7 cont. (three double-covered slots freed above): hard driver rows
+    # for this round's new capabilities — the Aho–Corasick large-blocklist
+    # gate (oracle = the replace-diff form on the shared list), the
+    # Kneser–Ney smoothed LM gate, and URL canonicalization (closed-form
+    # oracle; url_domain_gate, its suffix-join sibling, stays mirror-
+    # covered along with psi_drift_series)
+    "phrase_blocklist_ac", "kneser_ney_lm", "url_canonicalize",
 ]
 
 

@@ -2515,3 +2515,79 @@ def winnow_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return near_dup_droplist(d.select("doc_id"), pairs)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain gate (text/urls.py)
+# ---------------------------------------------------------------------------
+# The documents table has no URL column, so both engines build the same
+# deterministic noisy URL (case noise, www, port, userinfo-free, tracking
+# params, unsorted params, fragment on every 3rd row) from (source, doc_id).
+# The DuckDB twin then states the EXPECTED canonical form in closed form —
+# an independent oracle of the contract, not a mirror of the string surgery.
+
+_URL_EXPR = (
+    "concat('HTTPS://', CASE WHEN doc_id % 5 = 0 THEN 'CDN.' ELSE 'WWW.' END, "
+    "source, '.Example.COM:443/p/', doc_id, "
+    "'?utm_source=x&b=', doc_id % 7, '&a=1', "
+    "CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+@q(
+    "url_canonicalize",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+             || lower(source) || '.example.com' AS host,
+           'https://' || CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+             || lower(source) || '.example.com/p/' || doc_id
+             || '?a=1&b=' || (doc_id % 7) AS canon_url
+    FROM documents
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (text/urls.py::parse_urls): scheme/host
+    lowercased, www + port + fragment + utm_*/fbclid-class tracking params
+    dropped, surviving params SORTED, trailing slash stripped — the
+    dedup-key preparation stage of a web-corpus pipeline (after this,
+    exact URL dedup is exact_dedup on canon_url). One zero-shuffle
+    projection; the oracle states the expected canonical form in closed
+    form rather than re-running the surgery."""
+    from pharmacodi_spark.text.urls import parse_urls
+
+    d = _t(spark, sf_dir, "documents")
+    with_url = d.select("doc_id", "source", F.expr(_URL_EXPR).alias("url"))
+    return parse_urls(with_url).select("doc_id", "host", "canon_url")
+
+
+@q(
+    "url_domain_gate",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+             || lower(source) || '.example.com' AS host,
+           CASE WHEN source IN ('src3', 'src7')
+                THEN lower(source) || '.example.com'
+                ELSE NULL END AS matched_domain,
+           source NOT IN ('src3', 'src7') AS keep
+    FROM documents
+    """,
+)
+def url_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate with subdomain-suffix semantics
+    (text/urls.py::domain_gate): block rules at two granularities — the
+    hosts src3/src7.example.com, which must ALSO block the cdn.-prefixed
+    subdomain variants every 5th row carries (suffix semantics) — longest
+    matching suffix reported. Hosts
+    explode to bounded dot-suffix sets; the blocklist broadcasts; bodies
+    never shuffle. The oracle states the expected verdicts in closed
+    form."""
+    from pharmacodi_spark.text.urls import domain_gate
+
+    d = _t(spark, sf_dir, "documents")
+    with_url = d.select("doc_id", "source", F.expr(_URL_EXPR).alias("url"))
+    blocked = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",)], ["domain"]
+    )
+    return domain_gate(with_url, blocked)

@@ -1,0 +1,175 @@
+"""URL canonicalization and domain gates (north star): the FIRST stage of a
+C4/RefinedWeb-style web-corpus pipeline — before any text gate runs, the
+crawl is filtered by URL: tracking noise stripped so exact URL dedup works,
+hosts normalized, and a domain blocklist applied with subdomain-suffix
+semantics (blocking ``example.com`` must block ``cdn.example.com``).
+
+Everything is native string/array expressions (split / lower /
+substring_index / transform) — no regex dialect surface, no UDF, fully
+codegen'd, ZERO shuffle for canonicalization (one projection over the
+scan). The only join in the module is the domain gate's suffix semi-join
+against a broadcast blocklist: hosts have ≤ ~6 labels, so the explode is
+bounded fan-out over (id, suffix) pairs — document bodies never move.
+
+Canonical form (documented contract, mirrored by the DuckDB twins):
+
+- scheme lowercased; missing scheme ⇒ ``http``
+- userinfo (``user:pass@``) dropped; host lowercased; ``:port`` dropped;
+  leading ``www.`` dropped (optional)
+- fragment (``#...``) dropped
+- tracking params dropped (``utm_*`` prefixes plus an explicit list:
+  fbclid, gclid, ref, mc_cid, mc_eid), remaining params SORTED so
+  param order never splits a dedup key
+- trailing ``/`` stripped from non-root paths
+
+Reference scope note: the reference pipeline ingests from fixed API/FTP
+endpoints (download_psets.py) and has no web-corpus URL stage — this
+module is part of the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: params dropped by canonicalization (exact-name matches; utm_* by prefix)
+TRACKING_PARAMS = ("fbclid", "gclid", "ref", "mc_cid", "mc_eid")
+
+
+def canonical_url(url, strip_www: bool = True) -> Column:
+    """The canonical form of a URL column (see module contract). Pure
+    native expressions — usable inside any projection."""
+    u = F.col(url) if isinstance(url, str) else url
+    has_scheme = u.contains("://")
+    scheme = F.when(
+        has_scheme, F.lower(F.substring_index(u, "://", 1))
+    ).otherwise(F.lit("http"))
+    rest = F.when(has_scheme, F.substring_index(u, "://", -1)).otherwise(u)
+    # authority = up to the first '/', then drop userinfo / port / case
+    authority = F.substring_index(rest, "/", 1)
+    host = F.lower(F.substring_index(authority, "@", -1))
+    host = F.substring_index(host, ":", 1)
+    if strip_www:
+        host = F.when(
+            host.startswith("www."), host.substr(F.lit(5), F.length(host))
+        ).otherwise(host)
+    # path+query = everything after the authority; drop the fragment
+    pathq = F.when(
+        rest.contains("/"),
+        rest.substr(F.length(authority) + 1, F.length(rest)),
+    ).otherwise(F.lit(""))
+    pathq = F.substring_index(pathq, "#", 1)
+    path = F.substring_index(pathq, "?", 1)
+    # strip trailing '/' from non-root paths
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.when(
+        pathq.contains("?"), F.substring_index(pathq, "?", -1)
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.substring_index(p, "=", 1).startswith("utm_")
+            & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
+        )
+    )
+    canon_q = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
+def url_host(url, strip_www: bool = True) -> Column:
+    """Just the canonical host (lowercased, port/userinfo dropped)."""
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.when(u.contains("://"), F.substring_index(u, "://", -1)).otherwise(u)
+    authority = F.substring_index(rest, "/", 1)
+    host = F.lower(F.substring_index(authority, "@", -1))
+    host = F.substring_index(host, ":", 1)
+    if strip_www:
+        host = F.when(host.startswith("www."), host.substr(F.lit(5), F.length(host))).otherwise(host)
+    return host
+
+
+def parse_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Adds ``canon_url`` and ``host`` columns — one zero-shuffle
+    projection over the scan (the dedup-key preparation step: after this,
+    exact URL dedup is ``exact_dedup`` keyed on ``canon_url``)."""
+    return df.withColumn(
+        "host", url_host(url_col, strip_www=strip_www)
+    ).withColumn("canon_url", canonical_url(url_col, strip_www=strip_www))
+
+
+def host_suffixes(host) -> Column:
+    """All dot-suffixes of a host, longest first: ``a.b.example.com`` →
+    ``[a.b.example.com, b.example.com, example.com, com]`` — the join key
+    set for suffix-semantics domain matching (bounded: hosts have ≤ ~6
+    labels, so this is fixed fan-out, not a blow-up)."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def domain_gate(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Domain-blocklist gate with subdomain-suffix semantics: a row is
+    blocked iff ANY dot-suffix of its host appears in ``blocked`` (one
+    column ``domain``, already lowercased). Returns
+    ``(id, host, matched_domain, keep)`` — ``matched_domain`` is the
+    LONGEST matching suffix (most specific rule), null when kept.
+
+    Scale shape: hosts explode to ≤ ~6 (id, suffix) rows; the blocklist
+    (10³–10⁵ domains — compliance scale) broadcasts as the build side of
+    ONE left join over the suffix rows, and a single per-id aggregation
+    (map-side partial collapses the ≤ 6 rows before the shuffle) picks the
+    longest hit — no corpus-scale join-back, no sort-merge join anywhere.
+    Bodies never shuffle.
+    """
+    hosts = df.select(F.col(id_col), url_host(url_col, strip_www=strip_www).alias("host"))
+    sufs = hosts.select(
+        id_col, "host", F.explode(host_suffixes("host")).alias("domain")
+    )
+    rules = blocked.select(
+        F.lower("domain").alias("domain"), F.lit(True).alias("__hit")
+    )
+    matched = (
+        sufs.join(F.broadcast(rules), "domain", "left")
+        .groupBy(id_col, "host")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__hit"),
+                    F.struct(
+                        F.length("domain").alias("l"),
+                        F.col("domain").alias("d"),
+                    ),
+                )
+            )["d"].alias("matched_domain")
+        )
+    )
+    return matched.select(
+        id_col,
+        "host",
+        "matched_domain",
+        F.col("matched_domain").isNull().alias("keep"),
+    )

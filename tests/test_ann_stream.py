@@ -11,6 +11,10 @@ import time
 
 import pytest
 
+# multi-second E2E / streaming-equivalence module: default-deselected (pytest.ini),
+# included in CI mode with -m ""
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 SCHEMA = "vec_id long, embedding array<float>"
 N_CENT = 8

@@ -6,6 +6,8 @@ frequency vocab (train_vocab) at equal vocab size."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 
@@ -112,6 +114,7 @@ def test_select_nonconflicting_contract():
     assert select_nonconflicting(cands, 1) == [("t", "h", 100)]
 
 
+@pytest.mark.slow
 def test_bpe_compresses_at_least_as_well_as_substring_vocab(spark):
     """The verdict's acceptance bar: at equal vocab size, BPE-merge pieces
     encode the corpus in <= the tokens of the substring-frequency vocab."""
@@ -144,6 +147,7 @@ def test_bpe_compresses_at_least_as_well_as_substring_vocab(spark):
     assert t_bpe <= t_sub, f"BPE {t_bpe} tokens vs substring {t_sub}"
 
 
+@pytest.mark.slow
 def test_encode_token_ids_e2e_with_bpe_vocab(spark):
     """The full training-prep chain: train BPE on the corpus, build the
     vocab, encode to id arrays, and feed the counts into pack_sequences —

@@ -3,6 +3,8 @@ coverage/overlap algebra, and source-level filter semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -56,6 +58,7 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert ch[1].chunk_text.split(" ")[0] == "t24"  # token 25 is t24 (0-based)
 
 
+@pytest.mark.slow
 def test_source_level_filter(spark):
     from pharmacodi_spark.text.analysis import (
         source_level_filter, source_quality_rollup,

@@ -3,9 +3,12 @@ containment, eval-slice exclusion, post-dedup uniqueness, determinism."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_curation_funnel_invariants(spark):
     from pharmacodi_spark.plans import QUERIES
 
@@ -41,6 +44,7 @@ def test_curation_funnel_invariants(spark):
     assert again == ids
 
 
+@pytest.mark.slow
 def test_curation_funnel_audit_table(spark):
     """curation_funnel (VERDICT r5 item 5): five stages, rows_kept monotone
     non-increasing, each stage's rows_in = previous stage's rows_kept, and

@@ -5,6 +5,12 @@ must leave the state unchanged."""
 
 from __future__ import annotations
 
+import pytest
+
+# multi-second E2E / streaming-equivalence module: default-deselected (pytest.ini),
+# included in CI mode with -m ""
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import time

@@ -9,6 +9,10 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# multi-second E2E / streaming-equivalence module: default-deselected (pytest.ini),
+# included in CI mode with -m ""
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from pharmacodi_spark.barrier import stage_barrier

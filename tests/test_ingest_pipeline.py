@@ -9,6 +9,12 @@ idempotence under forced micro-batch replay.
 
 from __future__ import annotations
 
+import pytest
+
+# multi-second E2E / streaming-equivalence module: default-deselected (pytest.ini),
+# included in CI mode with -m ""
+pytestmark = pytest.mark.slow
+
 import os
 import time
 

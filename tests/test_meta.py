@@ -49,6 +49,7 @@ def dims(spark):
     }
 
 
+@pytest.mark.slow
 def test_meta_table_remap_audit_and_ids(spark, gene_sig, dims):
     fact = build_gene_compound_tissue_dataset_df(gene_sig, "PSET_A").drop("dataset_id")
     table, audit = build_meta_table(
@@ -71,6 +72,7 @@ def test_meta_table_required_fk_raises(spark, gene_sig, dims):
         build_meta_table(fact, bad_dims, required_fks=["gene"])
 
 
+@pytest.mark.slow
 def test_meta_table_row_count_invariant(spark, gene_sig, dims):
     """With fully-covering dims no rows are lost (reference
     build_meta_tables.py:109-111 sanity check)."""

@@ -214,6 +214,7 @@ def test_combine_dim_dense_sorted_ids(spark, built):
     assert rows == [(1, "breast"), (2, "lung"), (3, "skin")]
 
 
+@pytest.mark.slow
 def test_combine_experiment_and_fact_remap(spark, built):
     a, b = built
     cell = combine_dim([a["cell"].select("name"), b["cell"].select("name")])

@@ -3,12 +3,12 @@ assertions runs in every pytest invocation (sf0.001), so a plan regression —
 a lost pushdown, a surprise shuffle, a sort-merge join sneaking into a
 broadcast cascade — fails CI instead of waiting for the per-round audit.
 
-Cost note: most cases are explain-only (no jobs run), but building
-``curation_pipeline``'s DataFrame *executes* its survivor-id stage barriers
-(three ~metadata-size localCheckpoint jobs) before explain — that is the very
-property the ``Scan ExistingRDD`` case asserts, so the cost is accepted and
-bounded by running at sf0.001 and caching each query's plan text once per
-session (both curation cases share one build)."""
+Cost note: most cases are explain-only (no jobs run), but building the
+DataFrame of any barrier-bearing query (the curation cascade, the LM gates,
+winnow_near_pairs) *executes* its stage barriers (metadata-size
+localCheckpoint jobs) before explain — that is the very property their
+``Scan ExistingRDD`` cases assert, so the cost is accepted and bounded by
+running at sf0.001 and caching each query's plan text once per session."""
 
 from __future__ import annotations
 
@@ -92,6 +92,14 @@ CASES = [
     ("psi_drift_series", r"BroadcastHashJoin", True,
      "per-batch totals join broadcast (metadata-scale); only the "
      "full-outer universe join may sort-merge"),
+    ("url_canonicalize", r"\bExchange\b", False,
+     "canonicalization is one zero-shuffle projection over the scan — "
+     "native split/substring_index, no regex, no UDF"),
+    ("url_domain_gate", r"BroadcastHashJoin", True,
+     "the domain blocklist broadcasts against the bounded host-suffix "
+     "explode; bodies never shuffle"),
+    ("url_domain_gate", r"SortMergeJoin", False,
+     "no corpus-scale join anywhere in the gate"),
 ]
 
 

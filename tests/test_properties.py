@@ -26,6 +26,7 @@ ids = st.lists(st.integers(0, 50), min_size=1, max_size=8, unique=True)
 
 @given(ids=ids, vals=st.data())
 @SETTINGS
+@pytest.mark.slow
 def test_melt_pivot_roundtrip(spark, ids, vals):
     """melt(wide) then pivot back reproduces the wide table (modulo nulls,
     which melt drops by design — use non-null doubles here)."""
@@ -77,6 +78,7 @@ def test_explode_collect_roundtrip(spark, rows):
     )
 )
 @SETTINGS
+@pytest.mark.slow
 def test_dedup_idempotent_and_minimal(spark, rows):
     df = spark.createDataFrame(rows, ["a", "b"])
     d1 = distinct_rows(df)
@@ -134,6 +136,7 @@ def test_salted_join_keyset_invariant(spark, salts):
     )
 )
 @SETTINGS
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     """Label-propagation CC over arbitrary small graphs ≡ a driver-side
     union-find referee (min label per component)."""
@@ -170,6 +173,7 @@ def test_connected_components_matches_union_find(spark, edges):
     n=st.integers(20, 120),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_hash_split_partition_property(spark, cut, n):
     """For ANY two-way fraction split and ANY id set: disjoint, exhaustive,
     and deterministic across invocations."""

@@ -4,6 +4,8 @@ small (Spark per-example cost); the properties carry the coverage."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 
@@ -27,6 +29,7 @@ def _md5_long(s: str) -> int:
 
 @given(docs=corpus, shard_kb=st.integers(1, 64))
 @SETTINGS
+@pytest.mark.slow
 def test_shuffle_shards_property(spark, docs, shard_kb):
     """byte_start is the exclusive prefix sum of sizes in md5-key order,
     and shard_id = byte_start // shard_bytes — for ANY corpus and target."""
@@ -47,6 +50,7 @@ def test_shuffle_shards_property(spark, docs, shard_kb):
 
 @given(docs=corpus, w=st.integers(1, 5))
 @SETTINGS
+@pytest.mark.slow
 def test_passage_dedup_property(spark, docs, w):
     """n_passages/n_dup_passages match a naive Python chunker for ANY corpus
     and window; keep is the integer cross-multiplied half gate."""
@@ -78,6 +82,7 @@ def test_passage_dedup_property(spark, docs, w):
     target=st.integers(1, 20),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_skew_profile_property(spark, rows, target):
     """Counts, ppm shares and salt factors match exact integer math for ANY
     key distribution and task target."""
@@ -96,6 +101,7 @@ def test_skew_profile_property(spark, rows, target):
 
 @given(docs=corpus)
 @SETTINGS
+@pytest.mark.slow
 def test_bm25_property(spark, docs):
     """Score equality vs the pure-Python fixed-point reference for ANY
     corpus (reusing tests/test_retrieval.py's reference)."""

@@ -4,6 +4,8 @@ UniMax water-filling — randomized inputs vs pure-Python references."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -40,6 +42,7 @@ def test_ilog2_fp_int_error_bound_and_monotone(x, s):
     pct=st.integers(0, 100),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_percentile_gate_property(spark, scores, pct):
     """Gate semantics vs a pure-Python reference: keep every row whose
     score >= the ⌊N·p/100⌋-th highest score (all ties included); quota 0
@@ -65,6 +68,7 @@ def test_percentile_gate_property(spark, scores, pct):
     epochs=st.integers(1, 3),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_unimax_property(spark, sizes, budget, epochs):
     """Water-filling invariants vs a pure-Python greedy reference:
     Σalloc ≤ budget, alloc ≤ cap, and the allocation is the lexicographic

@@ -3,6 +3,8 @@ zero-drift identity, and one-sided buckets staying finite."""
 
 from __future__ import annotations
 
+import pytest
+
 from pharmacodi_spark.operators.profile import distribution_psi
 from pharmacodi_spark.text.selection import ilog2_fp_int
 
@@ -75,6 +77,7 @@ def _write_json_batches(rows, src_dir, n_files=3):
     return chunks
 
 
+@pytest.mark.slow
 def test_psi_series_stream_equals_batch(spark, tmp_path):
     """streaming_bucket_snapshots + psi_series_from_snapshots ≡ a
     distribution_psi run per micro-batch (stream ≡ batch, VERDICT r6
@@ -115,6 +118,7 @@ def test_psi_series_stream_equals_batch(spark, tmp_path):
         assert series[bid] == (want, len(chunk)), (bid, series[bid], want)
 
 
+@pytest.mark.slow
 def test_psi_snapshots_replay_idempotent(spark, tmp_path):
     """Re-running the drained stream from a FRESH checkpoint re-delivers
     the same files under the same batch ids — the per-batch-id dynamic

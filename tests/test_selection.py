@@ -4,6 +4,8 @@ plan, and the exact percentile gate."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -245,6 +247,7 @@ def test_source_overlap_minhash_detects_mirrors(spark):
     assert out[("orig", "other")] < 200_000
 
 
+@pytest.mark.slow
 def test_selection_pipeline_durable_barrier_equivalence(spark, tmp_path):
     from pyspark.sql import functions as SF
 
@@ -349,6 +352,7 @@ def test_corpus_diff_statuses(spark):
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
 
 
+@pytest.mark.slow
 def test_gumbel_resample_proportional_and_deterministic(spark):
     """The base-2 Gumbel race: same salt → identical draw; across salts the
     heavy doc (2^10 fp ≈ 2x weight per 1024 units) wins k=1 far more often;
@@ -417,6 +421,7 @@ def test_cm_sketch_bounds_and_merge(spark):
     assert est_m["x"] - exact["x"] <= 16
 
 
+@pytest.mark.slow
 def test_streaming_cm_sketch_equals_batch_and_survives_replay(spark, tmp_path):
     import json as _json
     import os as _os

@@ -4,6 +4,12 @@ must leave the scores table unchanged."""
 
 from __future__ import annotations
 
+import pytest
+
+# multi-second E2E / streaming-equivalence module: default-deselected (pytest.ini),
+# included in CI mode with -m ""
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import time

@@ -3,6 +3,8 @@ and the injected-fetcher API connector (§B8 — no network)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 
 from pharmacodi_spark.sources.api import fetch_batched
@@ -104,6 +106,7 @@ def test_fetch_batched_retry(spark):
     assert out.count() == 1
 
 
+@pytest.mark.slow
 def test_merge_upsert_partitioned(spark, tmp_path):
     """Dynamic-partition upsert: updated keys replaced, new keys inserted,
     untouched partitions' files physically untouched."""

@@ -189,6 +189,7 @@ def _drain_then_stop(spark, q, expected_rows: int, timeout: int = 240):
     assert q.awaitTermination(60), "stream did not stop in 60s"
 
 
+@pytest.mark.slow
 def test_stateful_ttl_counters_matches_batch(spark, event_dir, tmp_path):
     """ProcessingTimeTimeout stateful op: with a TTL far beyond the run's
     wall-clock nothing evicts, so the final emission per user must equal the
@@ -332,6 +333,7 @@ def test_upsert_sink_exactly_once_replay(spark, event_dir, tmp_path):
     assert have == want and len(have) > 0
 
 
+@pytest.mark.slow
 def test_interval_stream_join_matches_batch(spark, event_dir):
     from pharmacodi_spark.streaming.ops import interval_stream_join
 
@@ -359,6 +361,7 @@ def test_interval_stream_join_matches_batch(spark, event_dir):
     assert s == b and len(b) > 0
 
 
+@pytest.mark.slow
 def test_session_timeout_matches_session_window(spark, event_dir):
     """Custom stateful sessionization (EventTimeTimeout) vs the built-in
     session_window: every session the stateful operator CLOSES (via gap

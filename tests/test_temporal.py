@@ -4,6 +4,8 @@ oracle-checked plans in plans/extensions2.py."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pharmacodi_spark.operators.keys import surrogate_key
@@ -48,6 +50,7 @@ def test_bucketed_range_join_matches_theta(spark):
     assert out.count() == ref.count()
 
 
+@pytest.mark.slow
 def test_pagerank_int(spark):
     from pharmacodi_spark.operators.graph import pagerank_int
 
@@ -68,6 +71,7 @@ def test_pagerank_int(spark):
     assert sum(d.values()) <= 10**9  # mass only leaks, never appears
 
 
+@pytest.mark.slow
 def test_pagerank_dangling_redistribution(spark):
     from pharmacodi_spark.operators.graph import pagerank_int
 
@@ -89,6 +93,7 @@ def test_pagerank_dangling_redistribution(spark):
     assert r5[2] > leak5[2]
 
 
+@pytest.mark.slow
 def test_pagerank_early_stop(spark):
     from pharmacodi_spark.operators.graph import pagerank_int
 

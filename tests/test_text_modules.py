@@ -3,6 +3,8 @@ components beyond the oracle-checked plans)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -234,6 +236,7 @@ def test_strip_repeated_lines_and_redact(spark):
     assert r.n_redactions == 4
 
 
+@pytest.mark.slow
 def test_pq_encode_adc(spark):
     from pharmacodi_spark.text.similarity import (
         pq_adc_topk,
@@ -463,6 +466,7 @@ def test_unigram_surprisal_ranks_rarity(spark):
     assert out[2].sum_bits == 5 * 20 + 2 * 23
 
 
+@pytest.mark.slow
 def test_contamination_safe_splits(spark):
     from pharmacodi_spark.text.clusters import contamination_safe_splits
 
@@ -486,6 +490,7 @@ def test_contamination_safe_splits(spark):
     assert {r.doc_id for r in tr2.collect()} == sets[0]
 
 
+@pytest.mark.slow
 def test_cell_cosine_pairs_high_dim_path_matches_flattened(spark):
     """VERDICT r4 item 6: past flatten_max_dim the dot must route through
     the zip_with/aggregate path (straight-line codegen degrades at 1k+

@@ -4,6 +4,12 @@ flags match the sequential batch replay, and re-drains are idempotent."""
 
 from __future__ import annotations
 
+import pytest
+
+# multi-second E2E / streaming-equivalence module: default-deselected (pytest.ini),
+# included in CI mode with -m ""
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import time

@@ -578,6 +578,18 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "per-batch totals join broadcast; everything after the two input "
          "aggregations is metadata-scale (batches × buckets)"),
     ],
+    "url_canonicalize": [
+        (r"\bExchange\b", False,
+         "canonicalization is one zero-shuffle projection over the scan — "
+         "native split/substring_index expressions, no regex, no UDF"),
+    ],
+    "url_domain_gate": [
+        (r"BroadcastHashJoin", True,
+         "the domain blocklist broadcasts against the bounded host-suffix "
+         "explode (≤ ~6 labels per host); bodies never shuffle"),
+        (r"SortMergeJoin", False,
+         "no corpus-scale join anywhere in the gate"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "

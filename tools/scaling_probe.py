@@ -398,6 +398,55 @@ def ops(spark, mult: int) -> dict[str, float]:
             "source",
         )
     )
+
+    # round-7 family: Kneser–Ney LM gate (one continuation rollup per
+    # order on top of the stupid-backoff topology), the Aho–Corasick
+    # large-blocklist gate (1000-phrase automaton, one mapInPandas pass),
+    # the PSI drift series fold, and URL canonicalization + domain gate
+    from pharmacodi_spark.operators.profile import psi_series_from_snapshots
+    from pharmacodi_spark.text.cleaning import phrase_blocklist_hits_ac
+    from pharmacodi_spark.text.corpus import kneser_ney_scores
+    from pharmacodi_spark.text.urls import domain_gate, parse_urls
+
+    out["kneser_ney"] = timed(
+        lambda: kneser_ney_scores(
+            docs.where(F.col("doc_id") % 7 != 0),
+            docs.where(F.col("doc_id") % 7 == 0),
+        )
+    )
+    ac_phrases = [f"tok{i:05d} tok{i + 1:05d}" for i in range(1000)] + [
+        "table part", "fast merge",
+    ]
+    out["phrase_blocklist_ac_1k"] = timed(
+        lambda: phrase_blocklist_hits_ac(docs, ac_phrases)
+    )
+    snaps = (
+        bucketed.select("bucket", (F.col("doc_id") % 5).alias("batch_id"))
+        .groupBy("bucket", "batch_id")
+        .agg(F.count("*").cast("long").alias("c_cur"))
+    )
+    out["psi_drift_series"] = timed(
+        lambda: psi_series_from_snapshots(
+            snaps, bucketed.where(F.col("doc_id") % 2 == 0), "bucket"
+        )
+    )
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.s"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".Example.COM:443/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&b=1&a=2"),
+        ).alias("url"),
+    )
+    out["url_canonicalize"] = timed(lambda: parse_urls(with_url))
+    blocked = spark.createDataFrame(
+        [(f"s{i}.example.com",) for i in range(0, 50, 3)], ["domain"]
+    )
+    out["url_domain_gate"] = timed(
+        lambda: domain_gate(with_url, blocked)
+    )
     return out
 
 
