@@ -139,6 +139,8 @@ HEADLINE = HEADLINE_R1 + [
     "detector_agreement",
     "url_canonicalize",
     "url_domain_gate",
+    "fuzzy_decontam",
+    "domain_quality_rollup",
 ]
 
 

@@ -2591,3 +2591,142 @@ def url_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("src3.example.com",), ("src7.example.com",)], ["domain"]
     )
     return domain_gate(with_url, blocked)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (MinHash) benchmark decontamination (text/cleaning.py::
+# fuzzy_decontaminate) and domain-quality rollup (text/urls.py)
+# ---------------------------------------------------------------------------
+
+_FDC_SIG = """
+      SELECT doc_id,
+             min(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)) AS h0,
+             min(CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)) AS h1,
+             min(CAST(('0x' || substr(md5(shingle), 17, 8)) AS BIGINT)) AS h2,
+             min(CAST(('0x' || substr(md5(shingle), 25, 8)) AS BIGINT)) AS h3
+      FROM (
+        SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks)-4, 1))) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE doc_id % 97 {op} 0))
+      ) GROUP BY doc_id
+"""
+
+
+@q(
+    "fuzzy_decontam",
+    f"""
+    WITH sig_t AS ({_FDC_SIG.format(op="<>")}),
+    sig_e AS ({_FDC_SIG.format(op="=")}),
+    cells_t AS (
+      SELECT doc_id, 0 AS band, h0 AS v1, h1 AS v2 FROM sig_t
+      UNION ALL SELECT doc_id, 1, h2, h3 FROM sig_t
+    ),
+    cells_e AS (
+      SELECT doc_id AS eval_id, 0 AS band, h0 AS v1, h1 AS v2 FROM sig_e
+      UNION ALL SELECT doc_id, 1, h2, h3 FROM sig_e
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id, e.eval_id
+      FROM cells_t t JOIN cells_e e USING (band, v1, v2)
+    ),
+    est AS (
+      SELECT c.doc_id, c.eval_id,
+             ((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+              + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+              + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+              + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)) AS n_equal
+      FROM cand c
+      JOIN sig_t a ON a.doc_id = c.doc_id
+      JOIN sig_e b ON b.doc_id = c.eval_id
+    ),
+    best AS (
+      SELECT doc_id, eval_id, (n_equal * 1000000) // 4 AS est_ppm
+      FROM (
+        SELECT doc_id, eval_id, n_equal,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_equal DESC, eval_id) AS rn
+        FROM est
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CAST(best.eval_id AS BIGINT) AS matched_eval_id,
+           CAST(coalesce(best.est_ppm, 0) AS BIGINT) AS est_ppm,
+           coalesce(best.est_ppm, 0) < 500000 AS keep
+    FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-match benchmark decontamination
+    (text/cleaning.py::fuzzy_decontaminate): the paraphrase pass exact
+    13-gram decontam misses — MinHash similarity between every train doc
+    and the eval slice (doc_id % 97 = 0). Eval band cells BROADCAST
+    against the train cells (benchmarks are tiny next to the corpus), the
+    Jaccard estimator joins signatures only for candidates, bodies never
+    shuffle. md5-slice 4-hash signature for oracle parity (the library
+    default is xxhash64)."""
+    from pharmacodi_spark.plans.extensions import _signature
+    from pharmacodi_spark.text.cleaning import fuzzy_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return fuzzy_decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        num_hashes=4,
+        bands=2,
+        min_est_ppm=500_000,
+        sig_fn=_signature,
+    )
+
+
+@q(
+    "domain_quality_rollup",
+    """
+    WITH hosts AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+               || lower(source) || '.example.com' AS host,
+             (source IN ('src5') OR (source = 'src7' AND doc_id % 2 = 0))
+               AS failed
+      FROM documents
+    ),
+    stats AS (
+      SELECT host, count(*) AS n,
+             sum(CASE WHEN failed THEN 1 ELSE 0 END) AS nf
+      FROM hosts GROUP BY 1
+    ),
+    blocked AS (
+      SELECT host, (nf * 1000000) // n AS host_fail_ppm
+      FROM stats WHERE n >= 3 AND nf * 1000000 >= 400000 * n
+    )
+    SELECT h.doc_id, h.host,
+           CAST(b.host_fail_ppm AS BIGINT) AS host_fail_ppm,
+           b.host_fail_ppm IS NULL AS keep
+    FROM hosts h LEFT JOIN blocked b ON b.host = h.host
+    """,
+)
+def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-domain drop (text/urls.py::domain_quality_gate, the C4-style
+    second-order gate): per-doc gate verdicts aggregate up to the host
+    (one map-side-collapsing aggregation), hosts with >= 3 docs failing at
+    >= 40% (integer cross-multiplied) are dropped entirely, and the
+    offender table broadcasts back against the scan. Here the per-doc
+    verdict is a deterministic fixture (src5 always fails, src7 fails on
+    even ids) so both engines derive identical domain verdicts."""
+    from pharmacodi_spark.text.urls import domain_quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id",
+        "source",
+        F.expr(_URL_EXPR).alias("url"),
+        (
+            (F.col("source") == "src5")
+            | ((F.col("source") == "src7") & (F.col("doc_id") % 2 == 0))
+        ).alias("failed"),
+    )
+    return domain_quality_gate(
+        with_url, "failed", min_docs=3, max_fail_ppm=400_000
+    )

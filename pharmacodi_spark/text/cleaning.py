@@ -472,3 +472,87 @@ def phrase_blocklist_hits_ac(
             yield o
 
     return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 5,
+    min_est_ppm: int = 500_000,
+    sig_fn=None,
+) -> DataFrame:
+    """NEAR-match benchmark decontamination: the paraphrase gap of
+    :func:`decontaminate_against` — the exact 13-gram rule misses an eval
+    item whose wording drifted (whitespace, punctuation, light edits), so
+    the standard second pass (GPT-4/Llama-style) is MinHash similarity
+    between training documents and eval items. Flags any train doc whose
+    estimated shingle-Jaccard against SOME eval item reaches
+    ``min_est_ppm``.
+
+    Output: one row per TRAIN document — ``(id, matched_eval_id,
+    est_ppm, keep)`` with the strongest match (ties → smaller eval id)
+    and ``keep`` iff no candidate reached the threshold. Train and eval
+    ids must be disjoint (the usual held-out-slice split).
+
+    Scale shape: both sides collapse to signatures (bodies never move);
+    the eval side is benchmark-sized, so its band cells BROADCAST against
+    the train cells — candidate generation is a broadcast hash join, not
+    an LSH self-join; the Jaccard estimator then joins signatures only
+    for the candidate pairs (metadata-scale). Signatures are
+    stage-barrier-pinned — each feeds its band cells AND the estimator.
+
+    ``sig_fn(df) -> (id, h0..h{k-1})`` overrides the signature scheme —
+    the oracle twin passes the md5-slice variant for DuckDB parity;
+    default is the xxhash64 family (fastest JVM-side).
+    """
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.dedup import (
+        band_cells,
+        estimate_jaccard,
+        minhash_signatures,
+    )
+
+    if sig_fn is None:
+        sig_fn = lambda d: minhash_signatures(  # noqa: E731
+            d, content_col, id_col, num_hashes, shingle_len
+        )
+    sig_t = stage_barrier(sig_fn(train), name="fdc_sig_train")
+    sig_e = stage_barrier(sig_fn(eval_df), name="fdc_sig_eval")
+    cells_t = band_cells(sig_t, id_col, num_hashes, bands)
+    cells_e = band_cells(sig_e, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__eval_id"), "band", "bucket"
+    )
+    cand = (
+        cells_t.join(F.broadcast(cells_e), ["band", "bucket"])
+        .select(id_col, "__eval_id")
+        .distinct()
+    )
+    est = estimate_jaccard(
+        sig_t.unionByName(sig_e),  # ids disjoint by contract
+        cand,
+        num_hashes=num_hashes,
+        id_col=id_col,
+        src=id_col,
+        dst="__eval_id",
+    )
+    best = est.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("est_ppm").alias("e"), (-F.col("__eval_id")).alias("n")
+            )
+        ).alias("__b")
+    )
+    return (
+        train.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            (-F.col("__b.n")).cast("long").alias("matched_eval_id"),
+            F.coalesce(F.col("__b.e"), F.lit(0)).cast("long").alias("est_ppm"),
+            (F.coalesce(F.col("__b.e"), F.lit(0)) < min_est_ppm).alias("keep"),
+        )
+    )

@@ -503,3 +503,177 @@ def decode_token_ids(
         ).otherwise(F.lit(unk)),
     )
     return df.withColumn(out_col, pieces)
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    content_col: str = "text",
+    vocab_size: int = 200,
+    seed_size: int = 1000,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    prune_frac: float = 0.2,
+    max_word_len: int = 32,
+    barrier: str = "local",
+    barrier_dir: str | None = None,
+) -> list[tuple[str, int, int]]:
+    """Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    scheme; completes the module's tokenizer family next to the trie
+    greedy encoder and :func:`train_bpe`): seed with the corpus's most
+    frequent substrings, then alternate EM (Viterbi-segment every distinct
+    word under the current piece probabilities, re-estimate counts) with
+    pruning of the lowest-mass pieces until ``vocab_size`` remains.
+    Returns ``[(piece, count, logp_fp), ...]`` sorted by (count desc,
+    piece) — feed the pieces to :func:`build_trie` /
+    :func:`build_greedy_encoder` or segment with Viterbi at encode time.
+
+    Re-shaped for Spark the same way as :func:`train_bpe`:
+
+    1. ONE corpus pass collapses to DISTINCT words + occurrence counts
+       (Zipf-small vs the token stream), stage-barrier-pinned — every EM
+       round re-reads the pinned table, not the corpus.
+    2. Seeding is a distributed substring explode → count → TakeOrdered
+       top-``seed_size`` (plus every single character, which can never be
+       pruned — coverage guarantee).
+    3. Each E-step is one ``mapInPandas`` over the word table with the
+       piece table broadcast: per-word integer Viterbi (fixed-point
+       log-probs, ties → fewer pieces → lexicographically smallest
+       segmentation — engine-independent), emitting (piece, weighted
+       count) rows that collapse in one groupBy.
+    4. The M-step and pruning act on the vocabulary-scale count table
+       (≤ ``seed_size`` rows — bounded driver traffic, the same contract
+       as train_bpe's top-k collect).
+
+    Fixed point: ``logp_fp = il(c+1) − il(total+|V|)`` (10-frac-bit
+    integer log2, Laplace-smoothed so a zero-count piece scores finite
+    until pruned). All scoring integer ⇒ the pure-Python replay in
+    tests/test_unigram_lm.py reproduces training bit-exactly.
+    """
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.selection import ilog2_fp_int
+
+    assert vocab_size >= 1 and seed_size >= vocab_size
+    assert max_piece_len >= 1 and em_iters >= 1 and 0 < prune_frac < 1
+
+    words = stage_barrier(
+        df.select(F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .select(F.substring("w", 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c")),
+        mode=barrier,
+        name="uni_words",
+        barrier_dir=barrier_dir,
+    )
+
+    # --- seed: frequent substrings (weighted by word count) + all chars
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(int(max_piece_len)), F.length("w") - i + 1),
+                ),
+                lambda l: F.substring(F.col("w"), i, l),
+            ),
+        )
+    )
+    sub_counts = (
+        words.select(F.explode(subs).alias("p"), "c")
+        .groupBy("p")
+        .agg(F.sum("c").cast("long").alias("pc"))
+    )
+    top = sub_counts.orderBy(F.col("pc").desc(), "p").limit(int(seed_size))
+    chars = sub_counts.where(F.length("p") == 1)
+    seed_rows = (
+        top.unionByName(chars).groupBy("p").agg(F.max("pc").alias("pc"))
+    ).collect()
+    counts: dict[str, int] = {r["p"]: int(r["pc"]) for r in seed_rows}
+
+    sc = df.sparkSession.sparkContext
+
+    def logp_table(cnt: dict[str, int]) -> dict[str, int]:
+        total = sum(cnt.values())
+        denom = ilog2_fp_int(total + len(cnt))
+        return {p: ilog2_fp_int(c + 1) - denom for p, c in cnt.items()}
+
+    def e_step(cnt: dict[str, int]) -> dict[str, int]:
+        bc = sc.broadcast(logp_table(cnt))
+
+        def run(batches):
+            import pandas as pd
+
+            lp = bc.value
+            max_len = max(len(p) for p in lp)
+
+            def segment(w: str) -> tuple[str, ...]:
+                n = len(w)
+                # dp[j] = (neg_score, n_pieces, seg_tuple) — minimized
+                dp: list = [None] * (n + 1)
+                dp[0] = (0, 0, ())
+                for j in range(1, n + 1):
+                    best = None
+                    for i in range(max(0, j - max_len), j):
+                        if dp[i] is None:
+                            continue
+                        piece = w[i:j]
+                        s = lp.get(piece)
+                        if s is None:
+                            continue
+                        cand = (
+                            dp[i][0] - s,
+                            dp[i][1] + 1,
+                            dp[i][2] + (piece,),
+                        )
+                        if best is None or cand < best:
+                            best = cand
+                    dp[j] = best
+                assert dp[n] is not None, w  # chars guarantee coverage
+                return dp[n][2]
+
+            for pdf in batches:
+                acc: dict[str, int] = {}
+                for w, c in zip(pdf["w"], pdf["c"]):
+                    for piece in segment(w):
+                        acc[piece] = acc.get(piece, 0) + int(c)
+                yield pd.DataFrame(
+                    {"p": list(acc.keys()), "pc": list(acc.values())}
+                )
+
+        new = (
+            words.mapInPandas(run, "p string, pc long")
+            .groupBy("p")
+            .agg(F.sum("pc").cast("long").alias("pc"))
+            .collect()
+        )
+        return {r["p"]: int(r["pc"]) for r in new}
+
+    # --- EM + prune loop (deterministic: sort keys are integer/lexical)
+    while True:
+        for _ in range(int(em_iters)):
+            used = e_step(counts)
+            counts = {
+                p: used.get(p, 0)
+                for p in counts
+                if len(p) == 1 or used.get(p, 0) > 0
+            }
+        if len(counts) <= vocab_size:
+            break
+        multi = sorted(
+            (p for p in counts if len(p) > 1),
+            key=lambda p: (counts[p], p),
+        )
+        n_drop = min(
+            len(multi), max(1, int(len(counts) * float(prune_frac)))
+        )
+        n_drop = min(n_drop, len(counts) - vocab_size)
+        if n_drop <= 0 or not multi:
+            break
+        for p in multi[:n_drop]:
+            del counts[p]
+    final_lp = logp_table(counts)
+    return sorted(
+        ((p, c, final_lp[p]) for p, c in counts.items()),
+        key=lambda t: (-t[1], t[0]),
+    )

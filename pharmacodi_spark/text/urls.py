@@ -173,3 +173,54 @@ def domain_gate(
         "matched_domain",
         F.col("matched_domain").isNull().alias("keep"),
     )
+
+
+def domain_quality_gate(
+    df: DataFrame,
+    fail_col: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    max_fail_ppm: int = 400_000,
+    strip_www: bool = True,
+) -> DataFrame:
+    """Whole-domain drop (the C4/RefinedWeb second-order gate): a host
+    whose pages MOSTLY fail the per-document gates is removed entirely —
+    per-page filtering leaves the stragglers of a spam domain in the
+    corpus, so production pipelines aggregate page verdicts up to the
+    domain and drop the domain. ``fail_col`` is the per-doc boolean from
+    any upstream gate (quality, repetition, blocklist...).
+
+    A host is blocked iff it has ≥ ``min_docs`` pages AND its failure
+    rate reaches ``max_fail_ppm`` (integer cross-multiplied:
+    ``n_fail·10⁶ ≥ max_fail_ppm·n`` — no float division). Returns one row
+    per doc: ``(id, host, host_fail_ppm, keep)`` — ``host_fail_ppm`` is
+    the blocked host's rate, null for kept rows.
+
+    Scale shape: ONE aggregation keyed by host (map-side partials: a
+    million-page domain contributes one row per task to the shuffle);
+    the blocked-host table (offenders only) broadcasts back against the
+    scan — no corpus-scale join, bodies never shuffle.
+    """
+    hosts = df.select(
+        F.col(id_col),
+        url_host(url_col, strip_www=strip_www).alias("host"),
+        F.col(fail_col).cast("boolean").alias("__fail"),
+    )
+    stats = hosts.groupBy("host").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("__fail").cast("long")).alias("__nf"),
+    )
+    blocked = stats.where(
+        (F.col("__n") >= int(min_docs))
+        & (F.col("__nf") * 1_000_000 >= int(max_fail_ppm) * F.col("__n"))
+    ).select(
+        "host",
+        F.expr("(__nf * 1000000) div __n").cast("long").alias("host_fail_ppm"),
+    )
+    return hosts.join(F.broadcast(blocked), "host", "left").select(
+        id_col,
+        "host",
+        "host_fail_ppm",
+        F.col("host_fail_ppm").isNull().alias("keep"),
+    )

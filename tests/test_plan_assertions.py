@@ -100,6 +100,17 @@ CASES = [
      "explode; bodies never shuffle"),
     ("url_domain_gate", r"SortMergeJoin", False,
      "no corpus-scale join anywhere in the gate"),
+    ("fuzzy_decontam", r"Scan ExistingRDD", True,
+     "both signature frames are barrier-pinned — each feeds its band "
+     "cells AND the Jaccard estimator"),
+    ("fuzzy_decontam", r"BroadcastHashJoin", True,
+     "the eval side's band cells broadcast against the train cells — "
+     "candidate generation is never an LSH self-join"),
+    ("domain_quality_rollup", r"BroadcastHashJoin", True,
+     "the blocked-host offender table broadcasts back against the scan"),
+    ("domain_quality_rollup", r"SortMergeJoin", False,
+     "one host-keyed aggregation + broadcast join-back; no corpus-scale "
+     "join"),
 ]
 
 

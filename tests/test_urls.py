@@ -79,3 +79,80 @@ def test_domain_gate_suffix_semantics(spark):
     assert got[3] == (False, "ads.tracker.net")   # longest suffix wins
     assert got[4] == (True, None)
     assert got[5] == (False, "ads.tracker.net")
+
+
+def test_domain_quality_gate_blocks_failing_hosts(spark):
+    from pharmacodi_spark.text.urls import domain_quality_gate
+
+    rows = []
+    # spam.com: 6 docs, 5 fail (833333 ppm) -> blocked
+    for i in range(6):
+        rows.append((i, "http://spam.com/p", i < 5))
+    # good.org: 6 docs, 1 fails (166666 ppm) -> kept
+    for i in range(6, 12):
+        rows.append((i, "http://good.org/p", i == 6))
+    # tiny.net: 2 docs, both fail, but below min_docs -> kept
+    rows.append((12, "http://tiny.net/p", True))
+    rows.append((13, "http://tiny.net/p", True))
+    df = spark.createDataFrame(rows, ["doc_id", "url", "failed"])
+    got = {r["doc_id"]: (r["keep"], r["host_fail_ppm"])
+           for r in domain_quality_gate(df, "failed", min_docs=5,
+                                        max_fail_ppm=400_000).collect()}
+    for i in range(6):
+        assert got[i] == (False, 833_333), got[i]
+    for i in range(6, 12):
+        assert got[i] == (True, None)
+    assert got[12] == (True, None) and got[13] == (True, None)
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """Exact 13-gram decontam misses a lightly edited eval item; the
+    MinHash pass must flag it, and unrelated docs must survive."""
+    from pharmacodi_spark.text.cleaning import (
+        decontaminate_against,
+        fuzzy_decontaminate,
+    )
+
+    base = ("w00 w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13 w14 "
+            "w15 w16 w17 w18 w19 w20 w21 w22 w23 w24 w25 w26 w27 w28 w29 "
+            "w30 w31 w32 w33 w34 w35 w36 w37 w38 w39").split()
+    eval_rows = [(1000, " ".join(base))]
+    # edits at positions 10/22/34: every 13-token window contains one, so
+    # the exact pass finds NO shared 13-gram, but most 5-shingles survive
+    para = list(base)
+    for p in (10, 22, 34):
+        para[p] = f"edit{p}"
+    train_rows = [
+        (0, " ".join(para)),                              # paraphrase
+        (1, "completely different text about spark physical plans and "
+            "shuffle partitions in a distributed aggregation pipeline"),
+        (2, " ".join(base)),                              # exact copy
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+
+    exact = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate_against(train, ev, n=13).collect()}
+    fuzzy = {r["doc_id"]: (r["keep"], r["matched_eval_id"])
+             for r in fuzzy_decontaminate(
+                 train, ev, num_hashes=16, bands=8, min_est_ppm=300_000
+             ).collect()}
+    assert exact[2] and not exact[1]
+    assert not fuzzy[2][0] and fuzzy[2][1] == 1000   # exact copy flagged
+    assert not fuzzy[0][0] and fuzzy[0][1] == 1000   # paraphrase flagged
+    assert fuzzy[1][0]                               # unrelated survives
+    # the gap this op closes: the paraphrase slips past the exact pass
+    assert not exact[0]
+
+
+def test_fuzzy_decontaminate_deterministic(spark):
+    from pharmacodi_spark.text.cleaning import fuzzy_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    a = sorted(map(tuple, fuzzy_decontaminate(train, ev).collect()))
+    b = sorted(map(tuple, fuzzy_decontaminate(train, ev).collect()))
+    assert a == b and len(a) == train.count()

@@ -590,6 +590,21 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False,
          "no corpus-scale join anywhere in the gate"),
     ],
+    "fuzzy_decontam": [
+        (r"Scan ExistingRDD", True,
+         "both signature frames are barrier-pinned — each feeds its band "
+         "cells AND the Jaccard estimator (unpinned: the shingle+md5 "
+         "subplan re-runs per consumer)"),
+        (r"BroadcastHashJoin", True,
+         "the benchmark-sized eval cells broadcast against train cells — "
+         "candidate generation is a broadcast hash join, not a self-join"),
+    ],
+    "domain_quality_rollup": [
+        (r"BroadcastHashJoin", True,
+         "the blocked-host offender table broadcasts back against the "
+         "scan; the rollup itself is one map-side-collapsing aggregation"),
+        (r"SortMergeJoin", False, "no corpus-scale join"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "
