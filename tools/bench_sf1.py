@@ -40,7 +40,11 @@ def _bench(sf_dir: str, runs: int) -> dict:
     if not lines:
         sys.stderr.write(out.stderr[-4000:] + "\n")
         raise SystemExit(f"bench at {sf_dir} produced no output")
-    obj = json.loads(lines[-1])
+    # the FIRST stdout line is the complete record; the LAST is the compact
+    # <=1.8KB summary whose "queries" keeps only the slowest entries (the
+    # 2000-byte driver-capture contract, bench.py::_emit) — parsing the
+    # last line here would silently truncate the ratio map
+    obj = json.loads(lines[0])
     if obj.get("failed"):
         raise SystemExit(f"bench at {sf_dir} had failures: {obj['failed']}")
     return obj
@@ -53,7 +57,16 @@ def main() -> None:
             check=True, cwd=REPO,
         )
     runs01 = int(os.environ.get("BENCH_SF01_RUNS", "1"))
-    b01 = _bench(SF01, runs01)
+    reuse = os.environ.get("BENCH_SF01_FROM")
+    if reuse:
+        # reuse a SAME-DAY sf0.1 record (e.g. the round's official
+        # BENCH_FULL.json) instead of re-running leg 1 — the pair stays
+        # same-day/same-protocol; the caller owns the same-day guarantee
+        with open(reuse) as fh:
+            b01 = json.load(fh)
+        assert b01.get("mode", "").startswith("isolated"), reuse
+    else:
+        b01 = _bench(SF01, runs01)
     b1 = _bench(SF1, 1)
     q01, q1 = b01["queries"], b1["queries"]
     ratios = {
