@@ -141,6 +141,7 @@ HEADLINE = HEADLINE_R1 + [
     "url_domain_gate",
     "fuzzy_decontam",
     "domain_quality_rollup",
+    "registered_domain",
 ]
 
 

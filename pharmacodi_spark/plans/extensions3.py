@@ -2730,3 +2730,42 @@ def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quality_gate(
         with_url, "failed", min_docs=3, max_fail_ppm=400_000
     )
+
+
+_URL_PSL_EXPR = (
+    "concat('http://', CASE WHEN doc_id % 5 = 0 THEN 'CDN.' ELSE '' END, "
+    "source, CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' "
+    "ELSE '.Example.COM' END, '/p')"
+)
+
+
+@q(
+    "registered_domain",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+             || lower(source)
+             || CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk'
+                     ELSE '.example.com' END AS host,
+           CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
+             AS public_suffix,
+           CASE WHEN doc_id % 3 = 0 THEN 'example.co.uk'
+                ELSE 'example.com' END AS registered_domain
+    FROM documents
+    """,
+)
+def registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-aware registrable-domain extraction
+    (text/urls.py::registered_domains): longest-PSL-suffix + one label —
+    the aggregation key a production domain_quality rollup uses, so
+    ``a.co.uk`` and ``b.co.uk`` never conflate under the ``co.uk``
+    suffix. Bounded host-suffix explode, broadcast PSL left join, one
+    map-side-collapsing per-id aggregation, slice arithmetic for the
+    registrable label. The oracle states the expected suffix/domain in
+    closed form."""
+    from pharmacodi_spark.text.urls import registered_domains
+
+    d = _t(spark, sf_dir, "documents")
+    with_url = d.select("doc_id", "source", F.expr(_URL_PSL_EXPR).alias("url"))
+    psl = spark.createDataFrame([("com",), ("uk",), ("co.uk",)], ["suffix"])
+    return registered_domains(with_url, psl)

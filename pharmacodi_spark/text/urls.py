@@ -224,3 +224,62 @@ def domain_quality_gate(
         "host_fail_ppm",
         F.col("host_fail_ppm").isNull().alias("keep"),
     )
+
+
+def registered_domains(
+    df: DataFrame,
+    psl: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Public-suffix-aware registrable-domain extraction: the aggregation
+    key :func:`domain_quality_gate` should roll up to in production —
+    label-suffix hosts conflate ``a.co.uk`` and ``b.co.uk`` under
+    ``co.uk`` unless the public-suffix list says ``co.uk`` is a SUFFIX,
+    not a registrable domain. ``psl`` is one column ``suffix`` (the
+    Mozilla PSL, or the org's private-registry additions).
+
+    Registrable domain = longest matching public suffix + one label;
+    hosts that ARE a bare public suffix report null. Returns
+    ``(id, host, public_suffix, registered_domain)``.
+
+    Scale shape: same as :func:`domain_gate` — bounded host-suffix
+    explode, broadcast PSL left join, ONE map-side-collapsing per-id
+    aggregation picking the longest suffix; the registrable domain is
+    then pure slice arithmetic on the host labels. Bodies never shuffle.
+    """
+    hosts = df.select(
+        F.col(id_col), url_host(url_col, strip_www=strip_www).alias("host")
+    )
+    sufs = hosts.select(
+        id_col, "host", F.explode(host_suffixes("host")).alias("domain")
+    )
+    rules = psl.select(
+        F.lower("suffix").alias("domain"), F.lit(True).alias("__hit")
+    )
+    best = (
+        sufs.join(F.broadcast(rules), "domain", "left")
+        .groupBy(id_col, "host")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__hit"),
+                    F.struct(
+                        F.length("domain").alias("l"),
+                        F.col("domain").alias("d"),
+                    ),
+                )
+            )["d"].alias("public_suffix")
+        )
+    )
+    labels = F.split(F.col("host"), r"\.")
+    n_lab = F.size(labels)
+    n_suf = F.size(F.split(F.col("public_suffix"), r"\."))
+    reg = F.when(
+        F.col("public_suffix").isNotNull() & (n_lab > n_suf),
+        F.array_join(F.slice(labels, n_lab - n_suf, n_suf + 1), "."),
+    )
+    return best.select(
+        id_col, "host", "public_suffix", reg.alias("registered_domain")
+    )

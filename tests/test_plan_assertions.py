@@ -111,6 +111,11 @@ CASES = [
     ("domain_quality_rollup", r"SortMergeJoin", False,
      "one host-keyed aggregation + broadcast join-back; no corpus-scale "
      "join"),
+    ("registered_domain", r"BroadcastHashJoin", True,
+     "the PSL broadcasts against the bounded host-suffix explode"),
+    ("registered_domain", r"SortMergeJoin", False,
+     "suffix join + one map-side-collapsing per-id agg; no corpus-scale "
+     "join"),
 ]
 
 

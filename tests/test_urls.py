@@ -156,3 +156,24 @@ def test_fuzzy_decontaminate_deterministic(spark):
     a = sorted(map(tuple, fuzzy_decontaminate(train, ev).collect()))
     b = sorted(map(tuple, fuzzy_decontaminate(train, ev).collect()))
     assert a == b and len(a) == train.count()
+
+
+def test_registered_domains_psl_semantics(spark):
+    from pharmacodi_spark.text.urls import registered_domains
+
+    rows = [
+        (0, "http://a.b.example.co.uk/x"),   # PSL co.uk -> example.co.uk
+        (1, "http://example.com/x"),         # com -> example.com
+        (2, "http://cdn.shop.example.com/x"),
+        (3, "http://co.uk/x"),               # bare public suffix -> null
+        (4, "http://unknown.tld/x"),         # no PSL match -> nulls
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    psl = spark.createDataFrame([("com",), ("uk",), ("co.uk",)], ["suffix"])
+    got = {r["doc_id"]: (r["public_suffix"], r["registered_domain"])
+           for r in registered_domains(df, psl).collect()}
+    assert got[0] == ("co.uk", "example.co.uk")   # longest suffix wins
+    assert got[1] == ("com", "example.com")
+    assert got[2] == ("com", "example.com")
+    assert got[3] == ("co.uk", None)              # bare suffix
+    assert got[4] == (None, None)

@@ -605,6 +605,12 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "scan; the rollup itself is one map-side-collapsing aggregation"),
         (r"SortMergeJoin", False, "no corpus-scale join"),
     ],
+    "registered_domain": [
+        (r"BroadcastHashJoin", True,
+         "the PSL broadcasts against the bounded host-suffix explode; the "
+         "registrable label is slice arithmetic after one per-id agg"),
+        (r"SortMergeJoin", False, "no corpus-scale join"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "
