@@ -318,17 +318,44 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
     compact = dict(full)
     compact["queries_full"] = "BENCH_FULL.json"
     compact["n_queries"] = len(timings)
+    # the failed list is also bounded (n_failed always carries the true
+    # count): an all-failed run is exactly the case where the driver's
+    # tail-parse matters most, so it must never blow the budget (ADVICE r7)
+    compact["n_failed"] = len(failed)
     ranked = sorted(
         ((n, t) for n, t in timings.items() if t >= 0),
         key=lambda kv: -kv[1],
     )
-    keep = len(ranked)
-    while keep >= 0:
-        compact["queries"] = dict(sorted(ranked[:keep]))
-        line = json.dumps(compact)
-        if len(line.encode()) <= FINAL_LINE_BUDGET:
-            break
-        keep -= max(1, keep // 8)
+    line = None
+    fail_keep = len(failed)
+    while line is None:
+        compact["failed"] = failed[:fail_keep]
+        keep = len(ranked)
+        while keep >= 0:
+            compact["queries"] = dict(sorted(ranked[:keep]))
+            cand = json.dumps(compact)
+            if len(cand.encode()) <= FINAL_LINE_BUDGET:
+                line = cand
+                break
+            keep -= max(1, keep // 8)
+        if line is None:
+            if fail_keep == 0:
+                # fixed fields only and still over budget: emit the bare
+                # minimum rather than an unparseable over-budget line
+                line = json.dumps(
+                    {
+                        "metric": full["metric"],
+                        "value": total,
+                        "unit": "sec",
+                        "sf": full["sf"],
+                        "n_queries": len(timings),
+                        "n_failed": len(failed),
+                        "queries_full": "BENCH_FULL.json",
+                    }
+                )
+                break
+            fail_keep //= 2
+    assert len(line.encode()) <= FINAL_LINE_BUDGET, len(line)
     print(line)
     if failed:
         sys.exit(3)

@@ -184,13 +184,48 @@ def _strictly_earlier(
     )
 
 
+def _max_batch_id_on_disk(spark: SparkSession, path: str) -> int | None:
+    """Highest ``batch_id=N`` partition under an index path (directory
+    listing — no Spark job). Returns None for an absent path. Raises on a
+    pre-batch-id layout (bare part files, no partition dirs): those index
+    directories were written by the old append format and need a one-time
+    rewrite into ``batch_id=`` partitions before the stream can resume —
+    under ``_INDEX_SCHEMA`` their rows would read as null batch_id and be
+    silently filtered out of every strictly-earlier view (ADVICE r7)."""
+    from pharmacodi_spark.io import _hadoop_fs
+
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    best = None
+    legacy_parts = False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                v = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+        elif name.startswith("part-"):
+            legacy_parts = True
+    if best is None and legacy_parts:
+        raise ValueError(
+            f"{path} holds a pre-batch-id index layout (bare part files); "
+            "rewrite it once into batch_id= partitions before resuming "
+            "the stream"
+        )
+    return best
+
+
 def curate_stream_batch(
     spark: SparkSession,
     base_dir: str,
     new: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
-    batch_id: int = 0,
+    *,
+    batch_id: int,
 ) -> None:
     """One micro-batch through gates 1-5 against the persisted state; also
     the ``foreachBatch`` body of :func:`streaming_curation`. Idempotent
@@ -200,8 +235,22 @@ def curate_stream_batch(
     writes are per-batch-id dynamic partition overwrites (a replay rewrites
     its own partition with identical content), and survivors merge_upsert
     by id. Each state path is gated on ITS OWN existence, so a crash
-    between the two index writes cannot wedge a replay."""
+    between the two index writes cannot wedge a replay.
+
+    ``batch_id`` is required and must be monotone: a direct caller passing
+    a stale id (< the max already on disk) would read a partial index view
+    and dynamically overwrite a live batch's rows — guarded here
+    (ADVICE r7; replays of the CURRENT max are the supported case)."""
     p = _paths(base_dir)
+    for idx_path in (p["passage_owner"], p["hash_index"]):
+        on_disk = _max_batch_id_on_disk(spark, idx_path)
+        if on_disk is not None and int(batch_id) < on_disk:
+            raise ValueError(
+                f"batch_id={batch_id} is behind the index at {idx_path} "
+                f"(max on disk: {on_disk}); replaying an OLD batch would "
+                "corrupt the first-owner state — only the latest batch "
+                "may be replayed"
+            )
     lm = spark.read.parquet(p["lm"])
     eval_grams = spark.read.parquet(p["eval_grams"])
     prior_owned = _strictly_earlier(spark, p["passage_owner"], batch_id)

@@ -684,23 +684,31 @@ def _referee_topk(
     batch_size: int,
     query_mod: int,
     id_col: str,
-    label_col: str,
     content_col: str | None,
 ) -> DataFrame:
     """The injected-scorer voting neighborhood for :func:`knn_label_eval`:
     integer-dot recall pool (``pool_factor·k``) → Arrow-batched scorer
     referee → top ``k`` by ``ce_score`` (ties on id). The pool is bounded
     (queries × pool), so content fetches are broadcast joins against the
-    corpus scan and the scorer sees pool-sized batches only."""
+    corpus scan and the scorer sees pool-sized batches only. The pool is
+    stage-pinned before fan-out: it is consumed twice (broadcast into the
+    candidate fetch AND the final join) and its subplan is the corpus-wide
+    dot-product window — without the pin that subplan would run twice
+    (ADVICE r7)."""
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql import Window
 
+    from pharmacodi_spark.barrier import stage_barrier
+
     assert content_col is not None, "scorer referee needs content_col"
     assert pool_factor >= 1
-    pool = pairs.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= k * pool_factor
+    pool = stage_barrier(
+        pairs.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= k * pool_factor
+        ),
+        name="referee_pool",
     )
     qtext = df.where(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("__qid"), F.col(content_col).alias("__qtext")
@@ -821,7 +829,7 @@ def knn_label_eval(
     else:
         topk = _referee_topk(
             df, pairs, w, scorer, k, pool_factor, batch_size,
-            query_mod, id_col, label_col, content_col,
+            query_mod, id_col, content_col,
         )
     votes = topk.groupBy("__qid", "__qlabel", label_col).agg(
         F.count("*").alias("__c")

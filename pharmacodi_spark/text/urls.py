@@ -45,19 +45,22 @@ def canonical_url(url, strip_www: bool = True) -> Column:
         has_scheme, F.lower(F.substring_index(u, "://", 1))
     ).otherwise(F.lit("http"))
     rest = F.when(has_scheme, F.substring_index(u, "://", -1)).otherwise(u)
-    # authority = up to the first '/', then drop userinfo / port / case
-    authority = F.substring_index(rest, "/", 1)
+    # authority = up to the FIRST of '/', '?', '#' (a URL with no path may
+    # still carry a query/fragment: http://host?a=1); then drop
+    # userinfo / port / case
+    authority = F.substring_index(
+        F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1
+    )
     host = F.lower(F.substring_index(authority, "@", -1))
     host = F.substring_index(host, ":", 1)
     if strip_www:
         host = F.when(
             host.startswith("www."), host.substr(F.lit(5), F.length(host))
         ).otherwise(host)
-    # path+query = everything after the authority; drop the fragment
-    pathq = F.when(
-        rest.contains("/"),
-        rest.substr(F.length(authority) + 1, F.length(rest)),
-    ).otherwise(F.lit(""))
+    # path+query = everything after the authority (starts with '/', '?' or
+    # '#'; empty when rest == authority — substr past end yields '');
+    # drop the fragment
+    pathq = rest.substr(F.length(authority) + 1, F.length(rest))
     pathq = F.substring_index(pathq, "#", 1)
     path = F.substring_index(pathq, "?", 1)
     # strip trailing '/' from non-root paths
@@ -90,7 +93,11 @@ def url_host(url, strip_www: bool = True) -> Column:
     """Just the canonical host (lowercased, port/userinfo dropped)."""
     u = F.col(url) if isinstance(url, str) else url
     rest = F.when(u.contains("://"), F.substring_index(u, "://", -1)).otherwise(u)
-    authority = F.substring_index(rest, "/", 1)
+    # cut at the first of '/', '?', '#' — a path-less URL may still carry
+    # a query/fragment (http://host?a=1) that must not leak into the host
+    authority = F.substring_index(
+        F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1
+    )
     host = F.lower(F.substring_index(authority, "@", -1))
     host = F.substring_index(host, ":", 1)
     if strip_www:

@@ -110,4 +110,28 @@ def test_failed_queries_surface_and_exit_nonzero():
     assert exc.value.code == 3
     obj = _driver_parse(buf.getvalue())
     assert obj["failed"] == ["bad_query"]
+    assert obj["n_failed"] == 1
     assert obj["value"] == 1.0
+
+
+def test_all_failed_run_still_fits_window():
+    """The case where tail-parsing matters MOST: every registry query
+    failed. The failed list must be capped so the final line stays inside
+    the driver window (ADVICE r7 — the old loop printed an over-budget
+    line when keep reached 0 with an unbounded failed list)."""
+    from pharmacodi_spark.plans import QUERIES
+
+    timings = {name: -1.0 for name in QUERIES}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with pytest.raises(SystemExit) as exc:
+            bench._emit(timings, "/root/testdata/sf0.1", mode="isolated")
+    assert exc.value.code == 3
+    stdout = buf.getvalue()
+    lines = [l for l in stdout.splitlines() if l.strip()]
+    assert len(lines[-1].encode()) <= bench.FINAL_LINE_BUDGET
+    obj = _driver_parse(stdout)
+    assert obj["n_failed"] == len(timings)
+    assert len(obj["failed"]) <= len(timings)  # possibly truncated
+    assert set(obj["failed"]) <= set(timings)
+    assert obj["queries"] == {}

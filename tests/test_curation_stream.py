@@ -109,6 +109,31 @@ def test_stream_batch_replay_idempotent(spark, tmp_path):
     assert snap() == before
 
 
+def test_stream_batch_stale_batch_id_rejected(spark, tmp_path):
+    """A direct caller replaying a batch id BEHIND the on-disk max would
+    read a partial strictly-earlier view and dynamically overwrite a live
+    batch's index rows — the guard must refuse it (only the latest batch
+    is replayable), and batch_id is keyword-required (ADVICE r7)."""
+    import pytest
+
+    from pharmacodi_spark.pipelines.curation_stream import curate_stream_batch
+
+    docs, base, rows = _setup(spark, tmp_path)
+    half = len(rows) // 2
+    b1 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows[:half]], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows[half:]], SCHEMA
+    )
+    curate_stream_batch(spark, base, b1, batch_id=0)
+    curate_stream_batch(spark, base, b2, batch_id=1)
+    with pytest.raises(ValueError, match="behind the index"):
+        curate_stream_batch(spark, base, b1, batch_id=0)
+    with pytest.raises(TypeError):
+        curate_stream_batch(spark, base, b1)  # batch_id is keyword-required
+
+
 def _split_batches(spark, rows):
     half = len(rows) // 2
     b1 = spark.createDataFrame(

@@ -27,6 +27,16 @@ CASES = [
      "cdn.sub.example.co.uk"),
     ("http://example.com/?utm_campaign=only", "http://example.com/",
      "example.com"),
+    # no-path URLs with a query/fragment: the authority must be cut at the
+    # first of '/', '?', '#' — not just '/'
+    ("http://example.com?b=2&a=1", "http://example.com/?a=1&b=2",
+     "example.com"),
+    ("http://example.com#frag", "http://example.com/", "example.com"),
+    ("HTTPS://WWW.Example.COM:443?utm_source=x&a=1#f",
+     "https://example.com/?a=1", "example.com"),
+    ("example.com?a=1", "http://example.com/?a=1", "example.com"),
+    ("http://user:pw@example.com:8080?a=1", "http://example.com/?a=1",
+     "example.com"),
 ]
 
 
