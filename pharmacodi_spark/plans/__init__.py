@@ -91,7 +91,12 @@ _DRIVER_WINDOW = [
     # set ops (U1-U3) (r5: except_distinct rotated out — U3 keeps hard
     # evidence via incremental_dedup's new-vs-corpus difference; union_dedup
     # stays for U1/U2)
-    "union_dedup",
+    # (r8: union_dedup rotated out — U1's union-all is the in-window
+    # glob_union_shards loader (S3/S4 IS a shard union) plus the batch
+    # unions inside ingest_pipeline; U2's union+distinct is the same
+    # distinct/min-id keeper machinery running inside the in-window
+    # curation/ingest E2Es; oracle row stays green in the driver-sim +
+    # pytest mirror)
     # reshape (R1-R6) (r5: pivot_wide rotated out — R6's pivot path stays
     # driver-exercised via record_text_parse's record assembly; r5 cont.:
     # melt_columns out — R2's list-melt is the R1 regex-melt minus the
@@ -144,7 +149,14 @@ _DRIVER_WINDOW = [
     # pytest mirror and stays the bench-headline per-stage reference)
     "ann_ivf_pq_topk", "curation_select_pipeline", "ingest_pipeline",
     "vocab_token_count", "semantic_dedup_pipeline", "pagerank_dangling",
-    "contamination_safe_split",
+    # (r8: contamination_safe_split rotated out — its hash-draw split
+    # assignment is the md5-prefix draw machinery of the in-window
+    # training_shuffle_shards, its leakage anti-join the same left-anti
+    # discipline inside the in-window ingest/curation E2Es, and the
+    # decontamination FAMILY's hard row is the incoming fuzzy_decontam
+    # (the exact 13-gram gate also runs inside the in-window
+    # curation_select_pipeline); oracle row stays green in the driver-sim
+    # + pytest mirror)
     # r5 continuation: the four freed slots go to the new capabilities —
     # fixed-point BM25 retrieval, the int8 zero-shuffle ANN probe, the
     # epoch-shuffle byte-budget sharder, and CCNet-style passage dedup
@@ -173,19 +185,34 @@ _DRIVER_WINDOW = [
     # r6 late: the two freed slots give hard driver rows to the selection
     # batch's flagships — DSIR importance selection and the gate→barrier→
     # DSIR targeted-selection E2E
-    "dsir_select", "selection_pipeline",
+    # (r8: dsir_select rotated out — the in-window selection_pipeline RUNS
+    # dsir_train + dsir_select verbatim as its selection stage, so the
+    # DSIR scorer keeps hard in-window evidence through the E2E; the
+    # standalone row stays green in the driver-sim + pytest mirror)
+    "selection_pipeline",
     # r6 final rotation (the three slots freed above): hard driver rows for
     # the per-origin training-run planning table, the exact integer
     # water-filling allocator, and this round's new near-dup family —
     # winnowing fingerprint overlap (positional/containment evidence the
     # MinHash and ExactSubstr rows can't give)
-    "token_budget_report", "unimax_allocation", "winnow_near_pairs",
+    "token_budget_report", "unimax_allocation",
+    # (r8: winnow_near_pairs rotated out — the in-window
+    # winnow_dedup_pipeline RUNS winnow_fingerprints + winnow_overlap_pairs
+    # as its first two stages (same min_shared/containment machinery), so
+    # the positional near-dup family keeps hard in-window evidence; the
+    # standalone pair row stays green in the driver-sim + pytest mirror)
     # r7 rotation (VERDICT r6 item 2): hard driver rows for the round-6-late
     # flagships that only ever had r-sim/pytest evidence — the full MOSS
     # winnowing E2E (fingerprints → pairs → CC → keeper droplist), the
     # three-detector near-dup agreement referee, and the stupid-backoff
     # trigram LM gate
-    "winnow_dedup_pipeline", "detector_agreement", "stupid_backoff_lm",
+    # (r8: stupid_backoff_lm rotated out — the in-window kneser_ney_lm is
+    # the strictly-harder sibling on the SAME barrier-pinned
+    # unigram/bigram count-table topology and the same integer fixed-point
+    # log2 scoring; unigram surprisal additionally runs inside the
+    # in-window incremental_curation / curation_select_pipeline gates;
+    # oracle row stays green in the driver-sim + pytest mirror)
+    "winnow_dedup_pipeline", "detector_agreement",
     # r7 cont. (three double-covered slots freed above): hard driver rows
     # for this round's new capabilities — the Aho–Corasick large-blocklist
     # gate (oracle = the replace-diff form on the shared list), the
@@ -193,6 +220,13 @@ _DRIVER_WINDOW = [
     # oracle; url_domain_gate, its suffix-join sibling, stays mirror-
     # covered along with psi_drift_series)
     "phrase_blocklist_ac", "kneser_ney_lm", "url_canonicalize",
+    # r8 rotation (VERDICT r7 item 1): hard driver rows for the five
+    # r7-late ops that only ever had driver-sim/pytest evidence — MinHash
+    # fuzzy benchmark decontamination, the URL domain-blocklist gate
+    # (suffix semi-join), the C4-style whole-domain quality drop, PSL
+    # registered-domain extraction, and the streaming PSI drift series
+    "fuzzy_decontam", "url_domain_gate", "domain_quality_rollup",
+    "registered_domain", "psi_drift_series",
 ]
 
 
