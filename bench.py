@@ -142,6 +142,8 @@ HEADLINE = HEADLINE_R1 + [
     "fuzzy_decontam",
     "domain_quality_rollup",
     "registered_domain",
+    # round-8 additions: HTML main-content extraction (the pre-gate stage)
+    "html_extract",
 ]
 
 

@@ -3638,6 +3638,8 @@ def curation_pipeline(
     sf_dir: str,
     barrier: str = "local",
     barrier_dir: str | None = None,
+    docs: DataFrame | None = None,
+    html_col: str | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation — the LLM-data sibling of
     combine_pipeline: Gopher repetition gate ∧ unigram-surprisal gate →
@@ -3665,7 +3667,9 @@ def curation_pipeline(
     from pharmacodi_spark.text.corpus import unigram_surprisal
     from pharmacodi_spark.text.dedup import exact_dedup, passage_dedup_stats
 
-    _stages, final = _curation_cascade(spark, sf_dir, barrier, barrier_dir)
+    _stages, final = _curation_cascade(
+        spark, sf_dir, barrier, barrier_dir, docs=docs, html_col=html_col
+    )
     return final
 
 
@@ -3674,6 +3678,8 @@ def _curation_cascade(
     sf_dir: str,
     barrier: str = "local",
     barrier_dir: str | None = None,
+    docs: DataFrame | None = None,
+    html_col: str | None = None,
 ) -> tuple[list[tuple[str, DataFrame]], DataFrame]:
     """The shared five-stage cascade behind ``curation_pipeline`` (final
     mixture sample) and ``curation_funnel`` (per-stage audit counts).
@@ -3690,7 +3696,14 @@ def _curation_cascade(
     _b = lambda df, name: stage_barrier(
         df, mode=barrier, name=name, barrier_dir=barrier_dir
     )
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents") if docs is None else docs
+    if html_col is not None:
+        # optional stage 0 (VERDICT r7 item 2): crawled HTML → gate-ready
+        # prose via the native main-content extractor — one zero-shuffle
+        # projection prepended to the scan, then the cascade is unchanged
+        from pharmacodi_spark.text.html import html_to_text
+
+        d = html_to_text(d, html_col=html_col, out_col="text").drop(html_col)
     gop = repetition_metrics(d).where("keep").select("doc_id")
     sur = (
         unigram_surprisal(d)

@@ -2734,7 +2734,9 @@ def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_PSL_EXPR = (
     "concat('http://', CASE WHEN doc_id % 5 = 0 THEN 'CDN.' ELSE '' END, "
-    "source, CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' "
+    "source, CASE WHEN doc_id % 7 = 0 THEN '.Zone.CK' "
+    "WHEN doc_id % 7 = 1 THEN '.WWW.CK' "
+    "WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' "
     "ELSE '.Example.COM' END, '/p')"
 )
 
@@ -2745,27 +2747,105 @@ _URL_PSL_EXPR = (
     SELECT doc_id,
            CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
              || lower(source)
-             || CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk'
+             || CASE WHEN doc_id % 7 = 0 THEN '.zone.ck'
+                     WHEN doc_id % 7 = 1 THEN '.www.ck'
+                     WHEN doc_id % 3 = 0 THEN '.example.co.uk'
                      ELSE '.example.com' END AS host,
-           CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END
-             AS public_suffix,
-           CASE WHEN doc_id % 3 = 0 THEN 'example.co.uk'
+           CASE WHEN doc_id % 7 = 0 THEN 'zone.ck'
+                WHEN doc_id % 7 = 1 THEN 'ck'
+                WHEN doc_id % 3 = 0 THEN 'co.uk'
+                ELSE 'com' END AS public_suffix,
+           CASE WHEN doc_id % 7 = 0 THEN lower(source) || '.zone.ck'
+                WHEN doc_id % 7 = 1 THEN 'www.ck'
+                WHEN doc_id % 3 = 0 THEN 'example.co.uk'
                 ELSE 'example.com' END AS registered_domain
     FROM documents
     """,
 )
 def registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Public-suffix-aware registrable-domain extraction
-    (text/urls.py::registered_domains): longest-PSL-suffix + one label —
-    the aggregation key a production domain_quality rollup uses, so
-    ``a.co.uk`` and ``b.co.uk`` never conflate under the ``co.uk``
-    suffix. Bounded host-suffix explode, broadcast PSL left join, one
-    map-side-collapsing per-id aggregation, slice arithmetic for the
-    registrable label. The oracle states the expected suffix/domain in
+    (text/urls.py::registered_domains) under the REAL Mozilla-PSL grammar
+    (r8): plain suffixes, a wildcard rule (``*.ck`` — every ``.zone.ck``
+    host's public suffix is ``zone.ck``), an exception rule (``!www.ck``
+    — prevails over the wildcard: ``.www.ck`` hosts register as
+    ``www.ck`` under suffix ``ck``), plus comment/blank lines the parser
+    must drop. Bounded position-carrying host-suffix explode, broadcast
+    PSL left join, one map-side-collapsing per-id aggregation with
+    exception-first precedence, slice arithmetic for the registrable
+    label. The oracle states the expected suffix/domain per rule kind in
     closed form."""
     from pharmacodi_spark.text.urls import registered_domains
 
     d = _t(spark, sf_dir, "documents")
     with_url = d.select("doc_id", "source", F.expr(_URL_PSL_EXPR).alias("url"))
-    psl = spark.createDataFrame([("com",), ("uk",), ("co.uk",)], ["suffix"])
+    psl = spark.createDataFrame(
+        [
+            ("// ICANN DOMAINS",),
+            ("com",),
+            ("uk",),
+            ("co.uk",),
+            ("",),
+            ("*.ck",),
+            ("!www.ck",),
+        ],
+        ["suffix"],
+    )
     return registered_domains(with_url, psl)
+
+
+# ---------------------------------------------------------------------------
+# HTML -> main-content extraction (text/html.py) — the pre-gate text stage
+# ---------------------------------------------------------------------------
+# documents has no HTML column, so the Spark side wraps each doc's text in
+# a deterministic noisy page: head with title/style/script (script body
+# contains '<' and a fake '<p>' to prove element scrubbing runs BEFORE
+# block splitting), a link-only nav bar, an HTML comment, the text as the
+# main <p> block (every 4th doc with '&nbsp;' entities instead of spaces,
+# the rest wrapped in an inline <b>), and a link-only footer. The DuckDB
+# twin states the EXPECTED extraction in closed form — the original text,
+# whitespace-normalized — an independent oracle of the whole contract
+# (scrub, block split, entity decode, link-density boilerplate drop).
+
+_HTML_PAGE_EXPR = r"""
+concat(
+  '<!DOCTYPE html><html><head><title>Doc ', doc_id, '</title>',
+  '<style>.nav{color:red}</style>',
+  '<script type="text/javascript">var x = 1 < 2; ',
+  'if (x) { alert("<p>not content</p>"); }</script></head><body>',
+  '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> ',
+  '<a href="/contact">Contact</a></div>',
+  '<!-- crawl: ', source, ' -->',
+  '<p>',
+  CASE WHEN doc_id % 4 = 0 THEN replace(text, ' ', '&nbsp;')
+       ELSE concat('<b>', text, '</b>') END,
+  '</p>',
+  '<div class="footer"><a href="/tos">Terms</a> <a href="/p">Privacy</a> ',
+  '<a href="/i">Imprint</a></div></body></html>'
+)
+"""
+
+
+@q(
+    "html_extract",
+    r"""
+    SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
+    FROM documents
+    """,
+)
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (text/html.py::extract_main_text): strip
+    script/style/title + comments, split at block-level tags, decode
+    entities, drop short / link-dense boilerplate blocks (nav + footer
+    here), keep the prose. Pure native expressions — one zero-shuffle
+    projection over the scan, the page never leaves its partition; the
+    html.parser mapInPandas seam (extract_main_text_parsed) is the
+    attribute-safe sibling for malformed real-world pages (pytest-gated +
+    equivalence-tested). Oracle: the page is synthesized FROM the clean
+    text, so the expected output is the text itself (closed form)."""
+    from pharmacodi_spark.text.html import extract_main_text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        extract_main_text(F.expr(_HTML_PAGE_EXPR)).alias("main_text"),
+    )

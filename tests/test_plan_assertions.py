@@ -95,6 +95,12 @@ CASES = [
     ("url_canonicalize", r"\bExchange\b", False,
      "canonicalization is one zero-shuffle projection over the scan — "
      "native split/substring_index, no regex, no UDF"),
+    ("html_extract", r"\bExchange\b", False,
+     "main-content extraction is one zero-shuffle projection — the page "
+     "never leaves its scan partition"),
+    ("html_extract", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False,
+     "the driver-facing extractor is the native path, not the parser "
+     "seam — whole-stage codegen end to end"),
     ("url_domain_gate", r"BroadcastHashJoin", True,
      "the domain blocklist broadcasts against the bounded host-suffix "
      "explode; bodies never shuffle"),

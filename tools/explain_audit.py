@@ -611,6 +611,14 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "registrable label is slice arithmetic after one per-id agg"),
         (r"SortMergeJoin", False, "no corpus-scale join"),
     ],
+    "html_extract": [
+        (r"\bExchange\b", False,
+         "main-content extraction is one zero-shuffle projection over the "
+         "scan — the page never leaves its partition"),
+        (r"InMemoryTableScan|Scan ExistingRDD", False,
+         "no caching / pinning needed: a single pass, nothing consumed "
+         "twice"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "
