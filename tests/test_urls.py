@@ -91,6 +91,79 @@ def test_domain_gate_suffix_semantics(spark):
     assert got[5] == (False, "ads.tracker.net")
 
 
+# a verbatim excerpt of the Mozilla public_suffix_list.dat grammar: comments,
+# blank lines, plain rules, the .ck wildcard, and its exception rule
+PSL_EXCERPT = [
+    "// This Source Code Form is subject to the terms of the MPL 2.0.",
+    "",
+    "// ===BEGIN ICANN DOMAINS===",
+    "com",
+    "uk",
+    "co.uk",
+    "gov.uk",
+    "jp",
+    "kawasaki.jp",
+    "*.ck",
+    "!www.ck",
+    "",
+]
+
+
+def test_registered_domains_real_psl_rules(spark):
+    """publicsuffix.org semantics on a real PSL excerpt: wildcard `*.ck`
+    makes <label>.ck the public suffix; exception `!www.ck` prevails over
+    the wildcard; plain rules pick the longest match; comment/blank lines
+    are dropped by the parser."""
+    from pharmacodi_spark.text.urls import registered_domains
+
+    rows = [
+        (0, "http://example.com/p"),          # com -> example.com
+        (1, "http://a.b.example.co.uk/p"),    # co.uk beats uk
+        (2, "http://hmrc.gov.uk/p"),          # gov.uk beats uk
+        (3, "http://shop.city.kawasaki.jp/p"),  # kawasaki.jp beats jp
+        (4, "http://foo.zone.ck/p"),          # *.ck -> ps zone.ck
+        (5, "http://zone.ck/p"),              # host IS the wildcard ps
+        (6, "http://a.www.ck/p"),             # !www.ck: ps ck, reg www.ck
+        (7, "http://b.www.ck/p"),             # exception again
+        (8, "http://nomatch.example/p"),      # no rule -> nulls
+        (9, "http://ck/p"),                   # bare ck: *.ck needs a label
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    psl = spark.createDataFrame([(l,) for l in PSL_EXCERPT], ["suffix"])
+    got = {
+        r["doc_id"]: (r["public_suffix"], r["registered_domain"])
+        for r in registered_domains(df, psl, strip_www=False).collect()
+    }
+    assert got[0] == ("com", "example.com")
+    assert got[1] == ("co.uk", "example.co.uk")
+    assert got[2] == ("gov.uk", "hmrc.gov.uk")
+    assert got[3] == ("kawasaki.jp", "city.kawasaki.jp")
+    assert got[4] == ("zone.ck", "foo.zone.ck")
+    assert got[5] == ("zone.ck", None)        # bare public suffix
+    assert got[6] == ("ck", "www.ck")
+    assert got[7] == ("ck", "www.ck")
+    assert got[8] == (None, None)
+    assert got[9] == (None, None)
+
+
+def test_registered_domains_implicit_star(spark):
+    """implicit_star=True adds the algorithm's fallback `*` rule: an
+    unmatched host's public suffix is its last label."""
+    from pharmacodi_spark.text.urls import registered_domains
+
+    df = spark.createDataFrame(
+        [(0, "http://svc.internal/p"), (1, "http://example.com/p")],
+        ["doc_id", "url"],
+    )
+    psl = spark.createDataFrame([("com",)], ["suffix"])
+    got = {
+        r["doc_id"]: (r["public_suffix"], r["registered_domain"])
+        for r in registered_domains(df, psl, implicit_star=True).collect()
+    }
+    assert got[0] == ("internal", "svc.internal")
+    assert got[1] == ("com", "example.com")
+
+
 def test_domain_quality_gate_blocks_failing_hosts(spark):
     from pharmacodi_spark.text.urls import domain_quality_gate
 
