@@ -143,7 +143,9 @@ HEADLINE = HEADLINE_R1 + [
     "domain_quality_rollup",
     "registered_domain",
     # round-8 additions: HTML main-content extraction (the pre-gate stage)
+    # and the trigram Kneser-Ney filter LM
     "html_extract",
+    "kneser_ney3_lm",
 ]
 
 

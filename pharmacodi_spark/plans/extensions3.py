@@ -2849,3 +2849,117 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         extract_main_text(F.expr(_HTML_PAGE_EXPR)).alias("main_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram Kneser–Ney LM (text/corpus.py::kneser_ney3_scores)
+# ---------------------------------------------------------------------------
+
+_KN3_P2 = (
+    "CASE WHEN d2.cc23 IS NOT NULL THEN "
+    + _il("4 * d2.cc23 - 3") + " - " + _il("4 * ctx2.cc2")
+    + " WHEN ctx2.cc2 IS NOT NULL THEN "
+    + _il("3 * ctx2.nn2") + " - " + _il("4 * ctx2.cc2")
+    + " + " + _il("coalesce(cont.ncont, 0) + 1")
+    + " - " + _il("tt.t_types + 1")
+    + " ELSE "
+    + _il("coalesce(cont.ncont, 0) + 1")
+    + " - " + _il("tt.t_types + 1")
+    + " END"
+)
+
+
+@q(
+    "kneser_ney3_lm",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    tri AS (
+      SELECT w1, w2, w3, count(*) AS c123 FROM (
+        SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+          SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                   i -> {{'w1': toks[i], 'w2': toks[i+1],
+                          'w3': toks[i+2]}})) AS g
+          FROM tk WHERE doc_id % 7 <> 0 AND len(toks) >= 3
+        )
+      ) GROUP BY 1, 2, 3
+    ),
+    ctx12 AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n1p12
+              FROM tri GROUP BY 1, 2),
+    d2 AS (SELECT w2, w3, count(*) AS cc23 FROM tri GROUP BY 1, 2),
+    ctx2 AS (SELECT w2, sum(cc23) AS cc2, count(*) AS nn2
+             FROM d2 GROUP BY 1),
+    cont AS (SELECT w3, count(*) AS ncont FROM d2 GROUP BY 1),
+    tt AS (SELECT count(*) AS t_types FROM d2),
+    occ AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> {{'w1': toks[i], 'w2': toks[i+1],
+                        'w3': toks[i+2]}})) AS g
+        FROM tk WHERE doc_id % 7 = 0 AND len(toks) >= 3
+      )
+    ),
+    dt AS (SELECT DISTINCT w1, w2, w3 FROM occ),
+    sc AS (
+      SELECT dt.w1, dt.w2, dt.w3,
+             CASE
+               WHEN tri.c123 IS NOT NULL
+                 THEN {_il("4 * tri.c123 - 3")} - {_il("4 * ctx12.c12")}
+               WHEN ctx12.c12 IS NOT NULL
+                 THEN {_il("3 * ctx12.n1p12")} - {_il("4 * ctx12.c12")}
+                      + ({_KN3_P2})
+               ELSE ({_KN3_P2})
+             END AS score_fp,
+             CASE WHEN tri.c123 IS NOT NULL THEN 0
+                  WHEN d2.cc23 IS NOT NULL THEN 1
+                  WHEN ctx2.cc2 IS NOT NULL THEN 2 ELSE 3 END AS bo
+      FROM dt
+      LEFT JOIN tri ON tri.w1 = dt.w1 AND tri.w2 = dt.w2 AND tri.w3 = dt.w3
+      LEFT JOIN ctx12 ON ctx12.w1 = dt.w1 AND ctx12.w2 = dt.w2
+      LEFT JOIN d2 ON d2.w2 = dt.w2 AND d2.w3 = dt.w3
+      LEFT JOIN ctx2 ON ctx2.w2 = dt.w2
+      LEFT JOIN cont ON cont.w3 = dt.w3
+      CROSS JOIN tt
+    ),
+    per AS (
+      SELECT occ.doc_id,
+             count(*) AS n_trigrams,
+             sum(sc.score_fp) AS kn3_fp,
+             sum(CASE WHEN sc.bo = 1 THEN 1 ELSE 0 END) AS n_backoff1,
+             sum(CASE WHEN sc.bo = 2 THEN 1 ELSE 0 END) AS n_backoff2,
+             sum(CASE WHEN sc.bo = 3 THEN 1 ELSE 0 END) AS n_unseen
+      FROM occ JOIN sc ON sc.w1 = occ.w1 AND sc.w2 = occ.w2
+                      AND sc.w3 = occ.w3
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(coalesce(per.kn3_fp, 0) AS BIGINT) AS kn3_fp,
+           CAST(coalesce(per.n_backoff1, 0) AS BIGINT) AS n_backoff1,
+           CAST(coalesce(per.n_backoff2, 0) AS BIGINT) AS n_backoff2,
+           CAST(coalesce(per.n_unseen, 0) AS BIGINT) AS n_unseen
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
+    """,
+)
+def kneser_ney3_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Kneser–Ney LM perplexity gate
+    (text/corpus.py::kneser_ney3_scores, r8 — the standard filter-LM
+    order): held-out slice (doc_id % 7 = 0) scored against the rest with
+    D = 3/4 absolute discounting, the MIDDLE order running bigram-KN on
+    the trigram TYPE table (continuation counts one order up) and the
+    lowest order the continuation unigram — a pure product of rationals
+    in 10-frac-bit integer fixed point (interpolated KN would need
+    int128; the backoff form does not). Same barrier-pinned count-table
+    topology as kneser_ney_lm, one order up; backoff-depth counters
+    expose which order absorbed the mass."""
+    from pharmacodi_spark.text.corpus import kneser_ney3_scores
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 7 != 0)
+    sc = d.where(F.col("doc_id") % 7 == 0)
+    return kneser_ney3_scores(ref, sc)

@@ -87,6 +87,10 @@ CASES = [
      "the bigram count table and the occurrence stream are barrier-pinned "
      "— bi feeds five consumers (c1/n1p, ncont, T, the scoring join), "
      "occ feeds two; unpinned each re-expands the tokenize/explode"),
+    ("kneser_ney3_lm", r"Scan ExistingRDD", True,
+     "the trigram count table, the D2 type table, and the occurrence "
+     "stream are barrier-pinned — each feeds multiple rollup consumers "
+     "that would otherwise re-expand the tokenize/explode"),
     ("psi_drift_series", r"\bGenerate\b", False,
      "the drift series is pure histogram arithmetic — no explode anywhere"),
     ("psi_drift_series", r"BroadcastHashJoin", True,

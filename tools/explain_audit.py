@@ -561,6 +561,16 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the vocabulary-scale score table joins broadcast-side where it "
          "fits; only the two stream-scale joins may sort-merge"),
     ],
+    "kneser_ney3_lm": [
+        (r"Scan ExistingRDD", True,
+         "the trigram count table (feeds ctx12 + the D2 type table), D2 "
+         "itself (three rollup consumers), and the occurrence stream are "
+         "all barrier-pinned — unpinned, each consumer re-expands the "
+         "tokenize/explode subplan"),
+        (r"BroadcastHashJoin", True,
+         "the vocabulary-scale score/rollup tables join broadcast-side "
+         "where they fit"),
+    ],
     "kneser_ney_lm": [
         (r"Scan ExistingRDD", True,
          "the bigram count table (five consumers: c1/n1p rollup, ncont "
