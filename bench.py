@@ -146,6 +146,7 @@ HEADLINE = HEADLINE_R1 + [
     # and the trigram Kneser-Ney filter LM
     "html_extract",
     "kneser_ney3_lm",
+    "hashed_lang_confusion",
 ]
 
 

@@ -136,15 +136,25 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame, n: int = 5) -> DataFrame:
+def _shingles(
+    df: DataFrame, n: int = 5, tokens_col: str | None = None
+) -> DataFrame:
     """(doc_id, shingle) rows: n-gram word shingles via a single projection —
     split → sequence of start positions → slice+join per position → explode.
     All array functions, no UDF; a doc shorter than n tokens yields one
-    whole-doc shingle (both engines clip the slice identically)."""
-    toks = F.split("text", " ")
+    whole-doc shingle (both engines clip the slice identically).
+    ``tokens_col`` consumes an existing token-array column instead of
+    splitting ``text`` (the detector_agreement shared-stage seam; the
+    caller owns partitioning)."""
+    if tokens_col is not None:
+        toks = F.col(tokens_col)
+        base = df
+    else:
+        toks = F.split("text", " ")
+        base = fan_out(df, "doc_id")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return fan_out(df, "doc_id").select("doc_id", F.explode(sh).alias("shingle"))
+    return base.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 _SHINGLE_SQL = """
@@ -167,14 +177,16 @@ def _minhash_cols(n_hashes: int) -> list[F.Column]:
     ]
 
 
-def _signature(d: DataFrame, n_hashes: int = 4) -> DataFrame:
+def _signature(
+    d: DataFrame, n_hashes: int = 4, tokens_col: str | None = None
+) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signature: shingle → one md5 in an
     explicit projection (guaranteed single digest per shingle — aggregate
     subtrees don't share subexpressions) → k min-aggs over hex slices.
     The groupBy reuses _shingles' fan_out partitioning (same key) so the
     only exchange in the signature subplan carries pre-explode rows."""
     return (
-        _shingles(d)
+        _shingles(d, tokens_col=tokens_col)
         .select("doc_id", F.md5("shingle").alias("m"))
         .groupBy("doc_id")
         .agg(*_minhash_cols(n_hashes))
@@ -238,7 +250,14 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs comparison (5-gram shingles keep buckets small — see
     minhash_signature)."""
     d = _t(spark, sf_dir, "documents")
-    sig = _signature(d)
+    return _band_pairs_from_sig(_signature(d))
+
+
+def _band_pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from a 4-hash signature frame (2 bands x 2
+    rows) — the body of minhash_band_pairs, factored out so shared-stage
+    plans (detector_agreement) can feed a signature derived from a pinned
+    token frame."""
     # bands via ONE explode (not a self-union, which would run the whole
     # shingle+md5+groupBy subplan once per branch)
     bands = sig.select(

@@ -22,12 +22,20 @@ from pharmacodi_spark.plans.queries import q, _t, _rnd, fan_out
 _SIM_BITS = 16
 
 
-def _simhash_spark(d: DataFrame) -> DataFrame:
+def _simhash_spark(d: DataFrame, tokens_col: str | None = None) -> DataFrame:
     """16-bit SimHash from md5-sliced 60-bit token hashes (oracle-parity
-    variant of text/dedup.py::simhash, which uses xxhash64/64 bits)."""
-    toks = fan_out(d, "doc_id").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    variant of text/dedup.py::simhash, which uses xxhash64/64 bits).
+    ``tokens_col`` consumes an existing token-array column (shared-stage
+    seam; the caller owns partitioning)."""
+    if tokens_col is not None:
+        base = d.select("doc_id", F.explode(F.col(tokens_col)).alias("tok"))
+    else:
+        base = fan_out(d, "doc_id").select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+    toks = base.withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     bit_sums = [
         F.sum(
             F.when(F.col("th").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)

@@ -2429,19 +2429,55 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifted PASSAGE; simhash-only pairs are usually topical twins). Runs
     the three in-engine pipelines (LSH banding, simhash prefix buckets,
     winnow hash buckets — each through its own guard) and reduces every
-    pair to membership bits; the final rollup is 8-row metadata."""
-    from pharmacodi_spark.plans.extensions import minhash_band_pairs
-    from pharmacodi_spark.plans.extensions2 import simhash_near_pairs
+    pair to membership bits; the final rollup is 8-row metadata.
 
-    mh = minhash_band_pairs(spark, sf_dir).select(
+    Shared-stage plan (VERDICT r7 item 5): ONE scan tokenizes the corpus
+    and the token frame is stage-barrier-pinned; all three detectors
+    derive from the pin (minhash shingles/md5, simhash token hashes,
+    winnow gram hashes), so the documents scan + split run once instead
+    of three times — previously the heaviest query in the suite
+    re-tokenized the same corpus per detector. The winnow branch also
+    skips the standalone query's containment join-backs (membership bits
+    need pairs only). The tiny simhash fingerprint frame is pinned too
+    (the triangle-guard self-join consumes it twice)."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.plans.extensions import (
+        _band_pairs_from_sig,
+        _signature,
+    )
+    from pharmacodi_spark.plans.extensions2 import _simhash_spark
+    from pharmacodi_spark.plans.queries import fan_out
+    from pharmacodi_spark.text.dedup import simhash_near_pairs as _snp
+    from pharmacodi_spark.text.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = stage_barrier(
+        fan_out(d, "doc_id").select(
+            "doc_id", F.split("text", " ").alias("__tk")
+        ),
+        name="det_toks",
+    )
+    mh = _band_pairs_from_sig(_signature(toks, tokens_col="__tk")).select(
         "doc_a", "doc_b", F.lit(1).alias("m"), F.lit(0).alias("s"),
         F.lit(0).alias("w"),
     )
-    sh = simhash_near_pairs(spark, sf_dir).select(
+    sim = stage_barrier(
+        _simhash_spark(toks, tokens_col="__tk").select(
+            "doc_id", F.col("simhash16").alias("simhash")
+        ),
+        name="det_sim",
+    )
+    sh = _snp(
+        sim, max_hamming=3, prefix_bits=8, bits=16, max_cell_size=256
+    ).select(
         "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(1).alias("s"),
         F.lit(0).alias("w"),
     )
-    wn = winnow_near_pairs(spark, sf_dir).select(
+    fp = winnow_fingerprints(toks, k=_WIN_K, w=_WIN_W, tokens_col="__tk")
+    wn = winnow_overlap_pairs(fp, min_shared=2, max_cell_size=256).select(
         "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(0).alias("s"),
         F.lit(1).alias("w"),
     )
@@ -2963,3 +2999,77 @@ def kneser_ney3_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.where(F.col("doc_id") % 7 != 0)
     sc = d.where(F.col("doc_id") % 7 == 0)
     return kneser_ney3_scores(ref, sc)
+
+
+# ---------------------------------------------------------------------------
+# Fasttext-shaped hashed lang-ID head -> confusion rollup
+# (text/analysis.py::hashed_lang_id + lang_confusion(scored=...))
+# ---------------------------------------------------------------------------
+
+_LID_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@q(
+    "hashed_lang_confusion",
+    f"""
+    WITH tokidx AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('lid' || token), 1, 15)) AS BIGINT)
+               % 4096 AS idx
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS token
+            FROM documents)
+    ),
+    cand AS (SELECT unnest({_LID_LANGS!r}) AS cand),
+    scores AS (
+      SELECT doc_id, cand, sum(w) AS score
+      FROM (
+        SELECT doc_id, cand,
+               CAST(('0x' || substr(md5('w' || cand || ':'
+                                        || CAST(idx AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2001 - 1000 AS w
+        FROM tokidx CROSS JOIN cand
+      ) GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, cand AS pred_lang
+      FROM (
+        SELECT doc_id, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT d.lang, coalesce(p.pred_lang, 'und') AS pred_lang
+      FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+    ),
+    roll AS (
+      SELECT lang, pred_lang, count(*) AS n_docs
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, pred_lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((n_docs * 1000000)
+                // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+             AS share_ppm
+    FROM roll
+    """,
+)
+def hashed_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claimed-vs-detected confusion under the fasttext-shaped lang head
+    (text/analysis.py::hashed_lang_id feeding lang_confusion's scored
+    seam, VERDICT r7 item 6): a multi-class LINEAR classifier over
+    hashing-trick features — one weight vector per language, argmax with
+    deterministic ties — replacing the fixed-stopword heuristic. Here the
+    weights are the deterministic index-hash stand-ins so the whole path
+    (token → feature idx → per-lang fold → argmax → rollup) is
+    oracle-checked end to end; production injects exported model weights
+    through the same seam. Explode-free scoring (one md5 per token into a
+    materialized index array, |langs| native folds per row, zero
+    shuffles), then one metadata-scale (claimed, predicted) aggregate."""
+    from pharmacodi_spark.text.analysis import hashed_lang_id, lang_confusion
+
+    d = _t(spark, sf_dir, "documents")
+    scored = hashed_lang_id(d, langs=_LID_LANGS)
+    return lang_confusion(d, claimed_col="lang", scored=scored)

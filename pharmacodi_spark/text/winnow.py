@@ -47,22 +47,35 @@ def gram_hashes(
     content_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, pos, h, n_grams): 60-bit md5-derived hash of every stride-1
     k-gram of whitespace tokens (1-based positions). Docs with fewer than
     ``k`` tokens contribute no rows. The md5 keeps the hash bit-identical
     across engines (oracle parity); swap for xxhash64 off the oracle path.
+
+    ``tokens_col`` names an EXISTING token-array column to consume instead
+    of tokenizing ``content_col`` — the shared-stage seam for multi-
+    detector plans (detector_agreement pins one tokenized frame and feeds
+    all three near-dup families from it). The caller owns partitioning in
+    that case (a pinned frame already carries the repartition guard).
     """
     assert k >= 1
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(F.col(id_col), F.col(content_col))
-    # small-file scans can arrive as one partition and serialize the md5
-    # stream; at corpus scale the scan already has >= par splits and this
-    # no-ops (see dedup.repeated_spans for the measured rationale)
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par, F.col(id_col))
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
-    base = base.select(F.col(id_col), toks.alias("__tk"))
+    if tokens_col is not None:
+        base = df.select(
+            F.col(id_col),
+            F.filter(F.col(tokens_col), lambda x: x != "").alias("__tk"),
+        )
+    else:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        base = df.select(F.col(id_col), F.col(content_col))
+        # small-file scans can arrive as one partition and serialize the md5
+        # stream; at corpus scale the scan already has >= par splits and this
+        # no-ops (see dedup.repeated_spans for the measured rationale)
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par, F.col(id_col))
+        toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        base = base.select(F.col(id_col), toks.alias("__tk"))
     n = F.size("__tk")
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -104,6 +117,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, pos, h) distinct winnowing fingerprints: the rightmost minimal
     k-gram hash of every full window of ``w`` consecutive hashes (window
@@ -117,7 +131,7 @@ def winnow_fingerprints(
     the same gram; that collapse IS the 2/(w+1) density win).
     """
     assert w >= 1
-    g = gram_hashes(df, content_col, id_col, k)
+    g = gram_hashes(df, content_col, id_col, k, tokens_col=tokens_col)
     frame = (
         Window.partitionBy(id_col)
         .orderBy("pos")

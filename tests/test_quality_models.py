@@ -74,3 +74,64 @@ def test_bigram_surprisal_short_docs_report_no_row(spark):
     )
     rows = {r.doc_id for r in bigram_surprisal(df).collect()}
     assert rows == {3}
+
+
+def test_hashed_lang_id_detects_mislabels(spark):
+    """The fasttext-shaped lang head with INJECTED (trained-ish) weights:
+    language-marker tokens carry positive weight only in their language's
+    vector, so a 'de'-claimed doc written in English detects as 'en' and
+    the confusion rollup surfaces the mislabel."""
+    from pharmacodi_spark.text.analysis import hashed_lang_id, lang_confusion
+
+    dim, salt = 256, "lid"
+    markers = {
+        "de": ["der", "und", "nicht", "das"],
+        "en": ["the", "and", "not", "that"],
+        "fr": ["le", "et", "pas", "que"],
+    }
+    langs = sorted(markers)
+    weights = {l: [0] * dim for l in langs}
+    for l, toks in markers.items():
+        for t in toks:
+            weights[l][_md5int(salt + t) % dim] += 100
+    rows = [
+        (0, "de", "der hund und nicht das haus"),          # correct de
+        (1, "de", "the dog and not that house"),           # MISLABELED
+        (2, "en", "the cat and the dog that ran"),         # correct en
+        (3, "fr", "le chat et le chien pas que"),          # correct fr
+        (4, "fr", "the quick and brown fox not that"),     # MISLABELED
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    scored = hashed_lang_id(df, langs=langs, weights=weights, dim=dim)
+    got = {r["doc_id"]: r["pred_lang"] for r in scored.collect()}
+    assert got == {0: "de", 1: "en", 2: "en", 3: "fr", 4: "en"}
+
+    conf = {
+        (r["lang"], r["pred_lang"]): (r["n_docs"], r["share_ppm"])
+        for r in lang_confusion(df, scored=scored).collect()
+    }
+    assert conf[("de", "en")] == (1, 500_000)   # the mislabel row
+    assert conf[("de", "de")] == (1, 500_000)
+    assert conf[("fr", "en")] == (1, 500_000)
+    assert conf[("en", "en")] == (1, 1_000_000)
+
+
+def test_hashed_lang_id_tie_break_and_empty(spark):
+    """Deterministic argmax: exact score ties go to the lexicographically
+    smallest language; token-less docs predict 'und'."""
+    from pharmacodi_spark.text.analysis import hashed_lang_id
+
+    dim = 64
+    # zero weights everywhere -> every language ties at 0
+    weights = {l: [0] * dim for l in ["aa", "bb", "cc"]}
+    df = spark.createDataFrame(
+        [(0, "some words here"), (1, " ")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["n_tokens"])
+        for r in hashed_lang_id(
+            df, langs=["aa", "bb", "cc"], weights=weights, dim=dim
+        ).collect()
+    }
+    assert got[0] == ("aa", 3)    # tie -> smallest lang
+    assert got[1] == ("und", 0)   # no tokens
