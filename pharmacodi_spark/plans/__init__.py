@@ -177,7 +177,12 @@ _DRIVER_WINDOW = [
     # hard in-window evidence; the standalone diagnostic row stays green in
     # the driver-sim + pytest mirror)
     "auto_salted_join_equiv", "ann_int8_l2_topk",
-    "curation_funnel",
+    # (r8: curation_funnel rotated out — the funnel RUNS the same
+    # barrier-pinned five-stage cascade as the in-window
+    # curation_select_pipeline (which additionally drives the DSIR stage);
+    # its extra per-stage counts are metadata aggregates over the pinned
+    # survivor-id sets. Oracle row stays green in the driver-sim + pytest
+    # mirror.)
     # r6 cont.: the two freed slots give hard driver rows to the round's
     # flagships — ExactSubstr substring dedup (detect+trim) and the
     # streaming-curation batch anchor (first-owner passage semantics)
@@ -195,7 +200,13 @@ _DRIVER_WINDOW = [
     # water-filling allocator, and this round's new near-dup family —
     # winnowing fingerprint overlap (positional/containment evidence the
     # MinHash and ExactSubstr rows can't give)
-    "token_budget_report", "unimax_allocation",
+    # (r8: token_budget_report rotated out — its fact-scale machinery (the
+    # content-hash keeper window + token counting) keeps hard in-window
+    # evidence via vocab_token_count and the exact-dedup keeper stages of
+    # the in-window curation/ingest E2Es; the planning rollup itself is
+    # metadata arithmetic. Oracle row stays green in the driver-sim +
+    # pytest mirror.)
+    "unimax_allocation",
     # (r8: winnow_near_pairs rotated out — the in-window
     # winnow_dedup_pipeline RUNS winnow_fingerprints + winnow_overlap_pairs
     # as its first two stages (same min_shared/containment machinery), so
@@ -219,7 +230,12 @@ _DRIVER_WINDOW = [
     # Kneser–Ney smoothed LM gate, and URL canonicalization (closed-form
     # oracle; url_domain_gate, its suffix-join sibling, stays mirror-
     # covered along with psi_drift_series)
-    "phrase_blocklist_ac", "kneser_ney_lm", "url_canonicalize",
+    # (r8: kneser_ney_lm yields its slot to kneser_ney3_lm — the
+    # strictly-harder trigram sibling whose middle order RUNS the bigram-KN
+    # continuation machinery on the trigram type table, same barrier-pinned
+    # count topology one order up; the bigram oracle row stays green in the
+    # driver-sim + pytest mirror.)
+    "phrase_blocklist_ac", "url_canonicalize",
     # r8 rotation (VERDICT r7 item 1): hard driver rows for the five
     # r7-late ops that only ever had driver-sim/pytest evidence — MinHash
     # fuzzy benchmark decontamination, the URL domain-blocklist gate
@@ -227,6 +243,11 @@ _DRIVER_WINDOW = [
     # registered-domain extraction, and the streaming PSI drift series
     "fuzzy_decontam", "url_domain_gate", "domain_quality_rollup",
     "registered_domain", "psi_drift_series",
+    # r8 net-new capabilities (the three slots freed above): HTML
+    # main-content extraction (the pre-gate text stage, closed-form
+    # oracle), the trigram Kneser–Ney filter LM, and the fasttext-shaped
+    # hashed lang-ID head driving the confusion rollup
+    "html_extract", "kneser_ney3_lm", "hashed_lang_confusion",
 ]
 
 

@@ -319,12 +319,21 @@ def bigram_surprisal(
     perplexity gate cuts. Documents with < 2 tokens report no row (no
     transitions to score), mirroring unigram_surprisal's empty-doc rule.
 
-    Scale shape: the bigram count table collapses map-side (corpus
-    bigram vocabulary — Zipf-small vs the transition stream); scoring
-    joins each transition against it plus the unigram table (AQE
-    broadcasts both when they fit; hot-gram skew splits under the
-    skew-join rule); no driver action, no window.
+    Scale shape (r8 sf1 triage): ONE tokenize+explode total — the
+    transition stream immediately collapses to per-doc occurrence counts
+    ``(id, x, y, n_occ)`` (map-side partials; within-doc Zipf repeats
+    compress) and THAT frame is stage-barrier-pinned. The lazy
+    composition re-expanded the explode three times (the scoring join,
+    the bigram table, and the unigram rollup re-deriving the bigram
+    subplan); pinned, the bigram count table is one aggregate of the pin
+    (itself pinned — it feeds the unigram rollup AND the scoring join),
+    and scoring re-reads pins only. Per-doc sums weight by ``n_occ``, so
+    results are identical to per-occurrence scoring. AQE broadcasts the
+    count tables when they fit; hot-gram skew splits under the skew-join
+    rule; no driver action, no window.
     """
+    from pharmacodi_spark.barrier import stage_barrier
+
     toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
     base = df.select(F.col(id_col), toks.alias("__tk"))
     grams = F.transform(
@@ -334,20 +343,27 @@ def bigram_surprisal(
             F.element_at("__tk", (i + 1).cast("int")).alias("y"),
         ),
     )
-    tr = (
+    occ = stage_barrier(
         base.where(F.size("__tk") >= 2)
         .select(id_col, F.explode(grams).alias("g"))
         .select(id_col, F.col("g.x").alias("x"), F.col("g.y").alias("y"))
+        .groupBy(id_col, "x", "y")
+        .agg(F.count("*").alias("n_occ")),
+        name="bsur_occ",
     )
-    c2 = tr.groupBy("x", "y").agg(F.count("*").alias("c2"))
+    c2 = stage_barrier(
+        occ.groupBy("x", "y").agg(F.sum("n_occ").alias("c2")),
+        name="bsur_c2",
+    )
     # unigram counts of the CONDITIONING position (all tokens except each
     # doc's last) = sum of outgoing bigram counts per x
     c1 = c2.groupBy("x").agg(F.sum("c2").alias("c1"))
     scored = (
-        tr.join(c2, ["x", "y"])
+        occ.join(c2, ["x", "y"])
         .join(c1, "x")
         .select(
             id_col,
+            "n_occ",
             # shift-free form (c1 >= c2 >= 1 — prefix count bounds the
             # bigram count), same overflow guard as unigram_surprisal
             (
@@ -356,9 +372,11 @@ def bigram_surprisal(
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_transitions"),
-        F.sum("bits").cast("long").alias("sum_bits"),
-        (F.sum("bits") / F.count("*")).alias("mean_bits"),
+        F.sum("n_occ").cast("long").alias("n_transitions"),
+        F.sum(F.col("n_occ") * F.col("bits")).cast("long").alias("sum_bits"),
+        (
+            F.sum(F.col("n_occ") * F.col("bits")) / F.sum("n_occ")
+        ).alias("mean_bits"),
     )
 
 

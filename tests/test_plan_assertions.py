@@ -87,6 +87,16 @@ CASES = [
      "the bigram count table and the occurrence stream are barrier-pinned "
      "— bi feeds five consumers (c1/n1p, ncont, T, the scoring join), "
      "occ feeds two; unpinned each re-expands the tokenize/explode"),
+    ("bigram_surprisal", r"Scan parquet", False,
+     "one tokenize+explode total (r8 sf1 triage): the per-doc occurrence "
+     "table and the bigram count table are pinned, so the final plan "
+     "reads pins only — lazily composed, the explode ran three times"),
+    ("bigram_surprisal", r"Scan ExistingRDD", True,
+     "scoring re-reads the pinned occurrence + count tables"),
+    ("detector_agreement", r"Scan parquet", False,
+     "the three near-dup detectors share ONE pinned scan+tokenize stage — "
+     "the final plan reads no parquet, only the token pin (r8: the "
+     "heaviest query re-tokenized the corpus three times before)"),
     ("kneser_ney3_lm", r"Scan ExistingRDD", True,
      "the trigram count table, the D2 type table, and the occurrence "
      "stream are barrier-pinned — each feeds multiple rollup consumers "
