@@ -147,6 +147,7 @@ HEADLINE = HEADLINE_R1 + [
     "html_extract",
     "kneser_ney3_lm",
     "hashed_lang_confusion",
+    "host_link_rank",
 ]
 
 

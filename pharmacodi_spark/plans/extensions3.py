@@ -3073,3 +3073,129 @@ def hashed_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     scored = hashed_lang_id(d, langs=_LID_LANGS)
     return lang_confusion(d, claimed_col="lang", scored=scored)
+
+
+# ---------------------------------------------------------------------------
+# Host link graph -> PageRank quality prior
+# (text/html.py::extract_links + urls.url_host + operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _host_rank_sql(iters: int = 6) -> str:
+    """Unrolled integer-PageRank oracle over the CLOSED-FORM host edge set
+    the synthesized pages encode (the oracle never parses HTML): host
+    srcN links to src(N%5) and src((N·N)%11) — a SKEWED in-degree profile
+    (quadratic residues collide unevenly), so ranks genuinely spread —
+    and every N%3==0 host also links to the pure sink 'hub.example.com'
+    (never a source → real dangling mass). Same integer algebra as
+    _pagerank_dangling_sql (scale 1e9, damping 85/100, dangling
+    redistributed)."""
+    n_nodes = "(SELECT count(*) FROM nodes)"
+    base = "(SELECT (15000000000 // (100 * count(*))) FROM nodes)"
+    parts = [
+        """sn AS (
+      SELECT DISTINCT lower(source) AS sh,
+             CAST(substr(source, 4) AS INT) AS n
+      FROM documents
+    ),
+    edges AS (
+      SELECT sh || '.example.com' AS src,
+             'src' || CAST(n % 5 AS VARCHAR) || '.example.com' AS dst
+      FROM sn
+      UNION
+      SELECT sh || '.example.com',
+             'src' || CAST((n * n) % 11 AS VARCHAR) || '.example.com'
+      FROM sn
+      UNION
+      SELECT sh || '.example.com', 'hub.example.com'
+      FROM sn WHERE n % 3 = 0
+    )""",
+        "nodes AS (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "r0 AS (SELECT v, (SELECT 1000000000 // count(*) FROM nodes) AS r "
+        "FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        dang = (
+            f"(SELECT coalesce(sum(r2.r), 0) FROM r{i - 1} r2 "
+            f"WHERE r2.v NOT IN (SELECT src FROM outdeg))"
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.v,
+             CAST({base}
+                  + (85 * (coalesce(s.s, 0) + {dang} // {n_nodes})) // 100
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS v, sum(r.r // o.od) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.v
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+      ) s ON n.v = s.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT v AS host, CAST(r AS BIGINT) AS rank_e9 "
+        f"FROM r{iters}"
+    )
+
+
+_LINK_PAGE_EXPR = r"""
+concat(
+  '<html><head><title>Doc ', doc_id,
+  '</title><script>var s = "<a href=\"http://fake.example.com/\">x</a>";',
+  '</script></head><body>',
+  '<p>See <a href="http://src', CAST(substring(source, 4) AS INT) % 5,
+  '.example.com/p/', doc_id, '">a related page</a> and ',
+  '<a href="http://src',
+  (CAST(substring(source, 4) AS INT) * CAST(substring(source, 4) AS INT))
+    % 11,
+  '.example.com/q/', doc_id, '">another</a> for details.</p>',
+  CASE WHEN CAST(substring(source, 4) AS INT) % 3 = 0
+       THEN concat('<p>Also <a href=''http://hub.example.com/h/',
+                   doc_id, '''>the hub</a>.</p>')
+       ELSE '' END,
+  '</body></html>'
+)
+"""
+
+
+@q("host_link_rank", _host_rank_sql(6))
+def host_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph PageRank — the CommonCrawl-style domain
+    authority prior next to the content gates (a host no one links to,
+    or only spam rings link to, scores low before a single page is
+    read). Composes three library layers end to end:
+    text/html.py::extract_links (native anchor extraction over the
+    SCRUBBED page — the script body's fake anchor must not become an
+    edge; both quote styles), text/urls.py::url_host (href → canonical
+    host), and operators/graph.py::pagerank_int (6 iterations, integer
+    algebra, dangling mass redistributed — 'hub.example.com' is a pure
+    sink). Edges are distinct (src_host, dst_host) pairs — the graph is
+    domain-cardinality metadata; pages never shuffle. The oracle states
+    the edge set in closed form and unrolls the same integer PageRank."""
+    from pharmacodi_spark.operators.graph import pagerank_int
+    from pharmacodi_spark.text.html import extract_links
+    from pharmacodi_spark.text.urls import url_host
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lower(F.col("source")), F.lit(".example.com")).alias(
+            "src_host"
+        ),
+        F.expr(_LINK_PAGE_EXPR).alias("html"),
+    )
+    links = extract_links(pages, "html", id_col="doc_id").join(
+        pages.select("doc_id", "src_host"), "doc_id"
+    )
+    edges = links.select(
+        F.col("src_host").alias("src"), url_host("href").alias("dst")
+    ).distinct()
+    out = pagerank_int(edges, iterations=6, dangling="redistribute")
+    return out.select(
+        F.col("v").alias("host"), F.col("r").cast("long").alias("rank_e9")
+    )

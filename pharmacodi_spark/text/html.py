@@ -275,3 +275,30 @@ def extract_main_text_parsed(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    out_col: str = "href",
+) -> DataFrame:
+    """(id, href) rows: every ``<a href="...">`` / ``<a href='...'>``
+    target on the page — the web-graph edge extractor feeding host-level
+    link analysis (a PageRank/centrality prior over domains is the
+    standard second-order quality signal next to content gates). Native
+    ``regexp_extract_all`` over the scrubbed page (script/style/title
+    bodies can contain fake anchors), one explode; empty hrefs dropped.
+    Pages never shuffle — the output rows are (id, short string)."""
+    h = _scrub(F.col(html_col) if isinstance(html_col, str) else html_col)
+    links = F.concat(
+        F.regexp_extract_all(
+            h, F.lit(r'(?is)<a[\s/][^>]*href\s*=\s*"([^"]*)"'), F.lit(1)
+        ),
+        F.regexp_extract_all(
+            h, F.lit(r"(?is)<a[\s/][^>]*href\s*=\s*'([^']*)'"), F.lit(1)
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(links).alias(out_col)
+    ).where(F.col(out_col) != "")

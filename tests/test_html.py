@@ -217,3 +217,26 @@ def test_html_to_text_projection(spark):
     # zero-shuffle: no Exchange in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_links(spark):
+    from pharmacodi_spark.text.html import extract_links
+
+    pages = [
+        (0, '<p><a href="http://a.com/x">A</a> and '
+            "<a href='http://b.com/y'>B</a></p>"),
+        # a fake anchor inside a script body must NOT become a link
+        (1, '<script>var s = "<a href=\"http://fake.com/\">x</a>";</script>'
+            '<p><a href="http://c.com/z">C</a></p>'),
+        (2, "<p>no links at all here</p>"),
+        (3, '<p><a href="">empty href dropped</a></p>'),
+    ]
+    df = spark.createDataFrame(pages, ["doc_id", "html"])
+    got = sorted(
+        (r["doc_id"], r["href"]) for r in extract_links(df).collect()
+    )
+    assert got == [
+        (0, "http://a.com/x"),
+        (0, "http://b.com/y"),
+        (1, "http://c.com/z"),
+    ]

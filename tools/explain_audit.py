@@ -561,6 +561,15 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the vocabulary-scale score table joins broadcast-side where it "
          "fits; only the two stream-scale joins may sort-merge"),
     ],
+    "host_link_rank": [
+        (r"Scan ExistingRDD", True,
+         "the degree-annotated edge list is pinned once (pagerank_int) — "
+         "each of the 6 rank iterations re-reads the pin, never the "
+         "link-extraction subplan"),
+        (r"SortMergeJoin", False,
+         "the host graph is domain-cardinality metadata: every "
+         "iteration's edges⋈ranks join stays hash/broadcast"),
+    ],
     "bigram_surprisal": [
         (r"Scan parquet", False,
          "one tokenize+explode total (r8 sf1 triage): the per-doc "
