@@ -148,6 +148,7 @@ HEADLINE = HEADLINE_R1 + [
     "kneser_ney3_lm",
     "hashed_lang_confusion",
     "host_link_rank",
+    "domain_quality_rollup_psl",
 ]
 
 

@@ -3199,3 +3199,70 @@ def host_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v").alias("host"), F.col("r").cast("long").alias("rank_e9")
     )
+
+
+_URL_SUBDOM_EXPR = (
+    "concat('http://', CASE WHEN doc_id % 5 = 0 THEN 'CDN.' "
+    "WHEN doc_id % 5 = 1 THEN 'a.b.' ELSE '' END, "
+    "source, '.CO.UK/p/', doc_id)"
+)
+
+
+@q(
+    "domain_quality_rollup_psl",
+    """
+    WITH s AS (
+      SELECT doc_id, lower(source) AS ls,
+             CASE WHEN doc_id % 5 = 0 THEN 'cdn.'
+                  WHEN doc_id % 5 = 1 THEN 'a.b.' ELSE '' END AS pre,
+             (source = 'src5' OR (source = 'src7' AND doc_id % 2 = 0))
+               AS failed
+      FROM documents
+    ),
+    st AS (
+      SELECT ls, count(*) AS n,
+             sum(CASE WHEN failed THEN 1 ELSE 0 END) AS nf
+      FROM s GROUP BY 1
+    ),
+    b AS (
+      SELECT ls, (nf * 1000000) // n AS ppm
+      FROM st WHERE n >= 3 AND nf * 1000000 >= 400000 * n
+    )
+    SELECT s.doc_id,
+           s.pre || s.ls || '.co.uk' AS host,
+           s.ls || '.co.uk' AS rollup_key,
+           CAST(b.ppm AS BIGINT) AS host_fail_ppm,
+           b.ppm IS NULL AS keep
+    FROM s LEFT JOIN b USING (ls)
+    """,
+)
+def domain_quality_rollup_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-domain quality drop keyed on the PSL REGISTERED domain
+    (text/urls.py::domain_quality_gate(psl=…), r8 — the production
+    keying the r7 roadmap called for): a spam operation spread over
+    ``cdn.`` / deep-subdomain variants pools onto its registrable domain
+    before the threshold runs, so the subdomain split can't dilute the
+    rate below min_docs/ppm. Every 5th doc rides a ``cdn.`` host, every
+    5th+1 a two-level ``a.b.`` host — all pooling to
+    ``<source>.co.uk``. Same scale shape as the host-keyed rollup plus
+    the bounded suffix explode + one id-keyed agg for the registrable
+    key; the offender table still broadcasts back. Closed-form oracle
+    per source."""
+    from pharmacodi_spark.text.urls import domain_quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id",
+        "source",
+        F.expr(_URL_SUBDOM_EXPR).alias("url"),
+        (
+            (F.col("source") == "src5")
+            | ((F.col("source") == "src7") & (F.col("doc_id") % 2 == 0))
+        ).alias("failed"),
+    )
+    psl = spark.createDataFrame(
+        [("// PSL excerpt",), ("uk",), ("co.uk",)], ["suffix"]
+    )
+    return domain_quality_gate(
+        with_url, "failed", min_docs=3, max_fail_ppm=400_000, psl=psl
+    )

@@ -190,6 +190,7 @@ def domain_quality_gate(
     min_docs: int = 5,
     max_fail_ppm: int = 400_000,
     strip_www: bool = True,
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Whole-domain drop (the C4/RefinedWeb second-order gate): a host
     whose pages MOSTLY fail the per-document gates is removed entirely —
@@ -204,17 +205,40 @@ def domain_quality_gate(
     per doc: ``(id, host, host_fail_ppm, keep)`` — ``host_fail_ppm`` is
     the blocked host's rate, null for kept rows.
 
-    Scale shape: ONE aggregation keyed by host (map-side partials: a
-    million-page domain contributes one row per task to the shuffle);
-    the blocked-host table (offenders only) broadcasts back against the
-    scan — no corpus-scale join, bodies never shuffle.
+    ``psl`` (raw public-suffix-list lines, see :func:`psl_rules`) keys
+    the rollup on the REGISTERED domain instead of the raw host — the
+    production keying (roadmap r7): without it, a spam operation spread
+    over ``cdn.spam.co.uk`` / ``www2.spam.co.uk`` / ``spam.co.uk`` is
+    three under-threshold hosts; pooled on ``spam.co.uk`` it crosses.
+    Hosts with no PSL match key on themselves; the output gains a
+    ``rollup_key`` column.
+
+    Scale shape: ONE aggregation keyed by host/registered-domain
+    (map-side partials: a million-page domain contributes one row per
+    task to the shuffle); the blocked-host table (offenders only)
+    broadcasts back against the scan — no corpus-scale join, bodies
+    never shuffle. The PSL variant adds the bounded suffix explode +
+    one id-keyed agg (metadata tuples only) before the rollup.
     """
     hosts = df.select(
         F.col(id_col),
         url_host(url_col, strip_www=strip_www).alias("host"),
         F.col(fail_col).cast("boolean").alias("__fail"),
     )
-    stats = hosts.groupBy("host").agg(
+    if psl is not None:
+        reg = registered_domains(
+            df, psl, url_col=url_col, id_col=id_col, strip_www=strip_www
+        ).select(id_col, "registered_domain")
+        hosts = hosts.join(reg, id_col).select(
+            id_col,
+            "host",
+            "__fail",
+            F.coalesce("registered_domain", "host").alias("rollup_key"),
+        )
+        key = "rollup_key"
+    else:
+        key = "host"
+    stats = hosts.groupBy(key).agg(
         F.count("*").alias("__n"),
         F.sum(F.col("__fail").cast("long")).alias("__nf"),
     )
@@ -222,12 +246,12 @@ def domain_quality_gate(
         (F.col("__n") >= int(min_docs))
         & (F.col("__nf") * 1_000_000 >= int(max_fail_ppm) * F.col("__n"))
     ).select(
-        "host",
+        key,
         F.expr("(__nf * 1000000) div __n").cast("long").alias("host_fail_ppm"),
     )
-    return hosts.join(F.broadcast(blocked), "host", "left").select(
-        id_col,
-        "host",
+    out_cols = [id_col, "host"] + (["rollup_key"] if psl is not None else [])
+    return hosts.join(F.broadcast(blocked), key, "left").select(
+        *out_cols,
         "host_fail_ppm",
         F.col("host_fail_ppm").isNull().alias("keep"),
     )

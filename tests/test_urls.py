@@ -260,3 +260,34 @@ def test_registered_domains_psl_semantics(spark):
     assert got[2] == ("com", "example.com")
     assert got[3] == ("co.uk", None)              # bare suffix
     assert got[4] == (None, None)
+
+
+def test_domain_quality_gate_psl_pools_subdomains(spark):
+    """Registered-domain keying (psl=...): a spam operation split over
+    cdn./www2./bare hosts stays under min_docs per HOST but crosses once
+    pooled on its registrable domain — the host-keyed gate misses it, the
+    PSL-keyed gate blocks every variant."""
+    from pharmacodi_spark.text.urls import domain_quality_gate
+
+    rows = []
+    # spam.co.uk: 6 failing docs spread over 3 host variants (2 each)
+    for i, pre in enumerate(["", "cdn.", "www2."] * 2):
+        rows.append((i, f"http://{pre}spam.co.uk/p", True))
+    # fine.co.uk: 6 docs, 1 fails
+    for i in range(6, 12):
+        rows.append((i, "http://fine.co.uk/p", i == 6))
+    df = spark.createDataFrame(rows, ["doc_id", "url", "failed"])
+    psl = spark.createDataFrame([("uk",), ("co.uk",)], ["suffix"])
+    kw = dict(min_docs=5, max_fail_ppm=400_000)
+
+    by_host = {r["doc_id"]: r["keep"]
+               for r in domain_quality_gate(df, "failed", **kw).collect()}
+    assert all(by_host.values())   # every host variant under min_docs
+
+    pooled = {r["doc_id"]: (r["keep"], r["rollup_key"], r["host_fail_ppm"])
+              for r in domain_quality_gate(df, "failed", psl=psl,
+                                           **kw).collect()}
+    for i in range(6):
+        assert pooled[i] == (False, "spam.co.uk", 1_000_000), pooled[i]
+    for i in range(6, 12):
+        assert pooled[i][0] is True and pooled[i][1] == "fine.co.uk"

@@ -447,6 +447,37 @@ def ops(spark, mult: int) -> dict[str, float]:
     out["url_domain_gate"] = timed(
         lambda: domain_gate(with_url, blocked)
     )
+
+    # round-8 family: HTML main-content extraction (per-row projection —
+    # must scale with bytes, never worse), link extraction, the trigram
+    # KN gate (one continuation topology up), and the hashed lang head
+    from pharmacodi_spark.text.analysis import hashed_lang_id
+    from pharmacodi_spark.text.corpus import kneser_ney3_scores
+    from pharmacodi_spark.text.html import extract_links, html_to_text
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script>var x = 1 < 2;</script></head>'
+                  '<body><div class="nav"><a href="/">Home</a> '
+                  '<a href="/a">About</a></div><p>'),
+            F.col("text"),
+            F.lit('</p><p>See <a href="http://s'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('.example.com/x">a link</a> too.</p></body></html>'),
+        ).alias("html"),
+    )
+    out["html_extract"] = timed(lambda: html_to_text(pages))
+    out["extract_links"] = timed(lambda: extract_links(pages))
+    out["kneser_ney3"] = timed(
+        lambda: kneser_ney3_scores(
+            docs.where(F.col("doc_id") % 7 != 0),
+            docs.where(F.col("doc_id") % 7 == 0),
+        )
+    )
+    out["hashed_lang_id"] = timed(
+        lambda: hashed_lang_id(docs, langs=["de", "en", "es", "fr", "zh"])
+    )
     return out
 
 
