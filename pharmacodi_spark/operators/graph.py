@@ -69,10 +69,16 @@ def pagerank_int(
     if dangling not in ("ignore", "redistribute"):
         raise ValueError(f"dangling must be 'ignore' or 'redistribute', got {dangling!r}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
+    # the node set joins into EVERY iteration's rank update — pinned once
+    # (r8): unpinned, its union+distinct subplan (which may hang off an
+    # arbitrary upstream derivation, e.g. link extraction) re-expands per
+    # iteration, and its unknown size stats push the per-iteration
+    # nodes⋈contributions join to sort-merge instead of broadcast/hash
+    nodes = stage_barrier(
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
-        .distinct()
+        .distinct(),
+        mode=barrier, name="pagerank-nodes", barrier_dir=barrier_dir,
     )
     n = nodes.count()  # one metadata action; N is a plan literal after this
     base = (damping_den - damping_num) * scale // (damping_den * n)
@@ -96,9 +102,14 @@ def pagerank_int(
         )
         summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
         if dangling == "redistribute":
+            # sink set from the PIN (e_deg), not from outdeg's raw-edge
+            # subplan — otherwise the edge derivation re-expands here
+            # every iteration
             dang = (
                 ranks.join(
-                    outdeg.select("src"), ranks["v"] == F.col("src"), "left_anti"
+                    e_deg.select("src").distinct(),
+                    ranks["v"] == F.col("src"),
+                    "left_anti",
                 )
                 .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("D"))
             )

@@ -563,12 +563,14 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
     ],
     "host_link_rank": [
         (r"Scan ExistingRDD", True,
-         "the degree-annotated edge list is pinned once (pagerank_int) — "
-         "each of the 6 rank iterations re-reads the pin, never the "
+         "the edge list AND the node set are pinned once (pagerank_int) — "
+         "each of the 6 rank iterations re-reads the pins, never the "
          "link-extraction subplan"),
-        (r"SortMergeJoin", False,
-         "the host graph is domain-cardinality metadata: every "
-         "iteration's edges⋈ranks join stays hash/broadcast"),
+        (r"Scan parquet", False,
+         "no parquet scan survives into the iterations: extraction ran "
+         "exactly once, into the pins (the static plan may still show "
+         "SMJ between pinned metadata sides — AQE converts those to "
+         "broadcast at runtime from the pins' exact sizes)"),
     ],
     "bigram_surprisal": [
         (r"Scan parquet", False,
