@@ -149,6 +149,7 @@ HEADLINE = HEADLINE_R1 + [
     "hashed_lang_confusion",
     "host_link_rank",
     "domain_quality_rollup_psl",
+    "anchor_text_rollup",
 ]
 
 

@@ -3266,3 +3266,54 @@ def domain_quality_rollup_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quality_gate(
         with_url, "failed", min_docs=3, max_fail_ppm=400_000, psl=psl
     )
+
+
+@q(
+    "anchor_text_rollup",
+    """
+    WITH sn AS (
+      SELECT lower(source) AS sh, CAST(substr(source, 4) AS INT) AS n,
+             count(*) AS docs
+      FROM documents GROUP BY 1, 2
+    ),
+    contrib AS (
+      SELECT 'src' || CAST(n % 5 AS VARCHAR) || '.example.com' AS host,
+             unnest(['a', 'related', 'page']) AS token, docs
+      FROM sn
+      UNION ALL
+      SELECT 'src' || CAST((n * n) % 11 AS VARCHAR) || '.example.com',
+             'another', docs
+      FROM sn
+      UNION ALL
+      SELECT 'hub.example.com', unnest(['the', 'hub']), docs
+      FROM sn WHERE n % 3 = 0
+    ),
+    counts AS (
+      SELECT host, token, CAST(sum(docs) AS BIGINT) AS n
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT host, token, n, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT host, token, n,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n DESC, token) AS rank
+      FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-host anchor-text terms (text/html.py::
+    anchor_term_rollup): what the rest of the corpus CALLS each domain —
+    the classic off-page relevance signal riding next to host_link_rank's
+    authority prior. Same synthesized link pages as host_link_rank
+    (anchors 'a related page' / 'another' / 'the hub' at deterministic
+    targets); the oracle states the expected (host, token) counts in
+    closed form from the source table, never parsing HTML. One map-side
+    aggregation over exploded anchor tokens; the rank window runs on the
+    metadata-scale rollup."""
+    from pharmacodi_spark.text.html import anchor_term_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id", "source", F.expr(_LINK_PAGE_EXPR).alias("html")
+    )
+    return anchor_term_rollup(pages, "html", k=3)

@@ -476,7 +476,7 @@ def phrase_blocklist_hits_ac(
 
 def fuzzy_decontaminate(
     train: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     content_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
@@ -484,6 +484,7 @@ def fuzzy_decontaminate(
     shingle_len: int = 5,
     min_est_ppm: int = 500_000,
     sig_fn=None,
+    eval_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-match benchmark decontamination: the paraphrase gap of
     :func:`decontaminate_against` — the exact 13-gram rule misses an eval
@@ -508,6 +509,13 @@ def fuzzy_decontaminate(
     ``sig_fn(df) -> (id, h0..h{k-1})`` overrides the signature scheme —
     the oracle twin passes the md5-slice variant for DuckDB parity;
     default is the xxhash64 family (fastest JVM-side).
+
+    ``eval_signatures`` supplies a PRECOMPUTED eval-side signature frame
+    instead of ``eval_df`` (exactly one of the two) — the frozen-sidecar
+    seam pipelines/decontam_stream.py gates a document stream through:
+    benchmarks are signatured once, every micro-batch signatures only
+    itself. The sidecar must have been built with the same signature
+    scheme and ``num_hashes``.
     """
     from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.text.dedup import (
@@ -516,12 +524,19 @@ def fuzzy_decontaminate(
         minhash_signatures,
     )
 
+    assert (eval_df is None) != (eval_signatures is None), (
+        "pass exactly one of eval_df / eval_signatures"
+    )
     if sig_fn is None:
         sig_fn = lambda d: minhash_signatures(  # noqa: E731
             d, content_col, id_col, num_hashes, shingle_len
         )
     sig_t = stage_barrier(sig_fn(train), name="fdc_sig_train")
-    sig_e = stage_barrier(sig_fn(eval_df), name="fdc_sig_eval")
+    sig_e = (
+        eval_signatures
+        if eval_signatures is not None
+        else stage_barrier(sig_fn(eval_df), name="fdc_sig_eval")
+    )
     cells_t = band_cells(sig_t, id_col, num_hashes, bands)
     cells_e = band_cells(sig_e, id_col, num_hashes, bands).select(
         F.col(id_col).alias("__eval_id"), "band", "bucket"

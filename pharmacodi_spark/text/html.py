@@ -302,3 +302,78 @@ def extract_links(
     return df.select(
         F.col(id_col), F.explode(links).alias(out_col)
     ).where(F.col(out_col) != "")
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, href, anchor) rows: every ``<a href="...">`` /
+    ``<a href='...'>`` WITH its rendered anchor text (inline tags
+    stripped, entities decoded, whitespace collapsed —
+    :func:`_block_text` semantics). Anchor text is the classic off-page
+    relevance signal: what OTHER pages call a target is often a better
+    description than the target's own boilerplate, so per-target-host
+    anchor rollups ride next to the link-graph rank as curation priors.
+    Native ``regexp_extract_all`` per quote style over the scrubbed page
+    (href group + text group from the SAME pattern, zipped by position),
+    one explode; empty hrefs dropped."""
+    h = _scrub(F.col(html_col) if isinstance(html_col, str) else html_col)
+    dq = r'(?is)<a[\s/][^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>'
+    sq = r"(?is)<a[\s/][^>]*href\s*=\s*'([^']*)'[^>]*>(.*?)</a\s*>"
+    pairs = F.concat(
+        *[
+            F.arrays_zip(
+                F.regexp_extract_all(h, F.lit(p), F.lit(1)).alias("href"),
+                F.regexp_extract_all(h, F.lit(p), F.lit(2)).alias("raw"),
+            )
+            for p in (dq, sq)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(
+            id_col,
+            F.col("p.href").alias("href"),
+            _block_text(F.col("p.raw")).alias("anchor"),
+        )
+        .where(F.col("href") != "")
+    )
+
+
+def anchor_term_rollup(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    k: int = 3,
+    strip_www: bool = True,
+) -> DataFrame:
+    """Top-``k`` anchor-text terms per TARGET host: what the rest of the
+    corpus calls each domain — ``(host, token, n, rank)`` with rank by
+    (count desc, token asc). The host-level companion to
+    :func:`extract_links`' PageRank prior.
+
+    Scale shape: pages collapse to (target host, token) counts in one
+    map-side-combining aggregation (the explode carries short anchor
+    tokens, never pages); the rank window runs on the
+    host-vocabulary-cardinality rollup — metadata scale."""
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.text.urls import url_host
+
+    links = extract_anchor_texts(df, html_col, id_col)
+    toks = links.select(
+        url_host("href", strip_www=strip_www).alias("host"),
+        F.explode(
+            F.filter(F.split(F.col("anchor"), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    counts = toks.groupBy("host", "token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+    )

@@ -197,3 +197,46 @@ def test_replay_after_first_batch_partial_crash(spark, tmp_path):
     curate_stream_batch(spark, base, b2, batch_id=1)  # stream continues
     got = _snap(spark, base)
     assert got[0] and set(got[0]) >= set(want_b1[0])
+
+
+def test_stream_html_stage0_composes(spark, tmp_path):
+    """HTML stage 0 composes with the streaming curation path for free
+    (html_to_text is stateless): wrapping each micro-batch's text in a
+    noisy page and prepending the extractor yields byte-identical curated
+    state to streaming the plain text."""
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.pipelines.curation_stream import curate_stream_batch
+    from pharmacodi_spark.text.html import html_to_text
+
+    docs, base_plain, rows = _setup(spark, tmp_path / "plain")
+    _, base_html, _ = _setup(spark, tmp_path / "html")
+    half = len(rows) // 2
+    page = (
+        "concat('<html><head><script>var x = 1 < 2;</script></head>"
+        "<body><div class=\"nav\"><a href=\"/\">Home</a> "
+        "<a href=\"/a\">About</a></div><p>', text, '</p></body></html>')"
+    )
+    for bid, chunk in enumerate((rows[:half], rows[half:])):
+        b = spark.createDataFrame(
+            [(r["doc_id"], r["text"], r["source"]) for r in chunk], SCHEMA
+        )
+        curate_stream_batch(spark, base_plain, b, batch_id=bid)
+        wrapped = b.select(
+            "doc_id", "source", F.expr(page).alias("html")
+        )
+        curate_stream_batch(
+            spark,
+            base_html,
+            html_to_text(wrapped, html_col="html").drop("html"),
+            batch_id=bid,
+        )
+    plain = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{base_plain}/curated").collect()
+    )
+    via_html = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{base_html}/curated").collect()
+    )
+    assert via_html == plain and plain

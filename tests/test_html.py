@@ -240,3 +240,25 @@ def test_extract_links(spark):
         (0, "http://b.com/y"),
         (1, "http://c.com/z"),
     ]
+
+
+def test_extract_anchor_texts(spark):
+    from pharmacodi_spark.text.html import extract_anchor_texts
+
+    pages = [
+        (0, '<p><a href="http://a.com/x">Visit <b>A</b> now</a> and '
+            "<a href='http://b.com/y'>B &amp; co</a></p>"),
+        # scrubbed regions contribute nothing
+        (1, '<script>var s = "<a href=\"http://f.com/\">bad</a>";</script>'
+            '<p><a href="http://c.com/z"></a></p>'),
+    ]
+    df = spark.createDataFrame(pages, ["doc_id", "html"])
+    got = sorted(
+        (r["doc_id"], r["href"], r["anchor"])
+        for r in extract_anchor_texts(df).collect()
+    )
+    assert got == [
+        (0, "http://a.com/x", "Visit A now"),   # inline tags stripped
+        (0, "http://b.com/y", "B & co"),        # entity decoded
+        (1, "http://c.com/z", ""),              # empty anchor kept (href real)
+    ]
