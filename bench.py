@@ -312,7 +312,16 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
         **({"sf1": sf1} if sf1 is not None else {}),
     }
     # Full record: first stdout line + durable sidecar file.
-    full_path = BENCH_FULL_PATH
+    # only the driver-contract scale (sf0.1) owns BENCH_FULL.json — any
+    # other scale writes its own sidecar, so an sf1 leg (tools/bench_sf1)
+    # can never clobber the round's official sf0.1 record (r8 incident:
+    # the committed BENCH_FULL briefly held sf1 timings)
+    sf = _sf_of(sf_dir)
+    full_path = (
+        BENCH_FULL_PATH
+        if sf == 0.1
+        else BENCH_FULL_PATH.replace(".json", f"_sf{sf}.json")
+    )
     try:
         with open(full_path, "w") as fh:
             json.dump(full, fh, indent=1)

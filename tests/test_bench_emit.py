@@ -135,3 +135,19 @@ def test_all_failed_run_still_fits_window():
     assert len(obj["failed"]) <= len(timings)  # possibly truncated
     assert set(obj["failed"]) <= set(timings)
     assert obj["queries"] == {}
+
+
+def test_non_sf01_emit_never_clobbers_official_sidecar(tmp_path, monkeypatch):
+    """Only the driver-contract scale (sf0.1) owns BENCH_FULL.json — an
+    sf1 leg must write its own sidecar (r8 incident: tools/bench_sf1's
+    second leg overwrote the committed sf0.1 record with sf1 timings)."""
+    official = tmp_path / "BENCH_FULL.json"
+    monkeypatch.setattr(bench, "BENCH_FULL_PATH", str(official))
+    official.write_text('{"sentinel": true}')
+    timings = {"q": 1.0}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emit(timings, "/tmp/whatever/sf1", mode="isolated")
+    assert json.loads(official.read_text()) == {"sentinel": True}
+    side = tmp_path / "BENCH_FULL_sf1.0.json"
+    assert json.loads(side.read_text())["sf"] == 1.0
