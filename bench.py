@@ -150,6 +150,7 @@ HEADLINE = HEADLINE_R1 + [
     "host_link_rank",
     "domain_quality_rollup_psl",
     "anchor_text_rollup",
+    "robots_txt_gate",
 ]
 
 

@@ -3317,3 +3317,79 @@ def anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.expr(_LINK_PAGE_EXPR).alias("html")
     )
     return anchor_term_rollup(pages, "html", k=3)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl-permission gate (text/urls.py::robots_gate)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_URL_EXPR = (
+    "concat('http://', CASE WHEN doc_id % 5 = 0 THEN 'CDN.' ELSE '' END, "
+    "source, '.Example.COM', CASE WHEN doc_id % 4 = 0 "
+    "THEN concat('/p/public/', doc_id) ELSE concat('/p/', doc_id) END)"
+)
+
+_ROBOTS_BODIES = {
+    # longest-prefix: /p/ disallowed but /p/public/ re-allowed
+    "src3.example.com": (
+        "# site rules\nUser-agent: *\nDisallow: /p/\nAllow: /p/public/\n"
+    ),
+    # blanket disallow
+    "src7.example.com": "User-agent: *\nDisallow: /\n",
+    # agent-specific group OVERRIDES the permissive * group for trainbot
+    "src5.example.com": (
+        "User-agent: trainbot\nDisallow: /p/\n\n"
+        "User-agent: *\nAllow: /\n"
+    ),
+}
+
+
+@q(
+    "robots_txt_gate",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+             || lower(source) || '.example.com' AS host,
+           CASE WHEN doc_id % 4 = 0 THEN '/p/public/' || doc_id
+                ELSE '/p/' || doc_id END AS path,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                WHEN source = 'src7' THEN '/'
+                WHEN source = 'src3' AND doc_id % 4 = 0 THEN '/p/public/'
+                WHEN source = 'src3' THEN '/p/'
+                WHEN source = 'src5' THEN '/p/'
+                ELSE NULL END AS matched_prefix,
+           CASE WHEN doc_id % 5 = 0 THEN TRUE
+                WHEN source = 'src7' THEN FALSE
+                WHEN source = 'src3' THEN doc_id % 4 = 0
+                WHEN source = 'src5' THEN FALSE
+                ELSE TRUE END AS allowed
+    FROM documents
+    """,
+)
+def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion crawl gate for agent 'trainbot'
+    (text/urls.py::robots_gate + parse_robots_lines, r8): three fetched
+    robots.txt bodies are parsed driver-side into the broadcast rule
+    frame — longest-prefix-wins with allow-on-tie (src3 re-allows
+    /p/public/ under a /p/ disallow), blanket disallow (src7), and the
+    agent-specific group override (src5's permissive '*' group is
+    IGNORED because a trainbot group exists). cdn.-hosts publish no
+    robots → allowed. URLs join the broadcast rules by host, prefix
+    match is a native startswith, one map-side-collapsing per-id
+    aggregation picks the winner. The oracle states every verdict in
+    closed form."""
+    from pharmacodi_spark.text.urls import parse_robots_lines, robots_gate
+
+    d = _t(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id", "source", F.expr(_ROBOTS_URL_EXPR).alias("url")
+    )
+    rule_rows = [
+        r
+        for host, body in sorted(_ROBOTS_BODIES.items())
+        for r in parse_robots_lines(host, body)
+    ]
+    rules = spark.createDataFrame(
+        rule_rows, ["host", "agent", "allow", "prefix"]
+    )
+    return robots_gate(with_url, rules, agent="trainbot")

@@ -385,3 +385,117 @@ def registered_domains(
         ps.alias("public_suffix"),
         reg.alias("registered_domain"),
     )
+
+
+def parse_robots_lines(host: str, text: str) -> list[tuple[str, str, bool, str]]:
+    """Parse ONE robots.txt body into ``(host, agent, allow, prefix)``
+    rules — the driver-side helper a crawler runs per fetched robots file
+    before unioning the rules into the broadcast frame :func:`robots_gate`
+    consumes. Implements the robotstxt.org grammar subset the gate
+    evaluates: ``User-agent`` groups (consecutive user-agent lines share
+    the following rule block), ``Allow``/``Disallow`` with plain path
+    prefixes, comments and blank lines dropped. An empty ``Disallow:``
+    (allow-all marker) is skipped — no-match already means allow.
+    Wildcard ``*``/``$`` path patterns are out of contract (documented)."""
+    rules: list[tuple[str, str, bool, str]] = []
+    agents: list[str] = []
+    block_open = False  # a rule line has followed the current agent list
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if block_open:
+                agents, block_open = [], False
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            block_open = True
+            if not value:
+                continue
+            for a in agents or ["*"]:
+                rules.append((host, a, field == "allow", value))
+    return rules
+
+
+def robots_gate(
+    df: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Crawl-permission gate: may ``agent`` use each URL, per the robots
+    exclusion protocol? ``rules`` is ``(host, agent, allow, prefix)``
+    (from :func:`parse_robots_lines` over fetched robots.txt bodies).
+    Google evaluation order: if a host publishes ANY group for this
+    agent, ONLY that group applies (the ``*`` group is ignored there);
+    the most SPECIFIC (longest-prefix) matching rule wins; an
+    allow/disallow tie at equal length resolves to allow; no matching
+    rule means allow. Returns ``(id, host, path, matched_prefix,
+    allowed)``.
+
+    Scale shape: rules are compliance-scale metadata — the agent-override
+    resolution (anti-join of ``*`` rows against hosts with a specific
+    group) happens on the broadcast side; URLs join the broadcast rules
+    by host (bounded fan-out: rules per host), prefix-match as a native
+    ``startswith``, and ONE map-side-collapsing per-id aggregation picks
+    the winning rule. Bodies never shuffle.
+    """
+    a = agent.lower()
+    r = rules.select(
+        F.lower("host").alias("host"),
+        F.lower("agent").alias("agent"),
+        F.col("allow").cast("boolean").alias("allow"),
+        F.col("prefix"),
+    )
+    specific = r.where(F.col("agent") == a)
+    general = r.where(F.col("agent") == "*").join(
+        specific.select("host").distinct(), "host", "left_anti"
+    )
+    applicable = (
+        specific.unionByName(general) if a != "*" else r.where(F.col("agent") == "*")
+    ).select("host", "allow", "prefix")
+
+    u = F.col(url_col)
+    rest = F.when(u.contains("://"), F.substring_index(u, "://", -1)).otherwise(u)
+    authority = F.substring_index(
+        F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1
+    )
+    pathq = F.substring_index(
+        rest.substr(F.length(authority) + 1, F.length(rest)), "#", 1
+    )
+    path = F.substring_index(pathq, "?", 1)
+    urls = df.select(
+        F.col(id_col),
+        url_host(url_col, strip_www=strip_www).alias("host"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
+    )
+    joined = urls.join(F.broadcast(applicable), "host", "left")
+    hit = F.col("prefix").isNotNull() & F.col("path").startswith(
+        F.col("prefix")
+    )
+    best = (
+        joined.groupBy(id_col, "host", "path")
+        .agg(
+            F.max(
+                F.when(
+                    hit,
+                    F.struct(
+                        F.length("prefix").alias("l"),
+                        F.col("allow").cast("int").alias("a"),
+                        F.col("prefix").alias("p"),
+                    ),
+                )
+            ).alias("__w")
+        )
+    )
+    return best.select(
+        id_col,
+        "host",
+        "path",
+        F.col("__w")["p"].alias("matched_prefix"),
+        F.coalesce(F.col("__w")["a"] == 1, F.lit(True)).alias("allowed"),
+    )

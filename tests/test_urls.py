@@ -291,3 +291,68 @@ def test_domain_quality_gate_psl_pools_subdomains(spark):
         assert pooled[i] == (False, "spam.co.uk", 1_000_000), pooled[i]
     for i in range(6, 12):
         assert pooled[i][0] is True and pooled[i][1] == "fine.co.uk"
+
+
+def test_parse_robots_lines():
+    from pharmacodi_spark.text.urls import parse_robots_lines
+
+    body = """
+# comment line
+User-agent: GoodBot
+User-agent: OtherBot
+Disallow: /private/   # inline comment
+Allow: /private/ok
+
+User-agent: *
+Disallow:
+Disallow: /tmp/
+"""
+    rules = parse_robots_lines("h.com", body)
+    # consecutive user-agent lines share the rule block; empty Disallow
+    # (allow-all marker) skipped; comments stripped
+    assert ("h.com", "goodbot", False, "/private/") in rules
+    assert ("h.com", "otherbot", False, "/private/") in rules
+    assert ("h.com", "goodbot", True, "/private/ok") in rules
+    assert ("h.com", "*", False, "/tmp/") in rules
+    assert all(r[3] != "" for r in rules)
+    # a user-agent line AFTER rules starts a NEW group
+    assert ("h.com", "*", False, "/private/") not in rules
+
+
+def test_robots_gate_semantics(spark):
+    from pharmacodi_spark.text.urls import parse_robots_lines, robots_gate
+
+    bodies = {
+        "a.com": "User-agent: *\nDisallow: /p/\nAllow: /p/ok\n",
+        "b.com": "User-agent: bot\nDisallow: /\nUser-agent: *\nAllow: /\n",
+    }
+    rules = spark.createDataFrame(
+        [r for h, b in sorted(bodies.items())
+         for r in parse_robots_lines(h, b)],
+        ["host", "agent", "allow", "prefix"],
+    )
+    urls = [
+        (0, "http://a.com/p/x"),        # disallowed
+        (1, "http://a.com/p/ok/y"),     # longest prefix re-allows
+        (2, "http://a.com/other"),      # no match -> allowed
+        (3, "http://b.com/anything"),   # bot group overrides permissive *
+        (4, "http://c.com/no/robots"),  # unknown host -> allowed
+        (5, "http://b.com"),            # bare host -> path '/'
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_gate(df, rules, agent="bot").collect()
+    }
+    assert got[0] == (False, "/p/")
+    assert got[1] == (True, "/p/ok")
+    assert got[2] == (True, None)
+    assert got[3] == (False, "/")
+    assert got[4] == (True, None)
+    assert got[5] == (False, "/")
+    # the same corpus under the default agent: b.com's * group allows
+    star = {
+        r["doc_id"]: r["allowed"]
+        for r in robots_gate(df, rules, agent="*").collect()
+    }
+    assert star[3] is True and star[0] is False
