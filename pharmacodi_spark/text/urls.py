@@ -453,7 +453,7 @@ def robots_gate(
     )
     specific = r.where(F.col("agent") == a)
     general = r.where(F.col("agent") == "*").join(
-        specific.select("host").distinct(), "host", "left_anti"
+        F.broadcast(specific.select("host").distinct()), "host", "left_anti"
     )
     applicable = (
         specific.unionByName(general) if a != "*" else r.where(F.col("agent") == "*")

@@ -87,6 +87,11 @@ CASES = [
      "the bigram count table and the occurrence stream are barrier-pinned "
      "— bi feeds five consumers (c1/n1p, ncont, T, the scoring join), "
      "occ feeds two; unpinned each re-expands the tokenize/explode"),
+    ("hashed_lang_confusion", r"\bGenerate\b", False,
+     "lang-head scoring is explode-free — per-row native folds over a "
+     "materialized index array, zero shuffles before the rollup"),
+    ("robots_txt_gate", r"SortMergeJoin", False,
+     "robots rules are compliance-scale: URL gate joins stay broadcast"),
     ("bigram_surprisal", r"Scan parquet", False,
      "one tokenize+explode total (r8 sf1 triage): the per-doc occurrence "
      "table and the bigram count table are pinned, so the final plan "

@@ -561,6 +561,35 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the vocabulary-scale score table joins broadcast-side where it "
          "fits; only the two stream-scale joins may sort-merge"),
     ],
+    "hashed_lang_confusion": [
+        (r"\bGenerate\b", False,
+         "scoring is explode-free: one md5 per token into a materialized "
+         "index array, |langs| native folds per row — the corpus never "
+         "leaves its scan partitions"),
+        (r"BatchEvalPython|ArrowEvalPython|MapInPandas", False,
+         "the whole lang head is native expressions — no Python in the "
+         "hot path (weights ride as constant-folded literals)"),
+    ],
+    "anchor_text_rollup": [
+        (r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", False,
+         "no join at all: anchors explode to (host, token) rows that "
+         "collapse map-side; the rank window runs on the metadata-scale "
+         "rollup"),
+    ],
+    "robots_txt_gate": [
+        (r"BroadcastHashJoin", True,
+         "URLs probe the broadcast rule frame by host; the "
+         "agent-override anti-join also resolves broadcast-side"),
+        (r"SortMergeJoin", False,
+         "rules are compliance-scale metadata — no corpus-scale join "
+         "anywhere in the gate"),
+    ],
+    "domain_quality_rollup_psl": [
+        (r"BroadcastHashJoin", True,
+         "the PSL and the offender table broadcast; the registrable-key "
+         "attach is one id-keyed metadata aggregation"),
+        (r"SortMergeJoin", False, "no corpus-scale join"),
+    ],
     "host_link_rank": [
         (r"Scan ExistingRDD", True,
          "the edge list AND the node set are pinned once (pagerank_int) — "
