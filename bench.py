@@ -151,6 +151,7 @@ HEADLINE = HEADLINE_R1 + [
     "domain_quality_rollup_psl",
     "anchor_text_rollup",
     "robots_txt_gate",
+    "authority_gate",
 ]
 
 

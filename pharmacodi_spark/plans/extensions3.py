@@ -3081,15 +3081,9 @@ def hashed_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _host_rank_sql(iters: int = 6) -> str:
-    """Unrolled integer-PageRank oracle over the CLOSED-FORM host edge set
-    the synthesized pages encode (the oracle never parses HTML): host
-    srcN links to src(N%5) and src((N·N)%11) — a SKEWED in-degree profile
-    (quadratic residues collide unevenly), so ranks genuinely spread —
-    and every N%3==0 host also links to the pure sink 'hub.example.com'
-    (never a source → real dangling mass). Same integer algebra as
-    _pagerank_dangling_sql (scale 1e9, damping 85/100, dangling
-    redistributed)."""
+def _host_rank_parts(iters: int = 6) -> list[str]:
+    """The CTE list behind :func:`_host_rank_sql` — also reused as the
+    rank-prior sub-derivation of the authority_gate oracle."""
     n_nodes = "(SELECT count(*) FROM nodes)"
     base = "(SELECT (15000000000 // (100 * count(*))) FROM nodes)"
     parts = [
@@ -3135,9 +3129,21 @@ def _host_rank_sql(iters: int = 6) -> str:
         GROUP BY e.dst
       ) s ON n.v = s.v)"""
         )
+    return parts
+
+
+def _host_rank_sql(iters: int = 6) -> str:
+    """Unrolled integer-PageRank oracle over the CLOSED-FORM host edge set
+    the synthesized pages encode (the oracle never parses HTML): host
+    srcN links to src(N%5) and src((N·N)%11) — a SKEWED in-degree profile
+    (quadratic residues collide unevenly), so ranks genuinely spread —
+    and every N%3==0 host also links to the pure sink 'hub.example.com'
+    (never a source → real dangling mass). Same integer algebra as
+    _pagerank_dangling_sql (scale 1e9, damping 85/100, dangling
+    redistributed)."""
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_host_rank_parts(iters))
         + f"\n    SELECT v AS host, CAST(r AS BIGINT) AS rank_e9 "
         f"FROM r{iters}"
     )
@@ -3393,3 +3399,59 @@ def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule_rows, ["host", "agent", "allow", "prefix"]
     )
     return robots_gate(with_url, rules, agent="trainbot")
+
+
+def _authority_gate_sql(iters: int = 6) -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_host_rank_parts(iters))
+        + f""",
+    ranks AS (SELECT v AS host, r FROM r{iters}),
+    st AS (SELECT count(*) AS n, sum(r) AS s FROM ranks)
+    SELECT d.doc_id,
+           lower(d.source) || '.example.com' AS host,
+           CAST(ranks.r AS BIGINT) AS rank_e9,
+           ranks.r * (SELECT n FROM st) >= (SELECT s FROM st) AS keep
+    FROM documents d
+    JOIN ranks ON ranks.host = lower(d.source) || '.example.com'
+    """
+    )
+
+
+@q("authority_gate", _authority_gate_sql(6))
+def authority_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-prior selection gate: keep documents whose HOST carries
+    at-least-average link-graph PageRank — the standard crawl-frontier /
+    curation prior composed end to end from this round's pieces:
+    extract_links → url_host → pagerank_int (host_link_rank) feeding a
+    per-doc verdict. The mean is an exact integer cross-multiplication
+    (``r·n ≥ Σr`` over the rank universe — no division), so every engine
+    agrees bit-for-bit. The rank table is domain-cardinality metadata:
+    pinned once (it feeds the stats aggregate AND the per-doc join),
+    stats ride as a broadcast 1-row aggregate, and the doc join probes
+    the broadcast rank table — bodies never shuffle."""
+    from pharmacodi_spark.barrier import stage_barrier
+
+    ranks = stage_barrier(
+        host_link_rank(spark, sf_dir), name="authority_ranks"
+    )
+    st = ranks.agg(
+        F.count("*").alias("__n"), F.sum("rank_e9").alias("__s")
+    )
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lower(F.col("source")), F.lit(".example.com")).alias(
+            "host"
+        ),
+    )
+    return (
+        docs.join(F.broadcast(ranks), "host")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "host",
+            "rank_e9",
+            (F.col("rank_e9") * F.col("__n") >= F.col("__s")).alias("keep"),
+        )
+    )
