@@ -87,6 +87,8 @@ CASES = [
      "the bigram count table and the occurrence stream are barrier-pinned "
      "— bi feeds five consumers (c1/n1p, ncont, T, the scoring join), "
      "occ feeds two; unpinned each re-expands the tokenize/explode"),
+    ("authority_gate", r"SortMergeJoin", False,
+     "docs probe the broadcast rank table; mean = broadcast 1-row agg"),
     ("hashed_lang_confusion", r"\bGenerate\b", False,
      "lang-head scoring is explode-free — per-row native folds over a "
      "materialized index array, zero shuffles before the rollup"),

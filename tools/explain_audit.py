@@ -561,6 +561,16 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the vocabulary-scale score table joins broadcast-side where it "
          "fits; only the two stream-scale joins may sort-merge"),
     ],
+    "authority_gate": [
+        (r"Scan ExistingRDD", True,
+         "the rank table is pinned — it feeds the stats aggregate AND "
+         "the per-doc join without re-running the link-extraction + "
+         "PageRank derivation"),
+        (r"BroadcastHashJoin", True,
+         "docs probe the broadcast domain-cardinality rank table; the "
+         "mean rides as a broadcast 1-row aggregate"),
+        (r"SortMergeJoin", False, "no corpus-scale join"),
+    ],
     "hashed_lang_confusion": [
         (r"\bGenerate\b", False,
          "scoring is explode-free: one md5 per token into a materialized "
