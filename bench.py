@@ -152,6 +152,10 @@ HEADLINE = HEADLINE_R1 + [
     "anchor_text_rollup",
     "robots_txt_gate",
     "authority_gate",
+    # round-9 additions: script-aware tokenization audit + CJK near-dup
+    # through the unchanged MinHash family (normalize_spacefree stage 0)
+    "unicode_token_stats",
+    "unicode_minhash_pairs",
 ]
 
 
@@ -335,7 +339,10 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
     # the slowest entries that fit the budget (the ones worth triaging from
     # the tail alone), largest-first, so truncation drops the cheap ones.
     compact = dict(full)
-    compact["queries_full"] = "BENCH_FULL.json"
+    # point at the file this run actually wrote (non-sf0.1 scales go to
+    # BENCH_FULL_sf{X}.json — a hardcoded name left the pointer stale
+    # for sf1 legs, ADVICE r8)
+    compact["queries_full"] = os.path.basename(full_path)
     compact["n_queries"] = len(timings)
     # the failed list is also bounded (n_failed always carries the true
     # count): an all-failed run is exactly the case where the driver's

@@ -17,6 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 # incremental ingest). Queries past the window keep full coverage via the
 # local driver-sim and the pytest oracle mirror.
 _DRIVER_WINDOW = [
+    # ------------------------------------------------------------------
+    # r9 FULL rotation (VERDICT r8 item 1 + the standing policy it sets):
+    # every one of the 50 r8-window slots has a hard driver-green row in
+    # CORRECTNESS_r08.json (50/50 green), and every §2 operator ID keeps
+    # its citation through those historical rows — so ALL 50 slots now go
+    # to the registry's never-driver-verified debt (92 entries after r8),
+    # oldest-registration-first, plus this round's flagships. The rotated
+    # -out queries keep full coverage via the local driver-sim + pytest
+    # oracle mirror (tests/test_queries_oracle.py), same compare, every
+    # session. Remaining debt after this window lands: 92 − 50 + (new
+    # registrations) — r10 continues oldest-first until it's burned down.
+    # ------------------------------------------------------------------
+    # r8 flagships that never earned a driver row (VERDICT r8 item 1):
+    "robots_txt_gate", "authority_gate", "host_link_rank",
+    "anchor_text_rollup", "domain_quality_rollup_psl",
+    # r9 new capability: Unicode/script-aware tokenization audit
+    "unicode_token_stats",
+    # oldest never-driver-verified registry entries, registration order:
+    "near_dup_droplist", "multimodal_plans", "ann_ivf_topk", "ann_pq_topk",
+    "corpus_idf", "tfidf_top_terms", "ngram_topk", "repeated_spans",
+    "span_scrub", "pii_redact", "quantiles", "dispersion_stats",
+    "running_totals", "date_kit", "hash_sample", "ols_slope", "window_kit",
+    "gap_fill_resample", "bloom_semi_equiv", "weighted_sample",
+    "profile_table", "label_propagation", "pagerank_int", "rolling_anomaly",
+    "scd2_history", "topk_per_group", "fuzzy_name_match", "regional_revenue",
+    "array_kit", "interval_join_batch", "conversion_funnel",
+    "retention_cohorts", "vocab_train", "unigram_surprisal",
+    "gopher_repetition", "sequence_packing", "benchmark_decontam",
+    "mixture_sample", "skew_diagnose", "substring_dup_spans",
+    "group_reservoir_sample", "document_chunks", "source_quality_rollup",
+    "vocab_growth_curve",
+]
+
+#: the r1–r8 curated window, kept for the per-slot rotation rationale the
+#: comments below document (each §2 ID's in-window coverage argument) —
+#: every entry here has a driver-green CORRECTNESS row from r8 or earlier.
+_DRIVER_WINDOW_R8 = [
     # flagship + TPC-H headline
     "pricing_summary", "experiment_join",
     # sources / sinks (S1-S5, S7, S9, S12)

@@ -3711,7 +3711,10 @@ def _curation_cascade(
         # projection prepended to the scan, then the cascade is unchanged
         from pharmacodi_spark.text.html import html_to_text
 
-        d = html_to_text(d, html_col=html_col, out_col="text").drop(html_col)
+        d = html_to_text(d, html_col=html_col, out_col="text")
+        if html_col != "text":  # html stored IN the text column: the
+            # extraction replaced it in place — dropping would lose it
+            d = d.drop(html_col)
     gop = repetition_metrics(d).where("keep").select("doc_id")
     sur = (
         unigram_surprisal(d)

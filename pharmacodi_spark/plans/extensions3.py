@@ -3332,7 +3332,8 @@ def anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROBOTS_URL_EXPR = (
     "concat('http://', CASE WHEN doc_id % 5 = 0 THEN 'CDN.' ELSE '' END, "
     "source, '.Example.COM', CASE WHEN doc_id % 4 = 0 "
-    "THEN concat('/p/public/', doc_id) ELSE concat('/p/', doc_id) END)"
+    "THEN concat('/p/public/', doc_id) ELSE concat('/p/', doc_id) END, "
+    "CASE WHEN doc_id % 7 = 0 THEN concat('?ref=', doc_id) ELSE '' END)"
 )
 
 _ROBOTS_BODIES = {
@@ -3347,6 +3348,13 @@ _ROBOTS_BODIES = {
         "User-agent: trainbot\nDisallow: /p/\n\n"
         "User-agent: *\nAllow: /\n"
     ),
+    # rules fetched from the www. host must gate the apex host — the
+    # rules side gets the same normalization as url_host (ADVICE r8)
+    "www.src1.example.com": "User-agent: *\nDisallow: /\n",
+    # Google-REP wildcards: '*' any char sequence, trailing '$' anchor
+    "src2.example.com": "User-agent: *\nDisallow: /*4$\n",
+    # query-targeted rule: RFC 9309 matches against path INCLUDING query
+    "src6.example.com": "User-agent: *\nDisallow: *?ref=\n",
 }
 
 
@@ -3356,34 +3364,47 @@ _ROBOTS_BODIES = {
     SELECT doc_id,
            CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
              || lower(source) || '.example.com' AS host,
-           CASE WHEN doc_id % 4 = 0 THEN '/p/public/' || doc_id
-                ELSE '/p/' || doc_id END AS path,
+           (CASE WHEN doc_id % 4 = 0 THEN '/p/public/' || doc_id
+                 ELSE '/p/' || doc_id END)
+           || (CASE WHEN doc_id % 7 = 0 THEN '?ref=' || doc_id
+                    ELSE '' END) AS path,
            CASE WHEN doc_id % 5 = 0 THEN NULL
                 WHEN source = 'src7' THEN '/'
+                WHEN source = 'src1' THEN '/'
                 WHEN source = 'src3' AND doc_id % 4 = 0 THEN '/p/public/'
                 WHEN source = 'src3' THEN '/p/'
                 WHEN source = 'src5' THEN '/p/'
+                WHEN source = 'src2' AND doc_id % 10 = 4 THEN '/*4$'
+                WHEN source = 'src6' AND doc_id % 7 = 0 THEN '*?ref='
                 ELSE NULL END AS matched_prefix,
            CASE WHEN doc_id % 5 = 0 THEN TRUE
                 WHEN source = 'src7' THEN FALSE
+                WHEN source = 'src1' THEN FALSE
                 WHEN source = 'src3' THEN doc_id % 4 = 0
                 WHEN source = 'src5' THEN FALSE
+                WHEN source = 'src2' THEN doc_id % 10 <> 4
+                WHEN source = 'src6' THEN doc_id % 7 <> 0
                 ELSE TRUE END AS allowed
     FROM documents
     """,
 )
 def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-exclusion crawl gate for agent 'trainbot'
-    (text/urls.py::robots_gate + parse_robots_lines, r8): three fetched
-    robots.txt bodies are parsed driver-side into the broadcast rule
-    frame — longest-prefix-wins with allow-on-tie (src3 re-allows
-    /p/public/ under a /p/ disallow), blanket disallow (src7), and the
-    agent-specific group override (src5's permissive '*' group is
-    IGNORED because a trainbot group exists). cdn.-hosts publish no
-    robots → allowed. URLs join the broadcast rules by host, prefix
-    match is a native startswith, one map-side-collapsing per-id
-    aggregation picks the winner. The oracle states every verdict in
-    closed form."""
+    (text/urls.py::robots_gate + parse_robots_lines, r8; wildcards +
+    host/query normalization r9): six fetched robots.txt bodies are
+    parsed driver-side into the broadcast rule frame —
+    longest-rule-wins with allow-on-tie (src3 re-allows /p/public/
+    under a /p/ disallow), blanket disallow (src7), the agent-specific
+    group override (src5's permissive '*' group is IGNORED because a
+    trainbot group exists), rules fetched from a www. host gating the
+    apex host (src1, ADVICE r8), a Google-REP anchored wildcard
+    'Disallow: /*4$' dropping every path that ends in 4 (src2), and a
+    query-targeted 'Disallow: *?ref=' proving RFC 9309 path+query
+    matching (src6). cdn.-hosts publish no robots → allowed. URLs join
+    the broadcast rules by host; plain rules match as native
+    startswith, wildcard rules via a broadcast-side regex translation;
+    one map-side-collapsing per-id aggregation picks the winner. The
+    oracle states every verdict in closed form."""
     from pharmacodi_spark.text.urls import parse_robots_lines, robots_gate
 
     d = _t(spark, sf_dir, "documents")
@@ -3455,3 +3476,214 @@ def authority_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank_e9") * F.col("__n") >= F.col("__s")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode tokenization (text/analysis.py::unicode_tokens) — VERDICT r8 item 3
+# ---------------------------------------------------------------------------
+
+#: mixed-script fixture sentences (index = doc_id % 4): Han, Thai+Latin,
+#: Japanese (Hiragana/Katakana/Han), pure-Latin control. Shared verbatim by
+#: the Spark literal array and the DuckDB CASE so the fixture can't diverge.
+_MIXED_SENTENCES = [
+    "深度学习模型的训练数据质量很重要",
+    "ทดสอบการตัดคำภาษาไทย with a latin tail",
+    "日本語のテキスト処理パイプライン test",
+    "plain ascii words only here",
+]
+
+#: RE2 (DuckDB) twins of analysis._SPACEFREE_JAVA / the \p{L}\p{M}\p{N}
+#: extraction class — same Unicode semantics, different property syntax
+_SPACEFREE_RE2_CLS = r"([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])"
+_UNI_TOKEN_RE2 = r"[\p{L}\p{M}\p{N}]+"
+
+_UNI_CASE = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_MIXED_SENTENCES)
+    )
+    + " END"
+)
+
+
+@q(
+    "unicode_token_stats",
+    f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             CAST(doc_id % 4 AS BIGINT) AS bucket,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' ' || {_UNI_CASE} AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT bucket,
+             len(list_filter(str_split(text, ' '), x -> x <> ''))
+               AS n_ws,
+             len(regexp_extract_all(
+               regexp_replace(text, '{_SPACEFREE_RE2_CLS}', ' \\1 ', 'g'),
+               '{_UNI_TOKEN_RE2}')) AS n_uni
+      FROM fixture
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(n_uni) AS BIGINT) AS sum_uni_tokens,
+           CAST(min(n_uni) AS BIGINT) AS min_uni_tokens,
+           CAST(max(n_uni) AS BIGINT) AS max_uni_tokens
+    FROM tok
+    GROUP BY bucket
+    """,
+)
+def unicode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/multilingual tokenization audit (text/analysis.py::
+    unicode_tokens, VERDICT r8 item 3): a mixed-script fixture (Han,
+    Thai, Japanese, Latin-control sentences keyed by doc_id % 4)
+    tokenized two ways — the historical split-on-space convention vs the
+    script-aware tokenizer (space-free-script chars padded into
+    char-level tokens, then \\p{{L}}\\p{{M}}\\p{{N}} runs extracted).
+    The per-bucket rollup makes the failure mode measurable: CJK/Thai
+    buckets report ~3-5 whitespace "words" per doc (the whole sentence
+    collapses to one token) but 15-25 unicode tokens, while the Latin
+    control bucket agrees under both tokenizers. Two native regex
+    projections + one map-side-combining aggregate — zero joins, zero
+    UDFs; the DuckDB twin runs the same two regexes in RE2 syntax."""
+    from pharmacodi_spark.text.analysis import unicode_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    sent = F.element_at(
+        F.lit(_MIXED_SENTENCES), (F.col("doc_id") % 4).cast("int") + 1
+    )
+    fixture = d.select(
+        (F.col("doc_id") % 4).cast("long").alias("bucket"),
+        F.concat(
+            F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "), sent
+        ).alias("text"),
+    )
+    tok = fixture.select(
+        "bucket",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("n_ws"),
+        F.size(unicode_tokens("text")).alias("n_uni"),
+    )
+    return tok.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("sum_ws_tokens"),
+        F.sum("n_uni").cast("long").alias("sum_uni_tokens"),
+        F.min("n_uni").cast("long").alias("min_uni_tokens"),
+        F.max("n_uni").cast("long").alias("max_uni_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CJK near-dup through the unchanged MinHash family
+# (text/analysis.py::normalize_spacefree as the stage-0 projection)
+# ---------------------------------------------------------------------------
+
+#: five CJK "document" templates (first/second half per group) and eleven
+#: two-char variant markers — raw UNSPACED Han text, so split-on-space sees
+#: one token per document until normalize_spacefree pads the chars apart
+_CJK_BASE1 = [
+    "深度学习模型需要大量高质量训练数据",
+    "自然语言处理技术正在快速发展进步",
+    "分布式计算框架处理海量网页文本",
+    "数据去重算法能够提升语料库质量",
+    "语言模型评估基准覆盖多种任务类型",
+]
+_CJK_BASE2 = [
+    "清洗流程包括多个连续阶段",
+    "相似文档检测依靠哈希签名",
+    "系统架构支持容错与扩展",
+    "指纹方法计算文档的摘要",
+    "测试集合污染必须被去除",
+]
+_CJK_VARS = [
+    "甲乙", "丙丁", "戊己", "庚辛", "壬癸", "子丑",
+    "寅卯", "辰巳", "午未", "申酉", "戌亥",
+]
+
+
+def _cjk_case(col_expr: str, items: list[str]) -> str:
+    return (
+        f"CASE CAST({col_expr} AS INT) "
+        + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(items))
+        + " END"
+    )
+
+
+def _unicode_minhash_sql() -> str:
+    from pharmacodi_spark.plans.extensions import _minhash_sql_select
+
+    raw = (
+        f"{_cjk_case('doc_id % 5', _CJK_BASE1)} || "
+        f"{_cjk_case('doc_id % 11', _CJK_VARS)} || "
+        f"{_cjk_case('doc_id % 5', _CJK_BASE2)}"
+    )
+    norm = (
+        "trim(regexp_replace(regexp_replace(" + raw + ", "
+        r"'([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'), "
+        r"'\s+', ' ', 'g'))"
+    )
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id, {norm} AS text FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks)-4, 1))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM fixture))
+    ),
+    sig AS (
+      SELECT doc_id, {_minhash_sql_select(4)} FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS v1, h1 AS v2 FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 AS v1, h3 AS v2 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@q("unicode_minhash_pairs", _unicode_minhash_sql())
+def unicode_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK near-dup candidate pairs through the UNCHANGED MinHash-LSH
+    family (r9): the fixture documents are raw unspaced Han text (five
+    base templates × eleven two-char variant markers — planted near-dup
+    groups), on which split-on-space sees ONE token per document and
+    every shingle detector silently degenerates (the VERDICT r8
+    multilingual gap). text/analysis.py::normalize_spacefree runs as a
+    stage-0 projection (each space-free-script char padded into its own
+    token, whitespace collapsed), after which the existing
+    shingle→md5→minhash→band→bucket pipeline works verbatim — proving
+    the dedup family is multilingual via ONE zero-shuffle pre-stage, not
+    a parallel CJK implementation. Same scale shape as
+    minhash_band_pairs: one explode + one signature groupBy, bucket-local
+    pair expansion, no self-join. The oracle runs the identical
+    normalization + pipeline in RE2/DuckDB syntax."""
+    from pharmacodi_spark.plans.extensions import (
+        _band_pairs_from_sig,
+        _signature,
+    )
+    from pharmacodi_spark.text.analysis import normalize_spacefree
+
+    d = _t(spark, sf_dir, "documents")
+    b1 = F.element_at(
+        F.lit(_CJK_BASE1), (F.col("doc_id") % 5).cast("int") + 1
+    )
+    var = F.element_at(
+        F.lit(_CJK_VARS), (F.col("doc_id") % 11).cast("int") + 1
+    )
+    b2 = F.element_at(
+        F.lit(_CJK_BASE2), (F.col("doc_id") % 5).cast("int") + 1
+    )
+    fixture = d.select(
+        "doc_id",
+        normalize_spacefree(F.concat(b1, var, b2)).alias("text"),
+    )
+    return _band_pairs_from_sig(_signature(fixture))

@@ -8,6 +8,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: space-free-script char class — scripts whose words are NOT whitespace
+#: delimited, so splitting on spaces collapses a whole line to one "word"
+#: (the silent-degrade VERDICT r8 flagged for CJK/Thai corpora). Hangul is
+#: excluded: Korean IS space-delimited. Java regex script syntax for the
+#: Spark side; :data:`SPACEFREE_RE2` is the same class in RE2 syntax for
+#: DuckDB oracle twins.
+_SPACEFREE_JAVA = r"\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsThai}"
+SPACEFREE_RE2 = r"\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}"
+
+
+def normalize_spacefree(col) -> "F.Column":
+    """Space-normalized text with every space-free-script char padded into
+    its own whitespace-delimited token — the projection that makes the
+    ENTIRE split-on-space operator family (minhash shingles, winnowing
+    grams, simhash features, repetition grams, surprisal LMs) correct on
+    CJK/Thai text without touching any of those operators: run this as a
+    stage-0 projection over the scan and every downstream gate sees a
+    real token stream instead of one line-sized "word". Whitespace runs
+    collapse to single spaces and the result is trimmed, so the output
+    obeys the corpus-wide single-space token convention. Two native
+    regexes + trim, zero shuffle; DuckDB twin = the same expressions with
+    :data:`SPACEFREE_RE2`."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.regexp_replace(c, f"([{_SPACEFREE_JAVA}])", r" $1 ")
+    return F.trim(F.regexp_replace(padded, r"\s+", " "))
+
+
+def unicode_tokens(col) -> "F.Column":
+    """Script-aware token array — the Unicode-correct replacement for the
+    split-on-space convention (which is still the documented contract of
+    the fixture-oracle gates): every space-free-script char (Han,
+    Hiragana, Katakana, Thai) is padded into its own token (the standard
+    char-level fallback — real CJK segmentation needs a dictionary;
+    char-level keeps every downstream gate meaningful instead of
+    collapsing a document to one word), then letter/mark/digit runs are
+    extracted with ``\\p{L}\\p{M}\\p{N}`` classes, so accented and
+    non-Latin words survive where ``[a-zA-Z]+`` dropped them. Two native
+    regex expressions, zero shuffle; DuckDB twin = the same two regexes
+    with :data:`SPACEFREE_RE2`."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.regexp_replace(c, f"([{_SPACEFREE_JAVA}])", r" $1 ")
+    return F.regexp_extract_all(padded, F.lit(r"[\p{L}\p{M}\p{N}]+"), 0)
+
+
 DEFAULT_STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
     "es": ["el", "la", "de", "y", "en", "que", "los", "un", "por", "con"],
@@ -16,14 +60,31 @@ DEFAULT_STOPWORDS = {
 }
 
 
-def token_counts(df: DataFrame, content_col: str = "text") -> DataFrame:
+def token_counts(
+    df: DataFrame, content_col: str = "text", unicode_aware: bool = False
+) -> DataFrame:
     """Whitespace + BPE-ish token counting: word tokens, subword-ish units
     (runs of letters/digits/punctuation — a regex approximation of byte-pair
-    pretokenization), chars."""
-    words = F.split(F.col(content_col), r"\s+")
-    subwords = F.regexp_extract_all(
-        F.col(content_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
-    )
+    pretokenization), chars. ``unicode_aware=True`` swaps the ASCII token
+    classes for :func:`unicode_tokens` words and ``\\p{L}/\\p{N}``
+    subword classes (CJK/Thai chars tokenize char-level instead of
+    collapsing a line to one word); the default keeps the historical
+    ASCII contract the fixture oracles state."""
+    if unicode_aware:
+        words = unicode_tokens(content_col)
+        padded = F.regexp_replace(
+            F.col(content_col), f"([{_SPACEFREE_JAVA}])", r" $1 "
+        )
+        subwords = F.regexp_extract_all(
+            padded,
+            F.lit(r"[\p{L}\p{M}]+|[\p{N}]+|[^\p{L}\p{M}\p{N}\s]"),
+            0,
+        )
+    else:
+        words = F.split(F.col(content_col), r"\s+")
+        subwords = F.regexp_extract_all(
+            F.col(content_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+        )
     return df.withColumns(
         {
             "n_words": F.size(words).cast("long"),
@@ -88,6 +149,7 @@ def repetition_metrics(
     dup_gram: int = 3,
     max_top_frac: float = 0.20,
     max_dup_frac: float = 0.30,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Gopher/RefinedWeb-style repetition quality gates, per document:
 
@@ -104,8 +166,17 @@ def repetition_metrics(
     pipelines (shuffle keys are (id, gram) then id — no global state, no
     window over the corpus), joined back on id. Fractions are exact IEEE
     divisions of < 2^53 integers.
+
+    ``tokens_col`` names a pre-tokenized array column (e.g. from
+    :func:`unicode_tokens` for CJK/Thai corpora — the split-on-space
+    default collapses space-free scripts to one token per line); the
+    default keeps the fixture-oracle contract.
     """
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     base = df.select(F.col(id_col), toks.alias("__toks"))
 
     def grams(n: int) -> DataFrame:

@@ -122,6 +122,7 @@ def unigram_surprisal(
     content_col: str = "text",
     id_col: str = "doc_id",
     scale_bits: int = 20,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document unigram surprisal — the corpus-LM quality filter (the
     CCNet-style perplexity gate, with the corpus itself as the language
@@ -137,9 +138,20 @@ def unigram_surprisal(
     scoring join is per-token against that table (AQE broadcasts it when
     it fits, and hot-token skew splits under the skew-join rule); the
     corpus total rides in-plan as a broadcast 1-row aggregate — no driver
-    action anywhere."""
+    action anywhere.
+
+    ``tokens_col`` names a pre-tokenized array column (e.g.
+    ``analysis.unicode_tokens`` for CJK/Thai corpora, where the
+    split-on-space default collapses a whole line to one token and the
+    surprisal LM silently degenerates); the default keeps the
+    fixture-oracle contract."""
+    tok_src = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.split(F.col(content_col), " ")
+    )
     toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(content_col), " ")).alias("token")
+        F.col(id_col), F.explode(tok_src).alias("token")
     ).where(F.col("token") != "")
     # empty tokens from leading/trailing/repeated whitespace would inflate
     # n_words and enter the unigram distribution (ADVICE r4) — drop them,

@@ -507,6 +507,8 @@ def repeated_spans(
     content_col: str = "text",
     id_col: str = "doc_id",
     sample_mod: int = 1,
+    exact_verify: bool = True,
+    hash_fn=None,
 ) -> DataFrame:
     """Exact substring-duplicate detection (the ExactSubstr pass of Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models Better"):
@@ -530,8 +532,22 @@ def repeated_spans(
     of a duplicate select the same windows (winnowing-style); detection
     becomes probabilistic for spans near ``min_len`` but the table shrinks
     by the factor. The 60-bit hash is md5-derived for cross-engine oracle
-    parity; a production deployment would swap in ``xxhash64`` (same
-    shape, cheaper CPU).
+    parity; ``hash_fn`` (text Column → long Column) swaps it — a
+    production deployment uses ``xxhash64`` (same shape, cheaper CPU),
+    and the adversarial-collision pytest injects a deliberately-colliding
+    hash to prove the referee below.
+
+    ``exact_verify`` (default, VERDICT r8 item 4) makes the pass EXACT
+    per the Lee-2021 citation instead of
+    collision-probabilistic: hash-colliding candidate windows get an
+    exact byte-compare referee — the duplicate test becomes "the window
+    TEXT occurs ≥ 2 times", not "the 60-bit hash does". Bounded: only
+    candidate windows (hash count ≥ 2 — the duplicate mass plus the
+    ~n²/2⁶⁰ collision tail) re-derive their text, via ONE per-doc
+    aggregated position array joined back to the tokenized docs (the
+    candidate-position table is metadata-scale; AQE broadcasts it when
+    it fits), so the verify shuffle carries candidate window text only —
+    the corpus-wide stride-1 table still moves 24 B/token.
     """
     assert min_len >= 2 and sample_mod >= 1
     # Stride-1 hashing is the dominant CPU term (one md5 per corpus token),
@@ -552,21 +568,17 @@ def repeated_spans(
     toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
     base = base.select(F.col(id_col), toks.alias("__tk"))
     n = F.size("__tk")
+    if hash_fn is None:
+        hash_fn = lambda t: (  # noqa: E731 — 60-bit md5 prefix (oracle twin)
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
     win = F.transform(
         F.sequence(F.lit(1), n - (min_len - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice(F.col("__tk"), i, min_len), " ")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
+            hash_fn(
+                F.array_join(F.slice(F.col("__tk"), i, min_len), " ")
+            ).alias("h"),
         ),
     )
     w = (
@@ -580,6 +592,40 @@ def repeated_spans(
     dup_w = w.withColumn(
         "__c", F.count("*").over(Window.partitionBy("h"))
     ).where("__c >= 2")
+    if exact_verify:
+        # exact byte-compare referee on the colliding candidates: the
+        # per-doc candidate positions ride back to the tokenized docs as
+        # ONE aggregated array (metadata per candidate doc), each window's
+        # text is re-sliced on the doc's own partition inside a transform
+        # (never exploding the token array per window), and the duplicate
+        # test recounts over (hash, window TEXT) — a hash collision
+        # between two distinct windows can no longer mark either.
+        cand_pos = dup_w.groupBy(id_col).agg(
+            F.collect_list(F.struct("pos", "h")).alias("__ps")
+        )
+        wins_txt = F.transform(
+            F.col("__ps"),
+            lambda p: F.struct(
+                p["pos"].alias("pos"),
+                p["h"].alias("h"),
+                F.array_join(
+                    F.slice(F.col("__tk"), p["pos"], min_len), " "
+                ).alias("wt"),
+            ),
+        )
+        wt = (
+            base.join(cand_pos, id_col)
+            .select(F.col(id_col), F.explode(wins_txt).alias("w"))
+            .select(
+                id_col,
+                F.col("w.pos").alias("pos"),
+                F.col("w.h").alias("h"),
+                F.col("w.wt").alias("wt"),
+            )
+        )
+        dup_w = wt.withColumn(
+            "__c", F.count("*").over(Window.partitionBy("h", "wt"))
+        ).where("__c >= 2")
     ow = Window.partitionBy(id_col).orderBy("pos")
     flagged = dup_w.withColumn(
         "new_span",

@@ -282,6 +282,7 @@ def extract_links(
     html_col: str = "html",
     id_col: str = "doc_id",
     out_col: str = "href",
+    absolute_only: bool = True,
 ) -> DataFrame:
     """(id, href) rows: every ``<a href="...">`` / ``<a href='...'>``
     target on the page — the web-graph edge extractor feeding host-level
@@ -289,6 +290,10 @@ def extract_links(
     standard second-order quality signal next to content gates). Native
     ``regexp_extract_all`` over the scrubbed page (script/style/title
     bodies can contain fake anchors), one explode; empty hrefs dropped.
+    ``absolute_only`` (default) keeps only absolute http(s) targets —
+    relative (``/about``) and non-web (``mailto:``, ``javascript:``)
+    hrefs would map to garbage hosts in downstream ``url_host`` edges
+    (ADVICE r8); pass ``False`` to get the raw href stream.
     Pages never shuffle — the output rows are (id, short string)."""
     h = _scrub(F.col(html_col) if isinstance(html_col, str) else html_col)
     links = F.concat(
@@ -299,15 +304,19 @@ def extract_links(
             h, F.lit(r"(?is)<a[\s/][^>]*href\s*=\s*'([^']*)'"), F.lit(1)
         ),
     )
-    return df.select(
+    out = df.select(
         F.col(id_col), F.explode(links).alias(out_col)
     ).where(F.col(out_col) != "")
+    if absolute_only:
+        out = out.where(F.col(out_col).rlike(r"(?i)^https?://"))
+    return out
 
 
 def extract_anchor_texts(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    absolute_only: bool = True,
 ) -> DataFrame:
     """(id, href, anchor) rows: every ``<a href="...">`` /
     ``<a href='...'>`` WITH its rendered anchor text (inline tags
@@ -318,7 +327,9 @@ def extract_anchor_texts(
     anchor rollups ride next to the link-graph rank as curation priors.
     Native ``regexp_extract_all`` per quote style over the scrubbed page
     (href group + text group from the SAME pattern, zipped by position),
-    one explode; empty hrefs dropped."""
+    one explode; empty hrefs dropped. ``absolute_only`` (default) keeps
+    only absolute http(s) targets — relative/``mailto:`` hrefs would
+    accumulate garbage host keys in the rollup (ADVICE r8)."""
     h = _scrub(F.col(html_col) if isinstance(html_col, str) else html_col)
     dq = r'(?is)<a[\s/][^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>'
     sq = r"(?is)<a[\s/][^>]*href\s*=\s*'([^']*)'[^>]*>(.*?)</a\s*>"
@@ -331,7 +342,7 @@ def extract_anchor_texts(
             for p in (dq, sq)
         ]
     )
-    return (
+    out = (
         df.select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(
             id_col,
@@ -340,6 +351,9 @@ def extract_anchor_texts(
         )
         .where(F.col("href") != "")
     )
+    if absolute_only:
+        out = out.where(F.col("href").rlike(r"(?i)^https?://"))
+    return out
 
 
 def anchor_term_rollup(

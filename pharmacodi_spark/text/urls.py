@@ -391,12 +391,14 @@ def parse_robots_lines(host: str, text: str) -> list[tuple[str, str, bool, str]]
     """Parse ONE robots.txt body into ``(host, agent, allow, prefix)``
     rules — the driver-side helper a crawler runs per fetched robots file
     before unioning the rules into the broadcast frame :func:`robots_gate`
-    consumes. Implements the robotstxt.org grammar subset the gate
-    evaluates: ``User-agent`` groups (consecutive user-agent lines share
-    the following rule block), ``Allow``/``Disallow`` with plain path
-    prefixes, comments and blank lines dropped. An empty ``Disallow:``
-    (allow-all marker) is skipped — no-match already means allow.
-    Wildcard ``*``/``$`` path patterns are out of contract (documented)."""
+    consumes. Implements the robotstxt.org grammar the gate evaluates:
+    ``User-agent`` groups (consecutive user-agent lines share the
+    following rule block), ``Allow``/``Disallow`` path rules — plain
+    prefixes plus Google-REP ``*`` (any char sequence) and trailing
+    ``$`` (end anchor) wildcards, which :func:`robots_gate` matches via
+    a broadcast-side regex translation — comments and blank lines
+    dropped. An empty ``Disallow:`` (allow-all marker) is skipped —
+    no-match already means allow."""
     rules: list[tuple[str, str, bool, str]] = []
     agents: list[str] = []
     block_open = False  # a rule line has followed the current agent list
@@ -432,21 +434,38 @@ def robots_gate(
     (from :func:`parse_robots_lines` over fetched robots.txt bodies).
     Google evaluation order: if a host publishes ANY group for this
     agent, ONLY that group applies (the ``*`` group is ignored there);
-    the most SPECIFIC (longest-prefix) matching rule wins; an
+    the most SPECIFIC (longest-rule) matching rule wins; an
     allow/disallow tie at equal length resolves to allow; no matching
-    rule means allow. Returns ``(id, host, path, matched_prefix,
-    allowed)``.
+    rule means allow. Rules containing ``*`` (any char sequence) or a
+    trailing ``$`` (end anchor) use Google-REP wildcard matching
+    (google REP §2.2.3) — translated to an anchored regex on the
+    broadcast side; plain rules stay a native ``startswith``. Per RFC
+    9309 the match target is the PATH INCLUDING the ``?query`` (a rule
+    ``Disallow: /search?`` must match ``/search?q=x``); the fragment is
+    dropped. Rule hosts get the same normalization as the URL hosts
+    (lowercase + optional ``www.`` strip), so rules fetched from
+    ``www.X`` gate URLs on ``X``. Returns ``(id, host, path,
+    matched_prefix, allowed)`` — ``path`` carries path+query.
 
     Scale shape: rules are compliance-scale metadata — the agent-override
     resolution (anti-join of ``*`` rows against hosts with a specific
-    group) happens on the broadcast side; URLs join the broadcast rules
-    by host (bounded fan-out: rules per host), prefix-match as a native
-    ``startswith``, and ONE map-side-collapsing per-id aggregation picks
-    the winning rule. Bodies never shuffle.
+    group) AND the wildcard→regex translation happen on the broadcast
+    side; URLs join the broadcast rules by host (bounded fan-out: rules
+    per host), prefix-match as a native ``startswith`` / per-rule
+    ``rlike``, and ONE map-side-collapsing per-id aggregation picks the
+    winning rule. Bodies never shuffle.
     """
     a = agent.lower()
+    rh = F.lower(F.col("host"))
+    if strip_www:
+        # mirror url_host's normalization — a robots body fetched from
+        # 'www.X' must gate URLs whose canonical host is 'X' (ADVICE r8:
+        # an unnormalized rules side silently fails OPEN for such hosts)
+        rh = F.when(
+            rh.startswith("www."), rh.substr(F.lit(5), F.length(rh))
+        ).otherwise(rh)
     r = rules.select(
-        F.lower("host").alias("host"),
+        rh.alias("host"),
         F.lower("agent").alias("agent"),
         F.col("allow").cast("boolean").alias("allow"),
         F.col("prefix"),
@@ -458,6 +477,30 @@ def robots_gate(
     applicable = (
         specific.unionByName(general) if a != "*" else r.where(F.col("agent") == "*")
     ).select("host", "allow", "prefix")
+    # Google-REP wildcard translation (broadcast side, metadata scale):
+    # '*' = any char sequence, trailing '$' = end anchor. Literal chars
+    # are regex-escaped (every non-alnum except '*' gets a backslash —
+    # Java regex accepts an escaped punctuation char as the literal),
+    # then '*' becomes '.*' and the pattern is '^'-anchored. Plain rules
+    # (no '*', no trailing '$') keep the native startswith fast path.
+    anchored = F.col("prefix").endswith("$")
+    has_wild = F.col("prefix").contains("*") | anchored
+    stem = F.when(
+        anchored, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(stem, r"([^a-zA-Z0-9*])", r"\\$1")
+    pat = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    applicable = applicable.select(
+        "host",
+        "allow",
+        "prefix",
+        has_wild.alias("__wild"),
+        F.when(has_wild, pat).alias("__pat"),
+    )
 
     u = F.col(url_col)
     rest = F.when(u.contains("://"), F.substring_index(u, "://", -1)).otherwise(u)
@@ -467,16 +510,20 @@ def robots_gate(
     pathq = F.substring_index(
         rest.substr(F.length(authority) + 1, F.length(rest)), "#", 1
     )
-    path = F.substring_index(pathq, "?", 1)
     urls = df.select(
         F.col(id_col),
         url_host(url_col, strip_www=strip_www).alias("host"),
-        F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
+        # RFC 9309 match target: path INCLUDING '?query' (fragment gone);
+        # a path-less URL normalizes to '/' (+ its query when present)
+        F.when(pathq == "", F.lit("/"))
+        .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
+        .otherwise(pathq)
+        .alias("path"),
     )
     joined = urls.join(F.broadcast(applicable), "host", "left")
-    hit = F.col("prefix").isNotNull() & F.col("path").startswith(
-        F.col("prefix")
-    )
+    hit = F.col("prefix").isNotNull() & F.when(
+        F.col("__wild"), F.expr("path rlike __pat")
+    ).otherwise(F.col("path").startswith(F.col("prefix")))
     best = (
         joined.groupBy(id_col, "host", "path")
         .agg(

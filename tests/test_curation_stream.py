@@ -240,3 +240,77 @@ def test_stream_html_stage0_composes(spark, tmp_path):
         for r in spark.read.parquet(f"{base_html}/curated").collect()
     )
     assert via_html == plain and plain
+
+
+def test_html_stage0_composes_with_streaming_curation(spark, tmp_path):
+    # ROADMAP r9: stage-0 html_to_text is a stateless native projection,
+    # so the streaming twin gets the HTML→curation E2E for free — apply
+    # the extractor ON THE STREAM and the curated table must be
+    # row-identical to the batch twin over the same extracted corpus.
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.pipelines.curation_stream import (
+        incremental_curation_batch,
+        prepare_curation_state,
+        streaming_curation,
+    )
+    from pharmacodi_spark.text.html import html_to_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wrap = F.concat(
+        F.lit('<html><head><script>var fake = "<a href=\\"x\\">y</a>";'
+              '</script></head><body><div class="nav">'
+              '<a href="/">Home</a> <a href="/a">About</a></div><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", wrap.alias("html"), "source")
+    extracted = html_to_text(pages, html_col="html", out_col="text").select(
+        "doc_id", "text", "source"
+    )
+
+    base = str(tmp_path / "state")
+    prepare_curation_state(
+        spark, base, extracted,
+        extracted.where(F.col("doc_id") % 97 == 0),
+    )
+    train_pages = pages.where(F.col("doc_id") % 97 != 0)
+    rows = [
+        r.asDict()
+        for r in train_pages.select("doc_id", "html", "source").collect()
+    ]
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    rows.sort(key=lambda r: r["doc_id"])
+    per = (len(rows) + 2) // 3
+    for i in range(3):
+        path = os.path.join(src, f"b{i}.json")
+        with open(path, "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (time.time() + i * 10, time.time() + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, html string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    # the stage-0 extraction runs INSIDE the stream (stateless projection)
+    stream_txt = html_to_text(stream, html_col="html", out_col="text").drop(
+        "html"
+    )
+    q = streaming_curation(stream_txt, base, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{base}/curated").collect()
+    }
+    want = {
+        (r.doc_id, r.text)
+        for r in incremental_curation_batch(spark, extracted)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert got == want and got, f"stream={len(got)} batch={len(want)}"

@@ -94,6 +94,11 @@ CASES = [
      "materialized index array, zero shuffles before the rollup"),
     ("robots_txt_gate", r"SortMergeJoin", False,
      "robots rules are compliance-scale: URL gate joins stay broadcast"),
+    ("unicode_token_stats", r"\bJoin\b", False,
+     "script-aware tokenization is two regex projections + one "
+     "map-side-combining aggregate — no join, no Python"),
+    ("unicode_token_stats", r"\bGenerate\b", False,
+     "token counts are array sizes over in-row extraction — no explode"),
     ("bigram_surprisal", r"Scan parquet", False,
      "one tokenize+explode total (r8 sf1 triage): the per-doc occurrence "
      "table and the bigram count table are pinned, so the final plan "

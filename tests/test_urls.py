@@ -356,3 +356,84 @@ def test_robots_gate_semantics(spark):
         for r in robots_gate(df, rules, agent="*").collect()
     }
     assert star[3] is True and star[0] is False
+
+
+def test_robots_gate_google_rep_wildcards(spark):
+    # the worked examples from Google's REP documentation (§ URL
+    # matching based on path values) — '*' any char sequence, '$' end
+    # anchor, longest-rule specificity
+    from pharmacodi_spark.text.urls import robots_gate
+
+    rules = spark.createDataFrame(
+        [
+            ("g.com", "*", False, "/fish*"),
+            ("h.com", "*", False, "/*.php"),
+            ("i.com", "*", False, "/*.php$"),
+            ("j.com", "*", False, "/fish*.php"),
+        ],
+        ["host", "agent", "allow", "prefix"],
+    )
+    urls = [
+        (0, "http://g.com/fish"),            # /fish* matches
+        (1, "http://g.com/fishheads/x.html"),  # /fish* matches
+        (2, "http://g.com/Fish.asp"),        # case-sensitive: no match
+        (3, "http://g.com/catfish"),         # no match (not a prefix)
+        (10, "http://h.com/filename.php"),
+        (11, "http://h.com/folder/any.php.file.html"),
+        (12, "http://h.com/"),               # /*.php does not match '/'
+        (13, "http://h.com/windows.PHP"),    # case-sensitive
+        (20, "http://i.com/filename.php"),   # anchored: matches
+        (21, "http://i.com/filename.php?parameters"),  # anchored: no
+        (22, "http://i.com/filename.php5"),  # anchored: no
+        (30, "http://j.com/fish.php"),
+        (31, "http://j.com/fishheads/catfish.php?parameters"),
+        (32, "http://j.com/Fish.PHP"),       # case-sensitive: no match
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in robots_gate(df, rules, agent="*").collect()
+    }
+    assert got[0] is False and got[1] is False
+    assert got[2] is True and got[3] is True
+    assert got[10] is False and got[11] is False
+    assert got[12] is True and got[13] is True
+    assert got[20] is False and got[21] is True and got[22] is True
+    assert got[30] is False and got[31] is False and got[32] is True
+
+
+def test_robots_gate_host_normalization_and_query(spark):
+    from pharmacodi_spark.text.urls import robots_gate
+
+    rules = spark.createDataFrame(
+        [
+            # fetched from the www. host — must gate the apex host too
+            ("www.a.com", "*", False, "/"),
+            # RFC 9309: a literal '?' rule matches against path+query
+            ("b.com", "*", False, "/search?"),
+            # wildcard query targeting
+            ("c.com", "*", False, "*?ref="),
+        ],
+        ["host", "agent", "allow", "prefix"],
+    )
+    urls = [
+        (0, "http://a.com/page"),            # www rule gates apex
+        (1, "http://www.a.com/page"),        # and the www host itself
+        (2, "http://b.com/search?q=x"),      # literal '?' rule matches
+        (3, "http://b.com/search"),          # no query -> no match
+        (4, "http://c.com/p/1?ref=spam"),    # wildcard query rule
+        (5, "http://c.com/p/1"),             # no query -> allowed
+        (6, "http://c.com?ref=x"),           # path-less URL + query
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    got = {
+        r["doc_id"]: (r["allowed"], r["path"])
+        for r in robots_gate(df, rules, agent="*").collect()
+    }
+    assert got[0] == (False, "/page")
+    assert got[1] == (False, "/page")
+    assert got[2] == (False, "/search?q=x")  # path carries the query
+    assert got[3] == (True, "/search")
+    assert got[4] == (False, "/p/1?ref=spam")
+    assert got[5] == (True, "/p/1")
+    assert got[6] == (False, "/?ref=x")      # '/' restored before query

@@ -699,6 +699,26 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "no caching / pinning needed: a single pass, nothing consumed "
          "twice"),
     ],
+    "unicode_token_stats": [
+        (r"\bJoin\b", False,
+         "two regex projections + one map-side-combining aggregate — "
+         "no join anywhere"),
+        (r"\bGenerate\b", False,
+         "token counts are array sizes over in-row extraction — the "
+         "token streams never explode"),
+        (r"BatchEvalPython|ArrowEvalPython|MapInPandas", False,
+         "script-aware tokenization is native regexp_replace + "
+         "regexp_extract_all — no Python in the hot path"),
+    ],
+    "unicode_minhash_pairs": [
+        (r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", False,
+         "no join anywhere: normalization is a zero-shuffle stage-0 "
+         "projection, the signature is one explode + one groupBy, and "
+         "pairs expand bucket-locally from the collected band arrays"),
+        (r"BatchEvalPython|ArrowEvalPython|MapInPandas", False,
+         "the CJK path is the SAME native pipeline as minhash_band_pairs "
+         "— no Python, no parallel implementation"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "

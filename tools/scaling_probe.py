@@ -510,35 +510,66 @@ def skew(spark, mult: int) -> dict[str, float]:
 
 
 def nodup_control(spark, n_docs: int) -> dict[str, float]:
-    """Non-dup-dense 10x control (VERDICT r4 item 5): the main 10x corpus is
-    10 IDENTICAL copies of every doc — worst case for pair counts, so
-    minhash_lsh_pairs' ratio confounds engine scaling with true-duplicate
+    """Duplicate-mass-controlled scaling (VERDICT r4 item 5, widened per
+    VERDICT r8 item 6): the main 10x corpus is 10 IDENTICAL copies of
+    every doc — worst case for pair counts, so the pair generators'
+    main-table ratios confound engine scaling with true-duplicate
     growth. Here every copy k suffixes ``_k`` onto EVERY token, making
     shingle sets disjoint across copies: per-copy duplicate structure is
-    unchanged, data is 10x, so a linear engine shows ratio ≈ 10 on ~10x the
-    pairs of 1x (not ~100x)."""
+    unchanged, data is 10x, so a linear engine shows ratio ≈ 10 on ~10x
+    the pairs of 1x (not ~100x). The 1x leg applies the SAME transform
+    (k=0 suffix) so both legs are transform-identical, and the control
+    now covers every family VERDICT r8 flagged as fixture-dup-confounded:
+    minhash LSH pairs, winnow overlap pairs, the three-detector
+    agreement referee, and the Gopher repetition gate."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.plans import QUERIES
+    from pharmacodi_spark.text.analysis import repetition_metrics
     from pharmacodi_spark.text.dedup import minhash_near_dup_pairs
+    from pharmacodi_spark.text.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
 
-    path = f"{BASE}/documents_10x_nodup"
-    if not os.path.exists(path):
-        docs = spark.read.parquet(f"{BASE}/documents_1x")
-        parts = [
-            docs.select(
-                (F.col("doc_id") + k * n_docs).alias("doc_id"),
-                F.regexp_replace("text", r"(\S+)", f"$1_{k}").alias("text"),
-            )
-            for k in range(10)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.repartition(32).write.mode("overwrite").parquet(path)
-    nd = spark.read.parquet(path)
-    return {
-        "minhash_lsh_pairs_nodup10x": timed(
-            lambda: minhash_near_dup_pairs(nd, num_hashes=16, bands=4)
+    for m in (1, 10):
+        path = f"{BASE}/ctrl_{m}x/documents.parquet"
+        if not os.path.exists(path):
+            docs = spark.read.parquet(f"{BASE}/documents_1x")
+            parts = [
+                docs.select(
+                    (F.col("doc_id") + k * n_docs).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", f"$1_{k}").alias(
+                        "text"
+                    ),
+                )
+                for k in range(m)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(32).write.mode("overwrite").parquet(path)
+
+    det = QUERIES["detector_agreement"][0]
+    out: dict[str, float] = {}
+    for m in (1, 10):
+        docs = spark.read.parquet(f"{BASE}/ctrl_{m}x/documents.parquet")
+        sfx = f"_ctrl_{m}x"
+        out["minhash_pairs" + sfx] = timed(
+            lambda: minhash_near_dup_pairs(docs, num_hashes=16, bands=4)
         )
-    }
+        fp = stage_barrier(
+            winnow_fingerprints(docs, k=5, w=4), name=f"ctrl_wfp_{m}x"
+        )
+        out["winnow_pairs" + sfx] = timed(
+            lambda: winnow_overlap_pairs(fp, min_shared=2, max_cell_size=256)
+        )
+        out["gopher_repetition" + sfx] = timed(
+            lambda: repetition_metrics(docs)
+        )
+        out["detector_agreement" + sfx] = timed(
+            lambda: det(spark, f"{BASE}/ctrl_{m}x")
+        )
+    return out
 
 
 def pruning(spark, mult: int) -> dict[str, float]:
@@ -618,19 +649,30 @@ def main() -> None:
     nd = nodup_control(spark, n_docs)
     lines += [
         "",
-        "## Duplicate-structure control (minhash_lsh_pairs)",
+        "## Duplicate-structure control (pair generators)",
         "",
         "The main 10x corpus is 10 IDENTICAL copies of every doc (pair",
         "counts grow ~100x: worst case). The control suffixes every token",
         "per copy — shingle sets disjoint across copies, per-copy dup",
-        "structure unchanged, so pairs grow ~10x. The control ratio is the",
-        "ENGINE's scaling; the dup-dense ratio bounds dup-heavy corpora.",
+        "structure unchanged, so true pairs grow ~10x, and BOTH legs get",
+        "the same transform (k=0 suffix at 1x) so the ratio is pure engine",
+        "scaling. The dup-dense ratios in the main table bound dup-heavy",
+        "corpora; these controlled ratios are the honest 10x-data answer",
+        "for every pair family VERDICT r8 flagged (winnow, detector",
+        "referee, gopher) — sub-10x = sub-linear.",
         "",
-        "| corpus | sec | vs 1x |",
-        "|---|---|---|",
-        f"| minhash_lsh_pairs 1x (dup-dense table above) | {t1['minhash_lsh_pairs']:.2f} | 1x |",
-        f"| minhash_lsh_pairs 10x dup-dense | {t10['minhash_lsh_pairs']:.2f} | {t10['minhash_lsh_pairs'] / t1['minhash_lsh_pairs']:.1f}x |",
-        f"| minhash_lsh_pairs 10x NON-dup-dense | {nd['minhash_lsh_pairs_nodup10x']:.2f} | {nd['minhash_lsh_pairs_nodup10x'] / t1['minhash_lsh_pairs']:.1f}x |",
+        "| op (dup-controlled corpus) | 1x sec | 10x sec | ratio |",
+        "|---|---|---|---|",
+    ]
+    for op in (
+        "minhash_pairs",
+        "winnow_pairs",
+        "gopher_repetition",
+        "detector_agreement",
+    ):
+        a, b = nd[f"{op}_ctrl_1x"], nd[f"{op}_ctrl_10x"]
+        lines.append(f"| {op} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
+    lines += [
         "",
         "## Hot-cell skew guard (triangle-block re-split)",
         "",
