@@ -156,6 +156,7 @@ HEADLINE = HEADLINE_R1 + [
     # through the unchanged MinHash family (normalize_spacefree stage 0)
     "unicode_token_stats",
     "unicode_minhash_pairs",
+    "crawl_permission_funnel",
 ]
 
 

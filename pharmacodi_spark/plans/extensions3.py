@@ -3358,9 +3358,22 @@ _ROBOTS_BODIES = {
 }
 
 
+#: closed-form trainbot verdict over the _ROBOTS_BODIES fixture — shared by
+#: the robots_txt_gate oracle and the crawl_permission_funnel rollup so the
+#: two can never drift apart
+_ROBOTS_ALLOWED_CASE = """CASE WHEN doc_id % 5 = 0 THEN TRUE
+                WHEN source = 'src7' THEN FALSE
+                WHEN source = 'src1' THEN FALSE
+                WHEN source = 'src3' THEN doc_id % 4 = 0
+                WHEN source = 'src5' THEN FALSE
+                WHEN source = 'src2' THEN doc_id % 10 <> 4
+                WHEN source = 'src6' THEN doc_id % 7 <> 0
+                ELSE TRUE END"""
+
+
 @q(
     "robots_txt_gate",
-    """
+    f"""
     SELECT doc_id,
            CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
              || lower(source) || '.example.com' AS host,
@@ -3377,14 +3390,7 @@ _ROBOTS_BODIES = {
                 WHEN source = 'src2' AND doc_id % 10 = 4 THEN '/*4$'
                 WHEN source = 'src6' AND doc_id % 7 = 0 THEN '*?ref='
                 ELSE NULL END AS matched_prefix,
-           CASE WHEN doc_id % 5 = 0 THEN TRUE
-                WHEN source = 'src7' THEN FALSE
-                WHEN source = 'src1' THEN FALSE
-                WHEN source = 'src3' THEN doc_id % 4 = 0
-                WHEN source = 'src5' THEN FALSE
-                WHEN source = 'src2' THEN doc_id % 10 <> 4
-                WHEN source = 'src6' THEN doc_id % 7 <> 0
-                ELSE TRUE END AS allowed
+           {_ROBOTS_ALLOWED_CASE} AS allowed
     FROM documents
     """,
 )
@@ -3687,3 +3693,91 @@ def unicode_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_spacefree(F.concat(b1, var, b2)).alias("text"),
     )
     return _band_pairs_from_sig(_signature(fixture))
+
+
+# ---------------------------------------------------------------------------
+# Crawl-permission funnel E2E (urls.py: robots_gate + domain_gate composed)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "crawl_permission_funnel",
+    f"""
+    SELECT lower(source) AS source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN NOT ({_ROBOTS_ALLOWED_CASE})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_robots_blocked,
+           CAST(sum(CASE WHEN source IN ('src4', 'src6')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_domain_blocked,
+           CAST(sum(CASE WHEN ({_ROBOTS_ALLOWED_CASE})
+                          AND source NOT IN ('src4', 'src6')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_crawlable
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def crawl_permission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier permission funnel (r9): the pre-fetch compliance
+    E2E a production crawler runs per candidate URL — robots-exclusion
+    verdict (the full r9 gate: agent-group override, Google-REP
+    wildcards, www-normalized rule hosts, RFC 9309 path+query matching)
+    AND the domain blocklist with subdomain-suffix semantics, rolled up
+    per source into the audit table (urls in, robots-blocked,
+    domain-blocked, crawlable). src6 is blocked BOTH ways (its robots
+    disallows ?ref= URLs and the domain list names it — the funnel
+    counts are independent columns, not a waterfall), src4 is
+    domain-blocked only, and the cdn. subdomains prove suffix semantics.
+
+    Scale shape: both gates join URLs against BROADCAST compliance-scale
+    rule frames; the funnel joins the two per-doc verdict frames by id
+    (metadata tuples: id + bool) and aggregates map-side into the
+    source-cardinality rollup. Bodies never shuffle. The oracle restates
+    every verdict in closed form (the robots CASE is shared verbatim
+    with the robots_txt_gate oracle)."""
+    from pharmacodi_spark.text.urls import (
+        domain_gate,
+        parse_robots_lines,
+        robots_gate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id",
+        F.lower(F.col("source")).alias("source"),
+        F.expr(_ROBOTS_URL_EXPR).alias("url"),
+    )
+    rule_rows = [
+        r
+        for host, body in sorted(_ROBOTS_BODIES.items())
+        for r in parse_robots_lines(host, body)
+    ]
+    rules = spark.createDataFrame(
+        rule_rows, ["host", "agent", "allow", "prefix"]
+    )
+    rb = robots_gate(with_url, rules, agent="trainbot").select(
+        "doc_id", "allowed"
+    )
+    blocked = spark.createDataFrame(
+        [("src4.example.com",), ("src6.example.com",)], ["domain"]
+    )
+    dg = domain_gate(with_url, blocked).select("doc_id", "keep")
+    # the verdict join-up carries (id, bool) tuples on a unique unskewed
+    # key — shuffled-hash beats sort-merge (no sort passes; the static
+    # planner can't see the frames are metadata-thin)
+    per = (
+        with_url.select("doc_id", "source")
+        .join(rb.hint("shuffle_hash"), "doc_id")
+        .join(dg.hint("shuffle_hash"), "doc_id")
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_robots_blocked"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_domain_blocked"),
+        F.sum(F.when(F.col("allowed") & F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_crawlable"),
+    )

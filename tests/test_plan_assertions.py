@@ -94,6 +94,9 @@ CASES = [
      "materialized index array, zero shuffles before the rollup"),
     ("robots_txt_gate", r"SortMergeJoin", False,
      "robots rules are compliance-scale: URL gate joins stay broadcast"),
+    ("crawl_permission_funnel", r"SortMergeJoin", False,
+     "both compliance gates broadcast; the verdict join-up is id-keyed "
+     "metadata — no corpus-scale join"),
     ("unicode_token_stats", r"\bJoin\b", False,
      "script-aware tokenization is two regex projections + one "
      "map-side-combining aggregate — no join, no Python"),

@@ -710,6 +710,14 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "script-aware tokenization is native regexp_replace + "
          "regexp_extract_all — no Python in the hot path"),
     ],
+    "crawl_permission_funnel": [
+        (r"BroadcastHashJoin", True,
+         "both gates probe broadcast compliance-scale rule frames; the "
+         "verdict join-up is id-keyed metadata (id + bool)"),
+        (r"SortMergeJoin", False,
+         "no corpus-scale join anywhere: the verdict join-up is "
+         "shuffled-hash-hinted (unique unskewed id key — no sort passes)"),
+    ],
     "unicode_minhash_pairs": [
         (r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", False,
          "no join anywhere: normalization is a zero-shuffle stage-0 "
