@@ -253,13 +253,34 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _band_pairs_from_sig(_signature(d))
 
 
-def _band_pairs_from_sig(sig: DataFrame) -> DataFrame:
+def _band_pairs_from_sig(
+    sig: DataFrame, max_cell_size: int | None = 256
+) -> DataFrame:
     """Distinct candidate pairs from a 4-hash signature frame (2 bands x 2
     rows) — the body of minhash_band_pairs, factored out so shared-stage
     plans (detector_agreement) can feed a signature derived from a pinned
-    token frame."""
-    # bands via ONE explode (not a self-union, which would run the whole
-    # shingle+md5+groupBy subplan once per branch)
+    token frame.
+
+    Bands via ONE explode (not a self-union, which would run the whole
+    shingle+md5+groupBy subplan once per branch); no self-join (it would
+    recompute the signature subplan per side and shuffle the full band
+    table twice): the pair expansion delegates to
+    ``text/dedup.py::pairs_from_cells`` with the triangle hot-cell guard
+    armed (r9 — the one band-bucket path that lacked it; the r9 sf1 probe
+    measured a degenerate-bucket fixture building 400k-pair arrays in
+    single tasks). Bucket sizes are the only quadratic term: LSH banding
+    keeps them small by construction, and buckets past ``max_cell_size``
+    are triangle-block re-split into bounded parallel tasks — the pair
+    SET is unchanged (oracle-exact), only the work distribution.
+
+    The signature frame is barrier-pinned first: the guard's cell-count
+    aggregate joins back against the cells, and lazily composed BOTH
+    sides would re-expand the shingle+md5+groupBy subplan (double scan —
+    the r5 lazy-composition lesson). The pin is id + 4 longs per doc."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.dedup import pairs_from_cells
+
+    sig = stage_barrier(sig, name="minhash_sig_cells")
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -268,32 +289,14 @@ def _band_pairs_from_sig(sig: DataFrame) -> DataFrame:
                 F.struct(F.lit(1).alias("band"), F.col("h2").alias("v1"), F.col("h3").alias("v2")),
             )
         ).alias("b"),
-    ).select("doc_id", "b.band", "b.v1", "b.v2")
-    # no self-join (it would recompute the signature subplan per side and
-    # shuffle the full band table twice): group into buckets, then expand
-    # ordered pairs WITHIN each bucket array — one signature computation, one
-    # shuffle, bucket-local pair generation. At 100 TB bucket sizes are the
-    # only quadratic term, and LSH banding keeps them small by construction.
-    buckets = (
-        bands.groupBy("band", "v1", "v2")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
-        .where(F.size("members") > 1)
+    ).select(
+        "doc_id",
+        F.col("b.band").alias("band"),
+        F.struct(F.col("b.v1").alias("v1"), F.col("b.v2").alias("v2")).alias(
+            "bucket"
+        ),
     )
-    ms = F.col("members")
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ms,
-                    lambda x, i: F.transform(
-                        F.slice(ms, i + 2, F.size(ms)),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    return pairs_from_cells(bands, max_cell_size=max_cell_size)
 
 
 @q(

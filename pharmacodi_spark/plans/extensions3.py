@@ -3586,44 +3586,25 @@ def unicode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (text/analysis.py::normalize_spacefree as the stage-0 projection)
 # ---------------------------------------------------------------------------
 
-#: five CJK "document" templates (first/second half per group) and eleven
-#: two-char variant markers — raw UNSPACED Han text, so split-on-space sees
-#: one token per document until normalize_spacefree pads the chars apart
-_CJK_BASE1 = [
-    "深度学习模型需要大量高质量训练数据",
-    "自然语言处理技术正在快速发展进步",
-    "分布式计算框架处理海量网页文本",
-    "数据去重算法能够提升语料库质量",
-    "语言模型评估基准覆盖多种任务类型",
-]
-_CJK_BASE2 = [
-    "清洗流程包括多个连续阶段",
-    "相似文档检测依靠哈希签名",
-    "系统架构支持容错与扩展",
-    "指纹方法计算文档的摘要",
-    "测试集合污染必须被去除",
-]
-_CJK_VARS = [
-    "甲乙", "丙丁", "戊己", "庚辛", "壬癸", "子丑",
-    "寅卯", "辰巳", "午未", "申酉", "戌亥",
-]
-
-
-def _cjk_case(col_expr: str, items: list[str]) -> str:
-    return (
-        f"CASE CAST({col_expr} AS INT) "
-        + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(items))
-        + " END"
-    )
+#: raw UNSPACED Han documents in SIZE-BOUNDED near-dup classes: docs 2k and
+#: 2k+1 share a class whose body is the class id's md5 rendered in Han
+#: chars (translate hex → 16 Han numerals — unique per class, so classes
+#: never share shingles and the planted pair count grows LINEARLY with the
+#: corpus; the first fixture keyed classes on doc_id mods, whose sizes grew
+#: with sf and made the sf1 pair list quadratic — 104x wall at 10x data).
+#: The odd member appends one extra char, so the pair is a NEAR-dup, not an
+#: exact one. split-on-space still sees ~2 tokens per document until
+#: normalize_spacefree pads the chars apart.
+_CJK_HEX_HAN = "零一二三四五六七八九甲乙丙丁戊己"
 
 
 def _unicode_minhash_sql() -> str:
     from pharmacodi_spark.plans.extensions import _minhash_sql_select
 
     raw = (
-        f"{_cjk_case('doc_id % 5', _CJK_BASE1)} || "
-        f"{_cjk_case('doc_id % 11', _CJK_VARS)} || "
-        f"{_cjk_case('doc_id % 5', _CJK_BASE2)}"
+        "'语料' || translate(md5(CAST(doc_id // 2 AS VARCHAR)), "
+        f"'0123456789abcdef', '{_CJK_HEX_HAN}') || "
+        "CASE WHEN doc_id % 2 = 1 THEN '变' ELSE '' END"
     )
     norm = (
         "trim(regexp_replace(regexp_replace(" + raw + ", "
@@ -3659,19 +3640,22 @@ def _unicode_minhash_sql() -> str:
 @q("unicode_minhash_pairs", _unicode_minhash_sql())
 def unicode_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJK near-dup candidate pairs through the UNCHANGED MinHash-LSH
-    family (r9): the fixture documents are raw unspaced Han text (five
-    base templates × eleven two-char variant markers — planted near-dup
-    groups), on which split-on-space sees ONE token per document and
-    every shingle detector silently degenerates (the VERDICT r8
-    multilingual gap). text/analysis.py::normalize_spacefree runs as a
-    stage-0 projection (each space-free-script char padded into its own
-    token, whitespace collapsed), after which the existing
+    family (r9): the fixture documents are raw unspaced Han text —
+    size-bounded planted near-dup classes (docs 2k/2k+1 share a
+    class-unique md5-derived Han body; the odd member differs by one
+    char), on which split-on-space sees ~2 tokens per document and every
+    shingle detector silently degenerates (the VERDICT r8 multilingual
+    gap). text/analysis.py::normalize_spacefree runs as a stage-0
+    projection (each space-free-script char padded into its own token,
+    whitespace collapsed), after which the existing
     shingle→md5→minhash→band→bucket pipeline works verbatim — proving
     the dedup family is multilingual via ONE zero-shuffle pre-stage, not
     a parallel CJK implementation. Same scale shape as
     minhash_band_pairs: one explode + one signature groupBy, bucket-local
-    pair expansion, no self-join. The oracle runs the identical
-    normalization + pipeline in RE2/DuckDB syntax."""
+    pair expansion under the triangle hot-cell guard, no self-join; the
+    planted pair count grows LINEARLY with the corpus (classes never
+    share shingles), so the sf1 wall tracks data, not pairs². The oracle
+    runs the identical normalization + pipeline in RE2/DuckDB syntax."""
     from pharmacodi_spark.plans.extensions import (
         _band_pairs_from_sig,
         _signature,
@@ -3679,18 +3663,17 @@ def unicode_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pharmacodi_spark.text.analysis import normalize_spacefree
 
     d = _t(spark, sf_dir, "documents")
-    b1 = F.element_at(
-        F.lit(_CJK_BASE1), (F.col("doc_id") % 5).cast("int") + 1
-    )
-    var = F.element_at(
-        F.lit(_CJK_VARS), (F.col("doc_id") % 11).cast("int") + 1
-    )
-    b2 = F.element_at(
-        F.lit(_CJK_BASE2), (F.col("doc_id") % 5).cast("int") + 1
+    body = F.concat(
+        F.lit("语料"),
+        F.translate(
+            F.md5(F.expr("cast(doc_id div 2 as string)")),
+            "0123456789abcdef",
+            _CJK_HEX_HAN,
+        ),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("变")).otherwise(F.lit("")),
     )
     fixture = d.select(
-        "doc_id",
-        normalize_spacefree(F.concat(b1, var, b2)).alias("text"),
+        "doc_id", normalize_spacefree(body).alias("text")
     )
     return _band_pairs_from_sig(_signature(fixture))
 

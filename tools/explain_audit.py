@@ -47,13 +47,15 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"hashpartitioning\(event_id", False, "no fact-wide hash exchange"),
     ],
     "minhash_band_pairs": [
-        (r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM", True,
-         "fan_out: narrow pre-explode rows shuffle once by doc_id; the "
-         "signature groupBy reuses that partitioning (no second doc_id "
-         "exchange)"),
+        (r"Scan ExistingRDD", True,
+         "the signature frame is barrier-pinned before the band explode "
+         "(r9): the triangle guard's cell-count attach and the pair "
+         "expansion both read the pin, so the shingle+md5+groupBy "
+         "subplan — and the documents scan under it — runs ONCE"),
         (r"(?sm)^\(\d+\) Scan parquet.*^\(\d+\) Scan parquet", False,
-         "documents scanned ONCE (bands come from one explode, not a "
-         "per-band self-union; pairs from bucket-local expansion, not a "
+         "documents scanned ONCE, at pin time (bands come from one "
+         "explode over the pin, not a per-band self-union; pairs from "
+         "bucket-local expansion under the triangle guard, not a "
          "signature self-join)"),
     ],
     "surrogate_key_fact": [
@@ -719,10 +721,11 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "shuffled-hash-hinted (unique unskewed id key — no sort passes)"),
     ],
     "unicode_minhash_pairs": [
-        (r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", False,
-         "no join anywhere: normalization is a zero-shuffle stage-0 "
-         "projection, the signature is one explode + one groupBy, and "
-         "pairs expand bucket-locally from the collected band arrays"),
+        (r"SortMergeJoin", False,
+         "normalization is a zero-shuffle stage-0 projection; the "
+         "signature is one explode + one groupBy; pairs expand "
+         "bucket-locally under the triangle guard, whose cell-count "
+         "attach is the only join (hash, never sort-merge)"),
         (r"BatchEvalPython|ArrowEvalPython|MapInPandas", False,
          "the CJK path is the SAME native pipeline as minhash_band_pairs "
          "— no Python, no parallel implementation"),
