@@ -157,6 +157,8 @@ HEADLINE = HEADLINE_R1 + [
     "unicode_token_stats",
     "unicode_minhash_pairs",
     "crawl_permission_funnel",
+    "fertility_by_scheme",
+    "classifier_calibration",
 ]
 
 

@@ -3764,3 +3764,224 @@ def crawl_permission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_crawlable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-scheme tokenizer fertility (regex pre-tokenizer vs trie vocab)
+# ---------------------------------------------------------------------------
+
+
+def _fertility_by_scheme_sql() -> str:
+    from pharmacodi_spark.plans.extensions2 import _TOKENIZER_VOCAB_SQL
+
+    return f"""
+    WITH RECURSIVE
+    vocab(piece) AS (VALUES {_TOKENIZER_VOCAB_SQL}),
+    doc_words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    words AS (SELECT DISTINCT w FROM doc_words),
+    step(w, pos, n, unk) AS (
+      SELECT w, 1, 0, 0 FROM words
+      UNION ALL
+      SELECT w, pos + coalesce(len, 1), n + 1,
+             unk + (CASE WHEN len IS NULL THEN 1 ELSE 0 END)
+      FROM (
+        SELECT s.w, s.pos, s.n, s.unk,
+               (SELECT max(length(v.piece)) FROM vocab v
+                WHERE substr(s.w, s.pos, length(v.piece)) = v.piece) AS len
+        FROM step s WHERE s.pos <= length(s.w))
+    ),
+    wp AS (SELECT w, n AS n_pieces, unk AS n_unk
+           FROM step WHERE pos > length(w)),
+    agg_w AS (
+      SELECT dw.doc_id, count(*) AS n_w,
+             sum(wp.n_pieces) AS n_v, sum(wp.n_unk) AS n_u
+      FROM doc_words dw JOIN wp ON dw.w = wp.w GROUP BY 1
+    ),
+    reg AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_r
+      FROM documents
+    ),
+    per AS (
+      SELECT r.source, r.n_r,
+             coalesce(a.n_w, 0) AS n_w,
+             coalesce(a.n_v, 0) AS n_v,
+             coalesce(a.n_u, 0) AS n_u
+      FROM reg r LEFT JOIN agg_w a USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_w) AS BIGINT) AS n_words,
+           CAST(sum(n_r) AS BIGINT) AS n_regex_tokens,
+           CAST(sum(n_v) AS BIGINT) AS n_vocab_tokens,
+           CAST(sum(n_u) AS BIGINT) AS n_unk,
+           CAST((sum(n_r) * 100) // greatest(sum(n_w), 1) AS BIGINT)
+             AS regex_per_100_words,
+           CAST((sum(n_v) * 100) // greatest(sum(n_w), 1) AS BIGINT)
+             AS vocab_per_100_words,
+           CAST((sum(n_u) * 1000000) // greatest(sum(n_v), 1) AS BIGINT)
+             AS unk_ppm
+    FROM per GROUP BY source
+    """
+
+
+@q("fertility_by_scheme", _fertility_by_scheme_sql())
+def fertility_by_scheme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-scheme tokenizer fertility per origin (r9, the ROADMAP r9
+    candidate): the SAME corpus budgeted under the regex pre-tokenizer
+    (text/analysis.py::tokenizer_fertility's token classes) AND a real
+    greedy-longest-prefix vocabulary (text/tokenizer.py::
+    vocab_token_counts) — the table that answers "which origin's token
+    budget moves when we switch tokenizers" (markup-heavy sources
+    fragment under a small vocab long before word counts show it).
+    Integer fixed-point ratios (×100 / ppm, floor) per source: regex and
+    vocab tokens per 100 whitespace words, unk parts-per-million.
+
+    Scale shape: the regex side is per-row native expressions; the vocab
+    side is the ONE mapInPandas pass with per-batch word memoization; the
+    per-doc join-up is shuffled-hash on the unique id key (metadata
+    tuples), then one map-side-collapsing rollup to source cardinality.
+    The oracle replays the greedy trie walk as the recursive CTE and the
+    regex count in RE2."""
+    from pharmacodi_spark.plans.extensions2 import _TOKENIZER_VOCAB
+    from pharmacodi_spark.text.tokenizer import vocab_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != ""
+    )
+    toks = F.regexp_extract_all(
+        "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("long").alias("n_w"),
+        F.size(toks).cast("long").alias("n_r"),
+    )
+    vt = vocab_token_counts(d, _TOKENIZER_VOCAB)
+    per = base.join(vt.hint("shuffle_hash"), "doc_id")
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_w").cast("long").alias("n_words"),
+        F.sum("n_r").cast("long").alias("n_regex_tokens"),
+        F.sum("n_vocab_tokens").cast("long").alias("n_vocab_tokens"),
+        F.sum("n_unk").cast("long").alias("n_unk"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_regex_tokens",
+        "n_vocab_tokens",
+        "n_unk",
+        F.expr("(n_regex_tokens * 100) div greatest(n_words, 1)")
+        .cast("long")
+        .alias("regex_per_100_words"),
+        F.expr("(n_vocab_tokens * 100) div greatest(n_words, 1)")
+        .cast("long")
+        .alias("vocab_per_100_words"),
+        F.expr("(n_unk * 1000000) div greatest(n_vocab_tokens, 1)")
+        .cast("long")
+        .alias("unk_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration / agreement table (hashed linear scorer)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "classifier_calibration",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w' ||
+               CAST(CAST(('0x' || substr(md5('q' || token), 1, 15)) AS BIGINT)
+                    % 4096 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000
+               AS wt
+      FROM tok
+    ),
+    s AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w GROUP BY 1),
+    per AS (
+      SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             coalesce(s.score, 0) AS score
+      FROM t LEFT JOIN s USING (doc_id)
+    ),
+    b AS (
+      SELECT (score + 10000000) // 5000 AS bucket,
+             CASE WHEN score >= 0 THEN 1 ELSE 0 END AS keep,
+             CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END AS ref
+      FROM per
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           CAST(sum(ref) AS BIGINT) AS n_ref_keep,
+           CAST(sum(CASE WHEN keep = ref THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST((sum(CASE WHEN keep = ref THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS agree_ppm
+    FROM b GROUP BY bucket
+    """,
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-bucket calibration/agreement table for the model-based
+    quality filter (r9): documents bin by hashed-linear score (the
+    quality_classifier_score scorer, 5000-centi-point buckets over a
+    positively-shifted score so integer division floors identically in
+    every engine), and each bucket reports how the classifier verdict
+    agrees with an independent reference gate (the ≥30-token length
+    prior) — the standard reliability table a pipeline inspects before
+    trusting a filter at a new threshold (monotone agreement by bucket ⇒
+    the score is calibrated against the prior; a flat band locates
+    scores the filter should abstain on).
+
+    Scale shape: scoring is the same zero-join per-document fold as
+    quality_classifier_score (the corpus never leaves its scan
+    partitions); the calibration rollup is ONE map-side-collapsing
+    aggregate to bucket cardinality. The oracle restates the scorer and
+    the binning in closed form."""
+    from pharmacodi_spark.text.analysis import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(d, weights=None, dim=4096, salt="q")
+    b = scored.select(
+        # positive shift first: Spark's `div` truncates toward zero while
+        # DuckDB's `//` floors — identical only on non-negative operands
+        F.expr("(score_centi + 10000000) div 5000").alias("bucket"),
+        F.when(F.col("score_centi") >= 0, 1).otherwise(0).alias("keep"),
+        F.when(F.col("n_tokens") >= 30, 1).otherwise(0).alias("ref"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.sum("ref").cast("long").alias("n_ref_keep"),
+        F.sum(F.when(F.col("keep") == F.col("ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return agg.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "n_keep",
+        "n_ref_keep",
+        "n_agree",
+        F.expr("(n_agree * 1000000) div n_docs")
+        .cast("long")
+        .alias("agree_ppm"),
+    )

@@ -94,6 +94,11 @@ CASES = [
      "materialized index array, zero shuffles before the rollup"),
     ("robots_txt_gate", r"SortMergeJoin", False,
      "robots rules are compliance-scale: URL gate joins stay broadcast"),
+    ("fertility_by_scheme", r"SortMergeJoin", False,
+     "per-doc scheme join-up is shuffled-hash on the unique id key"),
+    ("classifier_calibration", r"\bJoin\b", False,
+     "zero-join scorer fold + one map-side aggregate to bucket "
+     "cardinality"),
     ("crawl_permission_funnel", r"SortMergeJoin", False,
      "both compliance gates broadcast; the verdict join-up is id-keyed "
      "metadata — no corpus-scale join"),

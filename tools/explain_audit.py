@@ -712,6 +712,23 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "script-aware tokenization is native regexp_replace + "
          "regexp_extract_all — no Python in the hot path"),
     ],
+    "fertility_by_scheme": [
+        (r"SortMergeJoin", False,
+         "the regex side is per-row native exprs, the vocab side ONE "
+         "mapInPandas pass; the per-doc join-up is shuffled-hash on the "
+         "unique id key — no sort passes"),
+        (r"MapInPandas", True,
+         "the greedy trie walk is the documented Arrow-batched seam "
+         "(per-batch word memoization bounds Python work)"),
+    ],
+    "classifier_calibration": [
+        (r"\bJoin\b", False,
+         "scoring is the same zero-join per-document fold as "
+         "quality_classifier_score; the calibration rollup is one "
+         "map-side-collapsing aggregate to bucket cardinality"),
+        (r"BatchEvalPython|ArrowEvalPython|MapInPandas", False,
+         "the hashed-linear scorer is native expressions end to end"),
+    ],
     "crawl_permission_funnel": [
         (r"BroadcastHashJoin", True,
          "both gates probe broadcast compliance-scale rule frames; the "
