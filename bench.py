@@ -159,6 +159,11 @@ HEADLINE = HEADLINE_R1 + [
     "crawl_permission_funnel",
     "fertility_by_scheme",
     "classifier_calibration",
+    # round-10 additions: the documents→embeddings encoder seam (Arrow
+    # mapInPandas plumbing, oracle-verified) and the tokens_col seam E2E
+    # (bigram LM over script-aware tokens)
+    "embedding_encode_stats",
+    "unicode_bigram_surprisal",
 ]
 
 

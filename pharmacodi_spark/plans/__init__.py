@@ -18,36 +18,45 @@ from pyspark.sql import DataFrame, SparkSession
 # local driver-sim and the pytest oracle mirror.
 _DRIVER_WINDOW = [
     # ------------------------------------------------------------------
-    # r9 FULL rotation (VERDICT r8 item 1 + the standing policy it sets):
-    # every one of the 50 r8-window slots has a hard driver-green row in
-    # CORRECTNESS_r08.json (50/50 green), and every §2 operator ID keeps
-    # its citation through those historical rows — so ALL 50 slots now go
-    # to the registry's never-driver-verified debt (92 entries after r8),
-    # oldest-registration-first, plus this round's flagships. The rotated
-    # -out queries keep full coverage via the local driver-sim + pytest
-    # oracle mirror (tests/test_queries_oracle.py), same compare, every
-    # session. Remaining debt after this window lands: 92 − 50 + (new
-    # registrations) — r10 continues oldest-first until it's burned down.
+    # r10 rotation — the debt-burning round (VERDICT r9 item 2): after the
+    # r9 full rotation, EXACTLY 48 registry entries had never earned a
+    # driver-green CORRECTNESS row (VERDICT r9's burn-down list; verified
+    # this session by diffing the registry against every CORRECTNESS_r0*
+    # green row). All 48 fit the window, plus this round's two flagships
+    # (embedding_encode_stats = the encoder seam oracle, VERDICT item 5;
+    # unicode_bigram_surprisal = the tokens_col seam E2E, VERDICT item 4)
+    # = 50/50 slots. After this window lands, EVERY registry entry has
+    # ≥1 driver row across r1–r10; from r11 the window goes steady-state:
+    # new flagships + the oldest rows by last-driver-green date (VERDICT
+    # item 8), so no query's evidence goes stale beyond ~4 rounds. Every
+    # rotated-out query keeps full coverage via the local driver-sim +
+    # pytest oracle mirror (tests/test_queries_oracle.py) each session.
+    # array_kit re-enters with a scalar-only projection (its r9 row was
+    # the driver-canonicalizer TypeError, VERDICT item 1 — the array
+    # algebra is unchanged upstream of the output projection).
     # ------------------------------------------------------------------
-    # r8 flagships that never earned a driver row (VERDICT r8 item 1):
-    "robots_txt_gate", "authority_gate", "host_link_rank",
-    "anchor_text_rollup", "domain_quality_rollup_psl",
-    # r9 new capability: Unicode/script-aware tokenization audit
-    "unicode_token_stats",
-    # oldest never-driver-verified registry entries, registration order:
-    "near_dup_droplist", "multimodal_plans", "ann_ivf_topk", "ann_pq_topk",
-    "corpus_idf", "tfidf_top_terms", "ngram_topk", "repeated_spans",
-    "span_scrub", "pii_redact", "quantiles", "dispersion_stats",
-    "running_totals", "date_kit", "hash_sample", "ols_slope", "window_kit",
-    "gap_fill_resample", "bloom_semi_equiv", "weighted_sample",
-    "profile_table", "label_propagation", "pagerank_int", "rolling_anomaly",
-    "scd2_history", "topk_per_group", "fuzzy_name_match", "regional_revenue",
-    "array_kit", "interval_join_batch", "conversion_funnel",
-    "retention_cohorts", "vocab_train", "unigram_surprisal",
-    "gopher_repetition", "sequence_packing", "benchmark_decontam",
-    "mixture_sample", "skew_diagnose", "substring_dup_spans",
-    "group_reservoir_sample", "document_chunks", "source_quality_rollup",
-    "vocab_growth_curve",
+    # r9-late flagships registered after the r9 window froze:
+    "crawl_permission_funnel", "unicode_minhash_pairs",
+    "fertility_by_scheme", "classifier_calibration",
+    # r10 flagships (this round's new capability seams):
+    "embedding_encode_stats", "unicode_bigram_surprisal",
+    # the remaining never-driver-verified entries, registration order:
+    "array_kit", "quality_classifier_score", "bigram_surprisal",
+    "hybrid_rrf_topk", "minhash_jaccard_est", "salted_join_equiv",
+    "corr_avg_filter", "argmin_supplier", "exists_coexist_audit",
+    "global_scalar_anti", "count_distribution", "having_semi_top",
+    "tokenizer_fertility", "length_buckets", "quality_percentile_gate",
+    "dedup_attribution", "source_signature_terms",
+    "embedding_prototypicality", "source_overlap_minhash", "lang_confusion",
+    "dup_cluster_histogram", "neardup_threshold_histogram", "corpus_diff",
+    "dsir_resample", "jl_projection", "cm_heavy_hitters", "corpus_report",
+    "hard_negatives", "phrase_detection", "source_boilerplate_strip",
+    "exact_dedup_quality_keeper", "window_mix_entropy",
+    "vocab_coverage_curve", "ngram_diversity", "decontam_attribution",
+    "token_entropy_gate", "winnowing_fingerprints",
+    "source_length_quantiles", "phrase_blocklist_gate", "corpus_drift_psi",
+    "shard_manifest", "knn_label_eval", "incremental_winnow",
+    "soft_dedup_weights",
 ]
 
 #: the r1–r8 curated window, kept for the per-slot rotation rationale the

@@ -2335,7 +2335,8 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_kit",
     """
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+             AS vocab_sorted,
            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_vocab,
            list_contains(string_split(text, ' '), 'the') AS has_the,
            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
@@ -2347,14 +2348,17 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function kit (the collection algebra reshape/dedup lean on):
     distinct, sort, membership, intersection — all native higher-order
-    array expressions evaluated per-row with zero shuffles. Distinct output
-    is order-unspecified in both engines, so compared sorted."""
+    array expressions evaluated per-row with zero shuffles. The sorted
+    vocab is emitted as a space-joined STRING, not an array: the driver's
+    pandas canonicalizer cannot sort list cells (CORRECTNESS_r09
+    ``array_kit`` err), so query outputs must be scalar-only — the array
+    algebra is still fully exercised upstream of the projection."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     vocab = F.array_distinct(toks)
     return d.select(
         "doc_id",
-        F.array_sort(vocab).alias("vocab"),
+        F.array_join(F.array_sort(vocab), " ").alias("vocab_sorted"),
         F.size(vocab).cast("long").alias("n_vocab"),
         F.array_contains(toks, "the").alias("has_the"),
         F.size(F.array_intersect(vocab, F.array(*[F.lit(s) for s in ["the", "a", "of", "and"]])))

@@ -3923,7 +3923,7 @@ def fertility_by_scheme(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t LEFT JOIN s USING (doc_id)
     ),
     b AS (
-      SELECT (score + 10000000) // 5000 AS bucket,
+      SELECT score // 5000 AS bucket,
              CASE WHEN score >= 0 THEN 1 ELSE 0 END AS keep,
              CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END AS ref
       FROM per
@@ -3942,9 +3942,11 @@ def fertility_by_scheme(spark: SparkSession, sf_dir: str) -> DataFrame:
 def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-bucket calibration/agreement table for the model-based
     quality filter (r9): documents bin by hashed-linear score (the
-    quality_classifier_score scorer, 5000-centi-point buckets over a
-    positively-shifted score so integer division floors identically in
-    every engine), and each bucket reports how the classifier verdict
+    quality_classifier_score scorer, 5000-centi-point buckets via
+    truncating integer division — Spark ``div`` and DuckDB integer ``//``
+    both truncate toward zero, so the binning is exact for every int64
+    score with no shift bound to outgrow), and each bucket reports how
+    the classifier verdict
     agrees with an independent reference gate (the ≥30-token length
     prior) — the standard reliability table a pipeline inspects before
     trusting a filter at a new threshold (monotone agreement by bucket ⇒
@@ -3961,9 +3963,14 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     scored = hashed_linear_score(d, weights=None, dim=4096, salt="q")
     b = scored.select(
-        # positive shift first: Spark's `div` truncates toward zero while
-        # DuckDB's `//` floors — identical only on non-negative operands
-        F.expr("(score_centi + 10000000) div 5000").alias("bucket"),
+        # Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+        # (verified: duckdb -7 // 2 = -3, not -4 — `//` floors only the
+        # r9 code's assumed way for nothing; floats aren't even integer-
+        # divided). So plain truncating division agrees between the
+        # engines for every int64 score — the r9 "+10M shift" (which
+        # silently broke past 10k-token documents, ADVICE r9) is dropped
+        # rather than re-bounded.
+        F.expr("score_centi div 5000").alias("bucket"),
         F.when(F.col("score_centi") >= 0, 1).otherwise(0).alias("keep"),
         F.when(F.col("n_tokens") >= 30, 1).otherwise(0).alias("ref"),
     )
@@ -3985,3 +3992,143 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("agree_ppm"),
     )
+
+
+@q(
+    "embedding_encode_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('e' || w), 1, 15)) AS BIGINT) % 16 AS j,
+             CASE WHEN CAST(('0x' || substr(md5('s' || w), 1, 15)) AS BIGINT)
+                       % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM tok
+    ),
+    d AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v FROM h GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (WHERE v <> 0) AS BIGINT) AS nnz,
+             CAST(coalesce(sum(abs(v)), 0) AS BIGINT) AS l1,
+             CAST(coalesce(sum(v * v), 0) AS BIGINT) AS sumsq,
+             CAST(coalesce(max(abs(v)), 0) AS BIGINT) AS max_abs
+      FROM d GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(per.nnz, 0) AS nnz,
+           coalesce(per.l1, 0) AS l1,
+           coalesce(per.sumsq, 0) AS sumsq,
+           coalesce(per.max_abs, 0) AS max_abs
+    FROM t LEFT JOIN per USING (doc_id)
+    """,
+)
+def embedding_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-GENERATION seam, oracle-verified end-to-end (VERDICT
+    r9 item 5): documents encode to 16-dim vectors through
+    text/embeddings.py::encode_documents — a real ``mapInPandas`` Arrow
+    pass running the injected-encoder contract with the deterministic
+    signed-feature-hashing stand-in — and the per-document vector stats
+    (nnz / L1 / sum-of-squares / max-abs, all integers) are computed
+    NATIVELY from the returned ``array<float>`` column. The DuckDB twin
+    restates the stand-in encoder in closed form, so a batching, dtype,
+    ordering, or null-handling defect anywhere in the Arrow plumbing
+    breaks the value hash.
+
+    Scale shape: the encode pass is shuffle-free (documents never leave
+    their scan partitions; a real model adapter drops in via
+    ``encoder=``); the stats projection is per-row native array algebra —
+    zero joins, zero explode. The int64 accumulator lambda folds the
+    float32 cells exactly (per-doc magnitudes ≪ 2^24)."""
+    from pharmacodi_spark.text.embeddings import encode_documents
+
+    d = _t(spark, sf_dir, "documents")
+    enc = encode_documents(d, dim=16, content_col="text", id_col="doc_id")
+    v = F.col("embedding")
+    as_long = lambda c: c.cast("long")  # noqa: E731
+    return enc.select(
+        "doc_id",
+        F.size(F.filter(v, lambda x: x != 0)).cast("long").alias("nnz"),
+        F.aggregate(
+            v, F.lit(0).cast("long"), lambda acc, x: acc + as_long(F.abs(x))
+        ).alias("l1"),
+        F.aggregate(
+            v,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + as_long(x) * as_long(x),
+        ).alias("sumsq"),
+        F.array_max(F.transform(v, lambda x: as_long(F.abs(x)))).alias(
+            "max_abs"
+        ),
+    )
+
+
+@q(
+    "unicode_bigram_surprisal",
+    f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' ' || {_UNI_CASE} AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             regexp_extract_all(
+               regexp_replace(text, '{_SPACEFREE_RE2_CLS}', ' \\1 ', 'g'),
+               '{_UNI_TOKEN_RE2}') AS toks
+      FROM fixture
+    ),
+    tr AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> {{'x': toks[i], 'y': toks[i+1]}})) AS g
+      FROM t WHERE len(toks) >= 2
+    ),
+    tt AS (SELECT doc_id, g.x AS x, g.y AS y FROM tr),
+    c2 AS (SELECT x, y, count(*) AS c2 FROM tt GROUP BY 1, 2),
+    c1 AS (SELECT x, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    b AS (
+      SELECT tt.doc_id,
+             length(bin(c1 // c2)) - 1 + 20 AS bits
+      FROM tt JOIN c2 USING (x, y) JOIN c1 USING (x)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+    FROM b GROUP BY doc_id
+    """,
+)
+def unicode_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 ``tokens_col=`` seam sweep, driver-verified E2E (VERDICT r9
+    item 4): the mixed-script fixture (Han / Thai / Japanese / Latin
+    sentences keyed by doc_id % 4) runs through the UNCHANGED
+    text/corpus.py::bigram_surprisal with ``tokens_col=unicode_tokens`` —
+    under the old split-on-space contract every CJK document is ONE token
+    and the transition LM emits no row for 3 of the 4 buckets; through
+    the seam each document contributes a real per-char transition stream
+    and the integer-log2 surprisal is bit-exact against the oracle's RE2
+    restatement of the tokenizer plus the same closed-form bigram LM.
+
+    Scale shape: identical to bigram_surprisal (the seam swaps ONE
+    projection): one tokenize+explode collapsed to pinned per-doc
+    occurrence counts, vocabulary-scale count tables, scoring joins
+    against pins only."""
+    from pharmacodi_spark.text.analysis import unicode_tokens
+    from pharmacodi_spark.text.corpus import bigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    sent = F.element_at(
+        F.lit(_MIXED_SENTENCES), (F.col("doc_id") % 4).cast("int") + 1
+    )
+    fixture = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "), sent
+        ).alias("text"),
+    ).withColumn("toks", unicode_tokens("text"))
+    return bigram_surprisal(fixture, tokens_col="toks")

@@ -319,6 +319,7 @@ def bigram_surprisal(
     content_col: str = "text",
     id_col: str = "doc_id",
     scale_bits: int = 20,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Bigram-LM conditional surprisal — one order deeper than
     :func:`unigram_surprisal` (the corpus as a first-order Markov LM):
@@ -346,7 +347,15 @@ def bigram_surprisal(
     """
     from pharmacodi_spark.barrier import stage_barrier
 
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # ``tokens_col`` names a pre-tokenized array column (e.g.
+    # ``analysis.unicode_tokens`` for CJK/Thai corpora, where split-on-
+    # space collapses a line to ONE token and the transition LM silently
+    # degenerates); the default keeps the fixture-oracle contract.
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     base = df.select(F.col(id_col), toks.alias("__tk"))
     grams = F.transform(
         F.sequence(F.lit(1), F.size("__tk") - 1),
@@ -716,6 +725,7 @@ def stupid_backoff_scores(
     content_col: str = "text",
     id_col: str = "doc_id",
     alpha_fp: int = -1354,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
     Language Models in Machine Translation" — THE count-based LM built at
@@ -750,7 +760,13 @@ def stupid_backoff_scores(
     from pharmacodi_spark.text.retrieval import ilog2_fp
 
     def toks(d: DataFrame) -> DataFrame:
-        t = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        # tokens_col: pre-tokenized array seam (CJK via unicode_tokens);
+        # default keeps the split-on-space fixture-oracle contract
+        t = (
+            F.filter(F.col(tokens_col), lambda x: x != "")
+            if tokens_col is not None
+            else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        )
         return d.select(F.col(id_col), t.alias("__tk"))
 
     def grams(d: DataFrame, n: int, out: str) -> DataFrame:
@@ -860,6 +876,7 @@ def kneser_ney_scores(
     id_col: str = "doc_id",
     discount_num: int = 3,
     discount_den: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Kneser–Ney bigram LM scoring (Kneser & Ney 1995; the smoothing step
     up from :func:`stupid_backoff_scores` — VERDICT r6 item 4): absolute
@@ -902,7 +919,13 @@ def kneser_ney_scores(
     assert 0 < discount_num < discount_den
 
     def toks(d: DataFrame) -> DataFrame:
-        t = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        # tokens_col: pre-tokenized array seam (CJK via unicode_tokens);
+        # default keeps the split-on-space fixture-oracle contract
+        t = (
+            F.filter(F.col(tokens_col), lambda x: x != "")
+            if tokens_col is not None
+            else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        )
         return d.select(F.col(id_col), t.alias("__tk"))
 
     def bigrams(d: DataFrame) -> DataFrame:
@@ -998,6 +1021,7 @@ def kneser_ney3_scores(
     id_col: str = "doc_id",
     discount_num: int = 3,
     discount_den: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Trigram Kneser–Ney LM scoring (VERDICT r7 item 4) — the standard
     filter-LM order, extending :func:`kneser_ney_scores`'s
@@ -1039,7 +1063,13 @@ def kneser_ney3_scores(
     assert 0 < discount_num < discount_den
 
     def toks(d: DataFrame) -> DataFrame:
-        t = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        # tokens_col: pre-tokenized array seam (CJK via unicode_tokens);
+        # default keeps the split-on-space fixture-oracle contract
+        t = (
+            F.filter(F.col(tokens_col), lambda x: x != "")
+            if tokens_col is not None
+            else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        )
         return d.select(F.col(id_col), t.alias("__tk"))
 
     def trigrams(d: DataFrame) -> DataFrame:

@@ -509,6 +509,7 @@ def repeated_spans(
     sample_mod: int = 1,
     exact_verify: bool = True,
     hash_fn=None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact substring-duplicate detection (the ExactSubstr pass of Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models Better"):
@@ -562,10 +563,19 @@ def repeated_spans(
     #   count-table semi-join, so the window table is evaluated once and
     #   shuffles once (by h), instead of twice for build + probe.
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(F.col(id_col), F.col(content_col))
+    src_col = content_col if tokens_col is None else tokens_col
+    base = df.select(F.col(id_col), F.col(src_col))
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par, F.col(id_col))
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized array seam (CJK via unicode_tokens — on a
+    # space-free script the space split makes a line ONE token, so no
+    # window of min_len tokens ever forms and ExactSubstr finds nothing);
+    # default keeps the split-on-space fixture-oracle contract.
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     base = base.select(F.col(id_col), toks.alias("__tk"))
     n = F.size("__tk")
     if hash_fn is None:

@@ -49,6 +49,18 @@ from pyspark.sql import functions as F
 _END = ""  # trie terminal marker key (empty string cannot be a char)
 
 
+def _word_source(content_col: str, tokens_col: str | None) -> "F.Column":
+    """Word-stream source for the vocabulary trainers: the default
+    whitespace split, or a pre-tokenized array column (``tokens_col``,
+    e.g. ``analysis.unicode_tokens`` — on CJK/Thai the whitespace split
+    makes a whole line ONE word, so the distinct-word table the trainers
+    collapse to holds line-sized "words" and the learned vocabulary is
+    garbage; the seam keeps the trainers unchanged)."""
+    if tokens_col is not None:
+        return F.col(tokens_col)
+    return F.split(F.col(content_col), r"\s+")
+
+
 def build_trie(vocab: Iterable[str]) -> dict:
     """Nested-dict prefix trie; presence of the ``_END`` key marks a piece."""
     root: dict = {}
@@ -200,6 +212,7 @@ def train_vocab(
     content_col: str = "text",
     vocab_size: int = 1000,
     max_piece_len: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus-driven vocabulary: the ``vocab_size`` highest-frequency
     substrings (length ≤ ``max_piece_len``) of the corpus' words, weighted
@@ -217,7 +230,7 @@ def train_vocab(
     ``vocab_size`` is engine-independent.
     """
     words = (
-        df.select(F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
+        df.select(F.explode(_word_source(content_col, tokens_col)).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -278,6 +291,7 @@ def train_bpe(
     max_word_len: int = 64,
     barrier: str = "local",
     barrier_dir: str | None = None,
+    tokens_col: str | None = None,
 ) -> list[tuple[str, str, int]]:
     """True merge-based BPE training: iteratively merge the corpus-wide
     highest-frequency adjacent symbol pair, returning the ordered merges
@@ -314,7 +328,7 @@ def train_bpe(
 
     assert num_merges >= 0 and max_batch >= 1 and max_word_len >= 2
     words = (
-        df.select(F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
+        df.select(F.explode(_word_source(content_col, tokens_col)).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -516,6 +530,7 @@ def train_unigram_lm(
     max_word_len: int = 32,
     barrier: str = "local",
     barrier_dir: str | None = None,
+    tokens_col: str | None = None,
 ) -> list[tuple[str, int, int]]:
     """Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
     scheme; completes the module's tokenizer family next to the trie
@@ -556,7 +571,7 @@ def train_unigram_lm(
     assert max_piece_len >= 1 and em_iters >= 1 and 0 < prune_frac < 1
 
     words = stage_barrier(
-        df.select(F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
+        df.select(F.explode(_word_source(content_col, tokens_col)).alias("w"))
         .where(F.col("w") != "")
         .select(F.substring("w", 1, max_word_len).alias("w"))
         .groupBy("w")

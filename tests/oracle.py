@@ -50,7 +50,16 @@ def _norm(v):
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        # The REAL driver canonicalizes with pandas ``sort_values``, which
+        # raises ``TypeError: unhashable type: 'list'`` on array-typed cells
+        # (CORRECTNESS_r09.json ``array_kit`` err). Reproduce that
+        # intolerance here so array-typed query outputs fail in the local
+        # mirror BEFORE burning a driver window slot: queries must project
+        # arrays to scalars (e.g. ``array_join(array_sort(...), ' ')``).
+        raise TypeError(
+            "unhashable type: 'list' — array-typed result cell; the driver's "
+            "pandas canonicalizer cannot sort it. Project arrays to scalars."
+        )
     if isinstance(v, _dt.timedelta):
         return v.total_seconds()
     return v

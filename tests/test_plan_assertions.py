@@ -156,6 +156,21 @@ CASES = [
     ("registered_domain", r"SortMergeJoin", False,
      "suffix join + one map-side-collapsing per-id agg; no corpus-scale "
      "join"),
+    ("embedding_encode_stats", r"MapInPandas|ArrowEvalPython", True,
+     "the encoder seam is a deliberate Arrow-batched Python stage (real "
+     "model adapters drop in); the plumbing itself is what's verified"),
+    ("embedding_encode_stats", r"\bJoin\b", False,
+     "vector stats are per-row native array algebra — zero joins"),
+    ("embedding_encode_stats", r"hashpartitioning", False,
+     "documents never leave their scan partitions (only the round-robin "
+     "spread of a single-file local scan)"),
+    ("unicode_bigram_surprisal", r"Scan ExistingRDD", True,
+     "the seam swaps ONE tokenize projection; the pinned bigram topology "
+     "is unchanged — scoring reads pins only"),
+    ("unicode_bigram_surprisal", r"BatchEvalPython|ArrowEvalPython|MapInPandas",
+     False,
+     "unicode tokenization is two native regexes — the CJK path stays on "
+     "the JVM pipeline"),
 ]
 
 

@@ -35,6 +35,20 @@ def test_rows_only_query_runs(spark, sf_dir, name, fn):
     assert df.count() >= 0
 
 
+def test_array_typed_output_rejected(spark, sf_dir, con):
+    """The real driver's pandas canonicalizer crashes on list cells
+    (CORRECTNESS_r09 ``array_kit`` err: unhashable type 'list'); the local
+    mirror must fail the same way so array-typed query outputs never reach
+    the driver. An intentionally array-typed result must raise."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        "id", F.array(F.lit("a"), F.lit("b")).alias("arr")
+    )
+    with pytest.raises(TypeError, match="unhashable type: 'list'"):
+        compare(df, con, "SELECT 1 AS id, ['a','b'] AS arr")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as mod
 

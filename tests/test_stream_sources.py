@@ -99,15 +99,31 @@ def test_socket_transport_parses_event_json(spark):
 def test_kafka_transport_fails_fast_without_connector(spark):
     from pharmacodi_spark.streaming.ops import event_stream_source
 
-    with pytest.raises((RuntimeError, Exception)) as ei:
+    # Eager path: without the connector jar, readStream...load() raises
+    # inside event_stream_source, which must wrap it in the RuntimeError
+    # whose message names the exact package to add. Deferred path: some
+    # Spark versions postpone source resolution to stream start — then the
+    # failure must be Spark's own resolution error naming kafka, not some
+    # unrelated exception (the old `(RuntimeError, Exception)` tuple
+    # accepted anything).
+    try:
         df = event_stream_source(
             spark, kind="kafka",
             kafka_bootstrap="localhost:9092", kafka_topic="events",
         )
-        # some Spark versions defer resolution to stream start
-        df.writeStream.format("memory").queryName("kafka_events").start()
-    msg = str(ei.value)
-    assert "kafka" in msg.lower()
+    except RuntimeError as ex:
+        assert "spark-sql-kafka" in str(ex)
+        return
+    # deferred-resolution branch
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises(PySparkException) as ei:
+        q = df.writeStream.format("memory").queryName("kafka_events").start()
+        try:
+            q.awaitTermination(10)
+        finally:
+            q.stop()
+    assert "kafka" in str(ei.value).lower()
 
 
 def test_unknown_and_missing_args_fail_fast(spark):

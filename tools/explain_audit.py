@@ -747,6 +747,31 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the CJK path is the SAME native pipeline as minhash_band_pairs "
          "— no Python, no parallel implementation"),
     ],
+    "embedding_encode_stats": [
+        (r"MapInPandas|ArrowEvalPython", True,
+         "the encoder seam IS a deliberate Arrow-batched Python stage "
+         "(a real model adapter drops in via encoder=); the stand-in "
+         "keeps the identical plumbing"),
+        (r"\bJoin\b", False,
+         "vector stats are native per-row array algebra over the encode "
+         "output — zero joins"),
+        (r"hashpartitioning", False,
+         "zero keyed shuffles: documents never leave their scan "
+         "partitions (the only exchange is the up-front round-robin "
+         "spread of a single-file local scan, which no-ops at corpus "
+         "scale)"),
+    ],
+    "unicode_bigram_surprisal": [
+        (r"Scan parquet", False,
+         "identical pinned topology to bigram_surprisal — the seam swaps "
+         "ONE tokenize projection; occurrence + count tables are pinned "
+         "so the unicode regex tokenization runs once"),
+        (r"Scan ExistingRDD", True,
+         "scoring re-reads the pinned occurrence + count tables only"),
+        (r"BatchEvalPython|ArrowEvalPython|MapInPandas", False,
+         "unicode tokenization is two native regex expressions — the CJK "
+         "path is the SAME JVM pipeline, no Python"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "
