@@ -164,6 +164,7 @@ HEADLINE = HEADLINE_R1 + [
     # (bigram LM over script-aware tokens)
     "embedding_encode_stats",
     "unicode_bigram_surprisal",
+    "text_semantic_dedup",
 ]
 
 

@@ -4132,3 +4132,128 @@ def unicode_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     ).withColumn("toks", unicode_tokens("text"))
     return bigram_surprisal(fixture, tokens_col="toks")
+
+
+@q(
+    "text_semantic_dedup",
+    """
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('e' || w), 1, 15)) AS BIGINT) % 32 AS j,
+             CASE WHEN CAST(('0x' || substr(md5('s' || w), 1, 15)) AS BIGINT)
+                       % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM tok
+    ),
+    vecs AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
+             FROM hh GROUP BY 1, 2),
+    g AS (SELECT doc_id, list({'j': j, 'v': v}) AS cells
+          FROM vecs GROUP BY doc_id),
+    q AS (
+      SELECT t.doc_id AS vec_id,
+             list_transform(generate_series(1, 32), jj ->
+               coalesce(list_sum(list_transform(
+                 list_filter(g.cells, c -> c.j = jj - 1), c -> c.v)), 0))
+               AS qe
+      FROM t LEFT JOIN g USING (doc_id)
+    ),
+    cents AS (SELECT vec_id AS cid, qe AS cqe FROM q WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qe, c.cqe),
+                   s -> (s[1]-s[2])*(s[1]-s[2]))), c.cid) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn = 1
+    ),
+    norms AS (
+      SELECT vec_id, list_sum(list_transform(qe, x -> x*x)) AS n2 FROM q
+    ),
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN q qa ON a.vec_id = qa.vec_id JOIN q qb ON b.vec_id = qb.vec_id
+      JOIN norms na ON a.vec_id = na.vec_id
+      JOIN norms nb ON b.vec_id = nb.vec_id
+      WHERE na.n2 > 0 AND nb.n2 > 0
+        AND CAST(list_sum(list_transform(list_zip(qa.qe, qb.qe),
+                                         s -> s[1]*s[2])) AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.85
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM q
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(component AS BIGINT) AS component,
+           component = node AS keep
+    FROM comp
+    """,
+)
+def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-in → droplist-out semantic dedup — the r10 capstone closing
+    VERDICT r9 item 5 at the driver level: raw documents encode to 32-dim
+    vectors through text/embeddings.py::encode_documents (the Arrow
+    mapInPandas encoder seam, deterministic stand-in), and the UNCHANGED
+    semantic_dedup_pipeline stages consume the output — IVF-cell blocking
+    over the first-16-docs seed centroids, within-cell integer-quantized
+    cosine (≥ 0.85; integer dot/norms, ONE IEEE division+sqrt per pair —
+    bit-identical across engines), connected components, min-id keeper.
+    The oracle nests the closed-form encoder as the head CTE of the same
+    recursive-CC SQL (the curation_select_pipeline nesting precedent).
+
+    Scale notes beyond the fixture-backed sibling: the encoded frame is
+    STAGE-BARRIER-PINNED immediately after the Python stage — the pair
+    stage self-joins its input and the droplist re-reads it, and lazily
+    composed each consumer would re-run the (model-inference-heavy in
+    production) encode per reference (the r5 lesson, here at its most
+    expensive). Zero-norm vectors (empty documents) are excluded from the
+    pair stage EXPLICITLY on both sides: Spark compares ``0/0 = NaN`` as
+    greater-than-everything while the droplist still carries the doc as
+    its own singleton component — the guard keeps the engines aligned
+    without dropping rows."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.clusters import near_dup_droplist
+    from pharmacodi_spark.text.embeddings import encode_documents
+    from pharmacodi_spark.text.similarity import cell_cosine_pairs, ivf_assign
+
+    d = _t(spark, sf_dir, "documents")
+    enc = stage_barrier(
+        encode_documents(d, dim=32), name="text_semdedup_enc"
+    )
+    qe = enc.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("long")).alias("qe"),
+    )
+    seed_rows = qe.where(F.col("vec_id") < 16).collect()
+    centroids = [list(r.qe) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
+    assigned = ivf_assign(qe, centroids, vec_col="qe", out_col="cid")
+    nz = assigned.where(
+        F.aggregate(
+            "qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        )
+        > 0
+    )
+    pairs = cell_cosine_pairs(
+        nz,
+        vec_col="qe",
+        id_col="vec_id",
+        cell_col="cid",
+        threshold=0.85,
+        max_cell_size=256,
+    )
+    out = near_dup_droplist(qe.select("vec_id"), pairs, id_col="vec_id")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        "keep",
+    )

@@ -171,6 +171,11 @@ CASES = [
      False,
      "unicode tokenization is two native regexes — the CJK path stays on "
      "the JVM pipeline"),
+    ("text_semantic_dedup", r"Scan ExistingRDD", True,
+     "the encoded frame is pinned after the Python encode; pair "
+     "self-join + droplist read the pin, never re-running the encoder"),
+    ("text_semantic_dedup", r"MapInPandas", False,
+     "no Python stage downstream of the pin — the encode ran once"),
 ]
 
 

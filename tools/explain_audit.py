@@ -772,6 +772,19 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "unicode tokenization is two native regex expressions — the CJK "
          "path is the SAME JVM pipeline, no Python"),
     ],
+    "text_semantic_dedup": [
+        (r"Scan ExistingRDD", True,
+         "the encoded frame is barrier-pinned straight after the Python "
+         "encode stage: the pair self-join, the centroid collect, and "
+         "the droplist all read the pin — lazily composed, each consumer "
+         "re-runs the (model-inference-heavy in production) encoder"),
+        (r"MapInPandas", False,
+         "downstream of the pin NO Python stage appears in the final "
+         "plan — the encode ran exactly once, at pin time"),
+        (r"SortMergeJoin", False,
+         "cell-blocked pair expansion under the triangle guard + "
+         "broadcast centroid literals — no corpus-scale sort join"),
+    ],
     "token_budget_report": [
         (r"hashpartitioning\(__k#", True,
          "the keeper window and the token count share ONE projection — "
