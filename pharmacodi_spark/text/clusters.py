@@ -92,9 +92,16 @@ def near_dup_droplist(
     the drop list; semi-join ``keep = true`` against the corpus for the
     surviving documents."""
     comp = connected_components(pairs, src=src, dst=dst)
+    # the label attach: full id set LEFT JOIN the component table. Both
+    # sides are barrier-pinned RDD scans in every caller, so the planner
+    # has no stats and falls back to sort-merge — but the join is a plain
+    # equi-join whose build side (labels ≤ the dup mass) is the smaller by
+    # construction; hint it hash so neither side pays a sort (the r8
+    # pagerank_int lesson, caught again by the r10 text_semantic_dedup
+    # plan audit).
     out = (
         ids.select(F.col(id_col))
-        .join(comp, ids[id_col] == comp.node, "left")
+        .join(comp.hint("shuffle_hash"), ids[id_col] == comp.node, "left")
         .select(
             id_col,
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),

@@ -121,10 +121,15 @@ def dsir_score(
     salt: str = "d",
     content_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document DSIR importance log-weight: a zero-shuffle native fold
     of λ over the token array (``element_at`` into the broadcast literal).
-    Output: ``(id_col, n_tokens, dsir_fp)``; empty docs score 0."""
+    Output: ``(id_col, *keep_cols, n_tokens, dsir_fp)``; empty docs score
+    0. ``keep_cols`` rides extra columns through the projection (e.g. the
+    source/host key a downstream prior joins on) — a free select, where
+    re-attaching them afterwards would cost a corpus-scale id-keyed
+    join."""
     assert len(weights) == dim
     toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
     warr = F.array(*[F.lit(int(w)) for w in weights])
@@ -136,6 +141,7 @@ def dsir_score(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size(toks).cast("long").alias("n_tokens"),
         score.cast("long").alias("dsir_fp"),
     )
