@@ -165,6 +165,12 @@ HEADLINE = HEADLINE_R1 + [
     "embedding_encode_stats",
     "unicode_bigram_surprisal",
     "text_semantic_dedup",
+    # round-10 late batch: composed selection prior, topic structure,
+    # graded retrieval referee
+    "rank_weighted_select",
+    "kmeans_topics",
+    "cluster_balanced_sample",
+    "retrieval_ndcg",
 ]
 
 

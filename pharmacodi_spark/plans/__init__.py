@@ -4,6 +4,7 @@ import pharmacodi_spark.plans.extensions2  # noqa: F401  (registers second batch
 import pharmacodi_spark.plans.pipeline_q  # noqa: F401  (registers pipeline composition)
 import pharmacodi_spark.plans.analytics  # noqa: F401  (registers subquery/decorrelation kit)
 import pharmacodi_spark.plans.extensions3  # noqa: F401  (registers selection/observability batch)
+import pharmacodi_spark.plans.extensions4  # noqa: F401  (registers composed-prior/topic batch)
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -3169,20 +3169,14 @@ concat(
 """
 
 
-@q("host_link_rank", _host_rank_sql(6))
-def host_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level link-graph PageRank — the CommonCrawl-style domain
-    authority prior next to the content gates (a host no one links to,
-    or only spam rings link to, scores low before a single page is
-    read). Composes three library layers end to end:
-    text/html.py::extract_links (native anchor extraction over the
-    SCRUBBED page — the script body's fake anchor must not become an
-    edge; both quote styles), text/urls.py::url_host (href → canonical
-    host), and operators/graph.py::pagerank_int (6 iterations, integer
-    algebra, dangling mass redistributed — 'hub.example.com' is a pure
-    sink). Edges are distinct (src_host, dst_host) pairs — the graph is
-    domain-cardinality metadata; pages never shuffle. The oracle states
-    the edge set in closed form and unrolls the same integer PageRank."""
+def _host_rank_df(
+    spark: SparkSession, sf_dir: str, iterations: int = 6
+) -> DataFrame:
+    """The host_link_rank dataflow with the iteration count exposed —
+    host_link_rank keeps its published 6-iteration contract while cheaper
+    consumers (rank_weighted_select's 2-iteration prior, whose DuckDB twin
+    must stay affordable: the 6-iteration CTE runs minutes at sf0.01 per
+    the ROADMAP note) reuse the identical edge derivation."""
     from pharmacodi_spark.operators.graph import pagerank_int
     from pharmacodi_spark.text.html import extract_links
     from pharmacodi_spark.text.urls import url_host
@@ -3201,10 +3195,27 @@ def host_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = links.select(
         F.col("src_host").alias("src"), url_host("href").alias("dst")
     ).distinct()
-    out = pagerank_int(edges, iterations=6, dangling="redistribute")
+    out = pagerank_int(edges, iterations=iterations, dangling="redistribute")
     return out.select(
         F.col("v").alias("host"), F.col("r").cast("long").alias("rank_e9")
     )
+
+
+@q("host_link_rank", _host_rank_sql(6))
+def host_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph PageRank — the CommonCrawl-style domain
+    authority prior next to the content gates (a host no one links to,
+    or only spam rings link to, scores low before a single page is
+    read). Composes three library layers end to end:
+    text/html.py::extract_links (native anchor extraction over the
+    SCRUBBED page — the script body's fake anchor must not become an
+    edge; both quote styles), text/urls.py::url_host (href → canonical
+    host), and operators/graph.py::pagerank_int (6 iterations, integer
+    algebra, dangling mass redistributed — 'hub.example.com' is a pure
+    sink). Edges are distinct (src_host, dst_host) pairs — the graph is
+    domain-cardinality metadata; pages never shuffle. The oracle states
+    the edge set in closed form and unrolls the same integer PageRank."""
+    return _host_rank_df(spark, sf_dir, iterations=6)
 
 
 _URL_SUBDOM_EXPR = (

@@ -1,0 +1,431 @@
+"""Fourth batch of north-star extension queries (round 10, late):
+composed SELECTION PRIORS and corpus-structure analytics — the stage
+where a pipeline stops judging documents one at a time and starts
+combining evidence (link-graph authority × content importance), mapping
+corpus structure (k-means topics over the embedding column), and
+refereeing its own retrieval stack (graded nDCG/MRR next to the
+classification-style knn vote).
+
+Same cross-engine determinism strategy as plans/extensions2/3: integer
+quantization, fixed-point integer log2, truncate-toward-zero division
+(Spark ``div`` ≡ DuckDB ``//``), driver-side metadata tables shared
+verbatim between the Spark literal and the SQL literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pharmacodi_spark.plans.queries import q, _rnd, _t
+from pharmacodi_spark.plans.extensions3 import (
+    _DSIR_DIM,
+    _DSIR_SALT,
+    _host_rank_df,
+    _host_rank_parts,
+    _il,
+)
+from pharmacodi_spark.text.retrieval import ndcg_discounts
+
+
+# ---------------------------------------------------------------------------
+# Rank-weighted selection (ROADMAP r9 candidate): link-graph authority
+# prior × DSIR content importance, combined in log space
+# ---------------------------------------------------------------------------
+
+_RW_ITERS = 2  # the cheap prior: authority_gate's 6-iteration CTE runs
+# minutes at sf0.01 in DuckDB (ROADMAP note); 2 iterations keep the same
+# integer algebra and a sub-second oracle
+_RW_K = 50
+
+_DSIR_CTES = f"""
+    tok AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substr(md5('{_DSIR_SALT}' || token), 1, 15))
+                  AS BIGINT) % {_DSIR_DIM} AS bucket
+      FROM tok
+    ),
+    c AS (
+      SELECT bucket, count(*) AS cr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      FROM bk GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(cr) + {_DSIR_DIM} AS tr, sum(ct) + {_DSIR_DIM} AS tt FROM c
+    ),
+    lam AS (
+      SELECT bucket,
+             ({_il("ct + 1")} - {_il("tt")}
+              - {_il("cr + 1")} + {_il("tr")}) AS lam
+      FROM c, tot
+    ),
+    s AS (
+      SELECT bk.doc_id, sum(lam.lam) AS dsir_fp
+      FROM bk JOIN lam USING (bucket) GROUP BY 1
+    )"""
+
+
+def _rank_weighted_sql() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_host_rank_parts(_RW_ITERS))
+        + f""",
+    ranks AS (SELECT v AS host, r FROM r{_RW_ITERS}),
+    {_DSIR_CTES}
+    SELECT d.doc_id,
+           lower(d.source) || '.example.com' AS host,
+           CAST(ranks.r AS BIGINT) AS rank_e9,
+           CAST(coalesce(s.dsir_fp, 0) AS BIGINT) AS dsir_fp,
+           CAST(coalesce(s.dsir_fp, 0) + {_il("ranks.r")} AS BIGINT)
+             AS combined_fp
+    FROM documents d
+    JOIN ranks ON ranks.host = lower(d.source) || '.example.com'
+    LEFT JOIN s ON s.doc_id = d.doc_id
+    ORDER BY combined_fp DESC, d.doc_id
+    LIMIT {_RW_K}
+    """
+    )
+
+
+@q("rank_weighted_select", _rank_weighted_sql())
+def rank_weighted_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-weighted data selection (ROADMAP r9 candidate): the
+    link-graph authority prior (host_link_rank's derivation at 2
+    iterations — text/html.py::extract_links → text/urls.py::url_host →
+    operators/graph.py::pagerank_int) combined with the DSIR content
+    importance weight (text/selection.py, Xie et al. 2023) in LOG space:
+    ``combined_fp = dsir_fp + ilog2_fp(rank_e9)`` — the fixed-point
+    integer log of the prior × likelihood product, every term
+    engine-exact. Top-k most-selectable docs (ties → lower id).
+
+    Scale shape (100 TB): the rank table is domain-cardinality metadata
+    pinned once and BROADCAST into the doc join; λ rides as one array
+    literal into a zero-shuffle native fold (dsir_score); the host key
+    is a free projection riding dsir_score's keep_cols seam (no id-keyed
+    re-attach join); selection is TakeOrderedAndProject. Bodies never
+    shuffle — the only corpus-scale exchange is the map-side-collapsing
+    λ-training aggregate."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.retrieval import ilog2_fp
+    from pharmacodi_spark.text.selection import dsir_score, dsir_train_weights
+
+    ranks = stage_barrier(
+        _host_rank_df(spark, sf_dir, iterations=_RW_ITERS),
+        name="rank_weighted_prior",
+    )
+    d = _t(spark, sf_dir, "documents")
+    lam = dsir_train_weights(
+        d, F.col("lang") == "en", dim=_DSIR_DIM, salt=_DSIR_SALT
+    )
+    scored = dsir_score(
+        d, lam, dim=_DSIR_DIM, salt=_DSIR_SALT, keep_cols=("source",)
+    )
+    docs = scored.select(
+        "doc_id",
+        "dsir_fp",
+        F.concat(F.lower(F.col("source")), F.lit(".example.com")).alias(
+            "host"
+        ),
+    )
+    j = docs.join(F.broadcast(ranks), "host")
+    return (
+        j.select(
+            "doc_id",
+            "host",
+            "rank_e9",
+            F.col("dsir_fp").cast("long").alias("dsir_fp"),
+            (F.col("dsir_fp") + ilog2_fp(F.col("rank_e9")))
+            .cast("long")
+            .alias("combined_fp"),
+        )
+        .orderBy(F.desc("combined_fp"), F.asc("doc_id"))
+        .limit(_RW_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means topic structure over the embedding column
+# (text/similarity.py::kmeans_lloyd_int)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = 10000
+
+
+def _kmeans_parts(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unrolled Lloyd's CTE chain ending in ``af(vec_id, cid, d2)`` —
+    shared by kmeans_topics and cluster_balanced_sample. Assignment =
+    integer squared-L2 argmin (ties → lower centroid id), update =
+    per-dimension ``sum // count`` (DuckDB ``//`` truncates toward zero —
+    the exact Spark ``div`` / Python
+    :func:`~pharmacodi_spark.text.similarity._trunc_div` semantics),
+    empty clusters keep their previous centroid."""
+    parts = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*{_KM_SCALE} + 0.5)
+                         AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, qe AS cqe FROM q WHERE vec_id < {k})"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""d{i} AS (
+      SELECT q.vec_id, c.cid,
+             list_sum(list_transform(list_zip(q.qe, c.cqe),
+                                     s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN c{i} c
+    ),
+    a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM d{i})
+      WHERE rn = 1
+    ),
+    e{i} AS (
+      SELECT a.cid, generate_subscripts(q.qe, 1) AS pos, unnest(q.qe) AS x
+      FROM a{i} a JOIN q USING (vec_id)
+    ),
+    s{i} AS (
+      SELECT cid, pos, sum(x) AS sx, count(*) AS n
+      FROM e{i} GROUP BY 1, 2
+    ),
+    u{i} AS (
+      SELECT cid, list(sx // n ORDER BY pos) AS cqe FROM s{i} GROUP BY 1
+    ),
+    c{i + 1} AS (
+      SELECT c{i}.cid, coalesce(u{i}.cqe, c{i}.cqe) AS cqe
+      FROM c{i} LEFT JOIN u{i} USING (cid)
+    )"""
+        )
+    parts.append(
+        f"""df AS (
+      SELECT q.vec_id, c.cid,
+             list_sum(list_transform(list_zip(q.qe, c.cqe),
+                                     s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN c{iters} c
+    ),
+    af AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM df)
+      WHERE rn = 1
+    )"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    return (
+        _kmeans_parts(k, iters)
+        + """
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(d2) AS BIGINT) AS inertia,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM af GROUP BY 1
+    """
+    )
+
+
+@q("kmeans_topics", _kmeans_sql())
+def kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic structure via integer Lloyd's k-means over the
+    embedding column (text/similarity.py::kmeans_lloyd_int, k=8, 2
+    iterations, seeds = the k lowest-id vectors): the clustering
+    primitive behind SemDeDup-style semantic pruning and cluster-balanced
+    sampling — per-cluster size, exact integer inertia, and the min-id
+    exemplar. Every step engine-deterministic: quantized integer vectors,
+    exact squared-L2 argmin with lower-index tie-break, per-dimension
+    ``sum div count`` centroid updates (truncate-toward-zero in BOTH
+    engines), empty clusters keep their previous centroid.
+
+    Scale shape: centroids are index metadata (k·dim longs, driver-side
+    like ivf_topk's coarse quantizer); each Lloyd step is ONE corpus scan
+    + a map-side-combining (cid, dim)-keyed aggregate of k·dim rows;
+    vectors never pair and never shuffle. The quantized frame is
+    stage-barrier-pinned — every iteration re-reads it."""
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.similarity import kmeans_lloyd_int
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (_rnd(x.cast("double") * _KM_SCALE)).cast("long"),
+        ).alias("qe"),
+    )
+    qe = stage_barrier(qe, name="kmeans_qe")
+    assigned, _cents = kmeans_lloyd_int(
+        qe, k=_KM_K, iterations=_KM_ITERS, vec_col="qe", id_col="vec_id"
+    )
+    return assigned.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("d2").cast("long").alias("inertia"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graded retrieval metrics (text/retrieval.py::retrieval_ndcg)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_MOD = 23
+_NDCG_DISC = ndcg_discounts(_NDCG_K)
+_NDCG_PSUM = [sum(_NDCG_DISC[:j]) for j in range(1, _NDCG_K + 1)]
+
+
+def _ndcg_sql() -> str:
+    disc = "[" + ", ".join(str(d) for d in _NDCG_DISC) + "]"
+    psum = "[" + ", ".join(str(p) for p in _NDCG_PSUM) + "]"
+    return f"""
+    WITH un AS (
+      SELECT vec_id, label,
+             CAST(floor((CAST(unnest(embedding) AS DOUBLE) * 10000) + 0.5)
+                  AS BIGINT) AS qv,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS qid, any_value(q.label) AS qlabel,
+             c.vec_id AS cid,
+             CASE WHEN any_value(c.label) = any_value(q.label)
+                  THEN 1 ELSE 0 END AS rel,
+             CAST(sum(q.qv * c.qv) AS BIGINT) AS dot
+      FROM un q JOIN un c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % {_NDCG_MOD} = 0
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    rnk AS (
+      SELECT qid, qlabel, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot DESC, cid) AS rn
+      FROM pairs
+    ),
+    agg AS (
+      SELECT qid, any_value(qlabel) AS label,
+             sum(CASE WHEN rn <= {_NDCG_K} AND rel = 1
+                      THEN 1 ELSE 0 END) AS n_rel_topk,
+             sum(rel) AS n_rel_pool,
+             sum(CASE WHEN rn <= {_NDCG_K} AND rel = 1
+                      THEN list_extract({disc}, rn) ELSE 0 END) AS dcg_fp,
+             min(CASE WHEN rn <= {_NDCG_K} AND rel = 1
+                      THEN rn END) AS first_hit
+      FROM rnk GROUP BY qid
+    )
+    SELECT qid AS vec_id, label,
+           CAST(n_rel_topk AS BIGINT) AS n_rel_topk,
+           CAST(n_rel_pool AS BIGINT) AS n_rel_pool,
+           CAST(dcg_fp AS BIGINT) AS dcg_fp,
+           CAST(CASE WHEN n_rel_pool > 0
+                     THEN (dcg_fp * 1000000)
+                          // list_extract({psum},
+                                          CAST(least(n_rel_pool, {_NDCG_K})
+                                               AS BIGINT))
+                     ELSE 0 END AS BIGINT) AS ndcg_ppm,
+           CAST(coalesce(1000 // first_hit, 0) AS BIGINT) AS mrr_milli
+    FROM agg
+    """
+
+
+@q("retrieval_ndcg", _ndcg_sql())
+def retrieval_ndcg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval-quality referee over the embedding column
+    (text/retrieval.py::retrieval_ndcg): per-probe nDCG@10 (ppm) and MRR
+    (milli) with label-match relevance — the ranking metric next to
+    knn_label_eval's majority vote (a stack can vote the right label
+    while burying the relevant items at ranks 8–10; nDCG catches that).
+    The log2 rank-discount table is driver-side fixed point
+    (ndcg_discounts), shared VERBATIM between the Spark array literal
+    and the SQL list literal; IDCG is a prefix-sum lookup; every
+    division a positive-integer truncation. Bounded probe sample
+    broadcasts against the corpus scan — the corpus never shuffles to
+    form pairs."""
+    from pharmacodi_spark.text.retrieval import retrieval_ndcg
+
+    e = _t(spark, sf_dir, "embeddings")
+    return retrieval_ndcg(e, k=_NDCG_K, query_mod=_NDCG_MOD)
+
+
+_CBS_QUOTA = 16
+
+
+def _cluster_balanced_sql() -> str:
+    return (
+        _kmeans_parts()
+        + f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cid AS BIGINT) AS cid,
+           CAST(d2 AS BIGINT) AS d2,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY d2, vec_id) AS rk
+      FROM af)
+    WHERE rk <= {_CBS_QUOTA}
+    """
+    )
+
+
+@q("cluster_balanced_sample", _cluster_balanced_sql())
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection: the k-means topic structure
+    (kmeans_lloyd_int, same k/iterations/seeds as kmeans_topics) feeding
+    a per-cluster prototypicality quota — up to _CBS_QUOTA most-central
+    vectors per cluster (ascending exact integer distance to the final
+    centroid, ties → lower id). The diversity-preserving sampler a
+    mixture pipeline runs AFTER dedup: proportional sampling over-serves
+    the head topic, a balanced quota keeps every region of embedding
+    space represented (the SemDeDup / DDS complement to
+    prototypicality's outlier pruning).
+
+    Scale shape: identical to kmeans_topics through the final assignment
+    (pinned quantized frame, metadata centroids, vectors never pair);
+    the quota is ONE ranking window keyed by cid — k partitions, each
+    heap-bounded; at 100 TB the cid-keyed exchange carries (vec_id, cid,
+    d2) triples, never the vectors."""
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.similarity import kmeans_lloyd_int
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (_rnd(x.cast("double") * _KM_SCALE)).cast("long"),
+        ).alias("qe"),
+    )
+    qe = stage_barrier(qe, name="cbs_qe")
+    assigned, _cents = kmeans_lloyd_int(
+        qe, k=_KM_K, iterations=_KM_ITERS, vec_col="qe", id_col="vec_id"
+    )
+    w = Window.partitionBy("cid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        assigned.select("vec_id", "cid", "d2")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CBS_QUOTA)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cid").cast("long").alias("cid"),
+            F.col("d2").cast("long").alias("d2"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

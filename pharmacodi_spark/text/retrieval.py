@@ -273,3 +273,134 @@ def rerank_with_scorer(
             .withColumn("rank", F.col("rank").cast("long"))
         )
     return out
+
+
+def ilog2_fp_py(x: int, frac_bits: int = FP_BITS) -> int:
+    """Pure-Python twin of :func:`ilog2_fp` for driver-side metadata
+    (rank-discount tables, fixed-point constants): same shift-first
+    formula, same floor quantization, exact for any positive int."""
+    assert x >= 1
+    e = x.bit_length() - 1
+    m = x - (1 << e)
+    if e <= frac_bits:
+        frac = m << (frac_bits - e)
+    else:
+        frac = m >> (e - frac_bits)
+    return (e << frac_bits) + frac
+
+
+def ndcg_discounts(k: int, frac_bits: int = FP_BITS) -> list[int]:
+    """The nDCG rank-discount table ``1/log2(i+1)`` for ranks 1..k in
+    fixed point: ``disc[i] = FP² div ilog2_fp(i+1)`` — positive-integer
+    truncating division, identical in every engine; ``disc[1] = FP``
+    exactly (log2 2 = 1 is exact in the interpolation)."""
+    fp = 1 << frac_bits
+    return [
+        (fp * fp) // ilog2_fp_py(i + 1, frac_bits) for i in range(1, k + 1)
+    ]
+
+
+def retrieval_ndcg(
+    df: DataFrame,
+    k: int = 10,
+    query_mod: int = 23,
+    scale: int = 10000,
+    frac_bits: int = FP_BITS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Graded retrieval-quality metrics over the embedding column:
+    per-probe nDCG@k (ppm) and MRR (milli) with label-match relevance —
+    the ranking-quality referee next to knn_label_eval's classification
+    vote (a retrieval stack can vote the right label while burying the
+    relevant items at ranks 8–10; nDCG is what catches that).
+
+    Exactness: integer-quantized dots rank candidates (ties → lower id);
+    the log2 rank discounts are a driver-side fixed-point table
+    (:func:`ndcg_discounts`) shared verbatim with the oracle SQL literal;
+    IDCG is a prefix-sum lookup ``psum[min(n_rel_pool, k)]`` — every
+    division a positive-integer truncation, bit-identical cross-engine.
+
+    Scale shape: the probe sample is bounded (``n/query_mod`` rows) and
+    broadcasts against the corpus scan — the corpus never shuffles to form
+    pairs; the only shuffle is the per-probe ranking window keyed by probe
+    id (1/query_mod of the pair stream); the discount/prefix tables are
+    k-length literals."""
+    from pyspark.sql import Window
+
+    disc = ndcg_discounts(k, frac_bits)
+    psum = [0]
+    for d in disc:
+        psum.append(psum[-1] + d)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    psum_arr = F.array(*[F.lit(p).cast("long") for p in psum[1:]])
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    base = df.select(F.col(id_col), F.col(label_col), q.alias("__q"))
+    probes = base.where(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("__qid"),
+        F.col(label_col).alias("__qlabel"),
+        F.col("__q").alias("__qv"),
+    )
+    pairs = base.join(
+        F.broadcast(probes), F.col(id_col) != F.col("__qid")
+    ).select(
+        "__qid",
+        "__qlabel",
+        F.col(id_col).alias("__cid"),
+        (F.col(label_col) == F.col("__qlabel")).cast("int").alias("__rel"),
+        F.aggregate(
+            F.zip_with("__q", "__qv", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("__dot"),
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("__dot"), F.asc("__cid")
+    )
+    rnk = pairs.withColumn("__rn", F.row_number().over(w))
+    hit = (F.col("__rn") <= k) & (F.col("__rel") == 1)
+    agg = rnk.groupBy("__qid").agg(
+        F.first("__qlabel").alias(label_col),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_rel_topk"),
+        F.sum("__rel").cast("long").alias("n_rel_pool"),
+        F.sum(
+            F.when(hit, F.element_at(disc_arr, F.col("__rn"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_fp"),
+        F.min(F.when(hit, F.col("__rn"))).alias("__first_hit"),
+    )
+    with_idcg = agg.withColumn(
+        "__idcg",
+        F.when(
+            F.col("n_rel_pool") > 0,
+            F.element_at(
+                psum_arr,
+                F.least(F.col("n_rel_pool"), F.lit(k)).cast("int"),
+            ),
+        ).otherwise(F.lit(None).cast("long")),
+    )
+    return with_idcg.select(
+        F.col("__qid").alias(id_col),
+        label_col,
+        "n_rel_topk",
+        "n_rel_pool",
+        "dcg_fp",
+        F.coalesce(
+            F.expr("(dcg_fp * 1000000) div __idcg"), F.lit(0)
+        )
+        .cast("long")
+        .alias("ndcg_ppm"),
+        F.coalesce(
+            F.expr("1000 div __first_hit"), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_milli"),
+    )

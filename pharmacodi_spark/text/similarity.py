@@ -856,3 +856,92 @@ def knn_label_eval(
             F.expr("(n_correct * 1000000) div n_queries").cast("long"),
         )
     )
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — the semantics Spark's
+    ``div`` and DuckDB's ``//`` share (Python's ``//`` floors, which
+    differs on negative numerators)."""
+    q = abs(s) // n
+    return -q if s < 0 else q
+
+
+def kmeans_lloyd_int(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "qe",
+    id_col: str = "vec_id",
+    out_col: str = "cid",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's k-means over an INTEGER-quantized vector column, fully
+    engine-deterministic: seeds = the ``k`` lowest-id vectors, assignment
+    = exact integer squared-L2 argmin (ties → lower centroid index),
+    update = per-dimension ``sum div count`` (truncate-toward-zero — the
+    shared Spark ``div`` / DuckDB ``//`` semantics), empty clusters keep
+    their previous centroid. Returns ``(assigned, centroids)`` where
+    ``assigned`` carries ``out_col`` and the exact integer squared
+    distance ``d2`` to the winning centroid after the FINAL update.
+
+    The corpus-side topic/balance clustering primitive (SemDeDup-style
+    pruning, cluster-balanced sampling) next to the one-shot
+    :func:`ivf_assign` quantizer.
+
+    Scale shape (100 TB): centroids are index METADATA (k·dim longs) and
+    ride driver-side exactly like :func:`ivf_topk`'s coarse quantizer —
+    each Lloyd step is one corpus scan with a map-side-combining
+    ``groupBy(cid, dim)`` aggregate whose result is k·dim rows; vectors
+    never shuffle and never pair. The caller should stage-barrier-pin
+    ``df`` — every iteration re-reads it, and a lazily composed upstream
+    (a Python encode stage, say) would re-run per iteration.
+    """
+    assert k >= 1 and iterations >= 0
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
+    )
+    cents: list[list[int]] = [
+        [int(x) for x in r[vec_col]] for r in seed_rows
+    ]
+    for _ in range(iterations):
+        assigned = ivf_assign(df, cents, vec_col=vec_col, out_col=out_col)
+        stats = (
+            assigned.select(
+                out_col, F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy(out_col, "pos")
+            .agg(
+                F.sum(F.col("x").cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(int(r[out_col]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        cents = [
+            [
+                _trunc_div(*by_cid[i][p])
+                for p in range(len(cents[i]))
+            ]
+            if i in by_cid
+            else cents[i]
+            for i in range(k)
+        ]
+    assigned = ivf_assign(df, cents, vec_col=vec_col, out_col=out_col)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in cents]
+    )
+    chosen = F.element_at(cent_arr, (F.col(out_col) + 1).cast("int"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("long")),
+            chosen,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return assigned.withColumn("d2", d2), cents

@@ -176,6 +176,31 @@ CASES = [
      "self-join + droplist read the pin, never re-running the encoder"),
     ("text_semantic_dedup", r"MapInPandas", False,
      "no Python stage downstream of the pin — the encode ran once"),
+    ("rank_weighted_select", r"\bExchange\b", False,
+     "authority×DSIR selection is ZERO-shuffle: λ rides as a literal "
+     "fold, the pinned rank prior broadcasts, top-k is heaps"),
+    ("rank_weighted_select", r"TakeOrderedAndProject", True,
+     "selection is per-partition heaps, not a global sort"),
+    ("rank_weighted_select", r"Scan ExistingRDD", True,
+     "the 2-iteration rank prior is barrier-pinned — the doc join "
+     "reads metadata, not the link-graph derivation"),
+    ("kmeans_topics", r"Scan parquet", False,
+     "the quantized frame is pinned; the final assignment + rollup "
+     "read the pin, never re-scanning (or re-quantizing) the corpus"),
+    ("kmeans_topics", r"SortMergeJoin", False,
+     "centroids are broadcast literals — no join anywhere in Lloyd's"),
+    ("retrieval_ndcg", r"SortMergeJoin", False,
+     "the bounded probe sample broadcasts against the corpus scan — "
+     "the corpus never shuffles to form pairs"),
+    ("retrieval_ndcg", r"BroadcastNestedLoopJoin", True,
+     "pair generation is the broadcast probe set against the scan "
+     "(id<>qid non-equi), not a corpus-side exchange"),
+    ("cluster_balanced_sample", r"Scan parquet", False,
+     "the quota window reads the pinned quantized frame — no corpus "
+     "re-scan after Lloyd's"),
+    ("cluster_balanced_sample", r"SortMergeJoin", False,
+     "centroids are broadcast literals; the quota is a cid-keyed window "
+     "over id/distance triples"),
 ]
 
 

@@ -1,0 +1,223 @@
+"""Round-10 late batch: kmeans_lloyd_int (text/similarity.py) and
+retrieval_ndcg (text/retrieval.py) against pure-Python replays — the
+same replay-referee strategy as test_kneser_ney / test_knn_eval."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pharmacodi_spark.text.retrieval import (
+    ilog2_fp_py,
+    ndcg_discounts,
+    retrieval_ndcg,
+)
+from pharmacodi_spark.text.similarity import _trunc_div, kmeans_lloyd_int
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd_int
+# ---------------------------------------------------------------------------
+
+
+def _py_kmeans(rows, k, iterations):
+    """Pure-Python Lloyd replay with the exact contract: seeds = k
+    lowest-id vectors, argmin ties -> lower centroid index, update =
+    per-dim truncating division, empty clusters keep their centroid."""
+    rows = sorted(rows)
+    cents = [list(v) for _, v in rows[:k]]
+
+    def assign(cs):
+        out = {}
+        for vid, v in rows:
+            best = min(
+                (sum((x - y) ** 2 for x, y in zip(v, c)), i)
+                for i, c in enumerate(cs)
+            )
+            out[vid] = best
+        return out
+
+    for _ in range(iterations):
+        a = assign(cents)
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for vid, v in rows:
+            cid = a[vid][1]
+            s = sums.setdefault(cid, [0] * len(v))
+            for p, x in enumerate(v):
+                s[p] += x
+            counts[cid] = counts.get(cid, 0) + 1
+        cents = [
+            [_trunc_div(s, counts[i]) for s in sums[i]]
+            if i in counts
+            else cents[i]
+            for i in range(k)
+        ]
+    return assign(cents), cents
+
+
+def _int_vectors(seed, n=60, dim=6, lo=-50, hi=50):
+    rng = random.Random(seed)
+    return [
+        (vid, [rng.randint(lo, hi) for _ in range(dim)]) for vid in range(n)
+    ]
+
+
+def test_kmeans_matches_python_replay(spark):
+    rows = _int_vectors(seed=11)
+    df = spark.createDataFrame(
+        [(v, e) for v, e in rows], "vec_id long, qe array<long>"
+    )
+    assigned, cents = kmeans_lloyd_int(df, k=4, iterations=3)
+    py_assign, py_cents = _py_kmeans(rows, k=4, iterations=3)
+    assert cents == py_cents
+    got = {r["vec_id"]: (r["cid"], r["d2"]) for r in assigned.collect()}
+    for vid, (d2, cid) in py_assign.items():
+        assert got[vid] == (cid, d2), vid
+
+
+def test_kmeans_negative_sums_use_trunc_division(spark):
+    # all-negative coordinates: Python // would floor (e.g. -7//2 = -4)
+    # while Spark div / DuckDB // truncate to -3 — the replay and the
+    # engine must agree on the TRUNCATING semantics
+    rows = [(0, [-7, -7]), (1, [-8, -6]), (2, [-100, -99]), (3, [-99, -101])]
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    assigned, cents = kmeans_lloyd_int(df, k=2, iterations=2)
+    py_assign, py_cents = _py_kmeans(rows, k=2, iterations=2)
+    assert cents == py_cents
+    for c in cents:
+        for x in c:
+            assert x <= 0
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    assert got == {vid: cid for vid, (_, cid) in py_assign.items()}
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # seed 2 starts between the two real clusters and loses every member
+    # after the first update pulls seeds 0/1 onto the cluster means: its
+    # centroid must survive unchanged (NOT become zeros / NaN) and the
+    # replay must agree
+    rows = [(0, [0, 0]), (1, [1000, 1000]), (2, [1, 0]), (3, [0, 1]),
+            (4, [2, 2]), (5, [999, 1001])]
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    _assigned, cents = kmeans_lloyd_int(df, k=3, iterations=2)
+    py_assign, py_cents = _py_kmeans(rows, k=3, iterations=2)
+    assert cents == py_cents
+
+
+def test_trunc_div_semantics():
+    assert _trunc_div(-7, 2) == -3
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-6, 2) == -3
+    assert _trunc_div(0, 5) == 0
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_discount_table_exact_values():
+    disc = ndcg_discounts(3)
+    fp = 1 << 10
+    # rank 1: 1/log2(2) = 1.0 exactly in fixed point
+    assert disc[0] == fp
+    # rank 2: log2(3) interpolates to (1<<10) + (1<<9) = 1536;
+    # disc = fp^2 // 1536 = 682
+    assert ilog2_fp_py(3) == 1536
+    assert disc[1] == (fp * fp) // 1536
+    # monotone decreasing
+    assert disc[0] > disc[1] > disc[2]
+
+
+def _py_ndcg(rows, k, query_mod, scale=10000):
+    disc = ndcg_discounts(k)
+    psum = [0]
+    for d in disc:
+        psum.append(psum[-1] + d)
+    import math
+
+    # floor(x*scale + 0.5) — the engines' shared quantization
+    q = {
+        vid: [int(math.floor(x * scale + 0.5)) for x in v]
+        for vid, v, _ in rows
+    }
+    lab = {vid: l for vid, _, l in rows}
+    out = {}
+    for qid in [vid for vid, _, _ in rows if vid % query_mod == 0]:
+        cands = []
+        for vid, _, _ in rows:
+            if vid == qid:
+                continue
+            dot = sum(a * b for a, b in zip(q[vid], q[qid]))
+            cands.append((-dot, vid))
+        cands.sort()
+        rel = [1 if lab[vid] == lab[qid] else 0 for _, vid in cands]
+        topk = rel[:k]
+        dcg = sum(r * d for r, d in zip(topk, disc))
+        n_pool = sum(rel)
+        n_topk = sum(topk)
+        first = next((i + 1 for i, r in enumerate(topk) if r), None)
+        ndcg = (dcg * 1000000) // psum[min(n_pool, k)] if n_pool else 0
+        mrr = 1000 // first if first else 0
+        out[qid] = (lab[qid], n_topk, n_pool, dcg, ndcg, mrr)
+    return out
+
+
+def test_retrieval_ndcg_matches_python_replay(spark):
+    rng = random.Random(3)
+    rows = [
+        (vid, [rng.uniform(-1, 1) for _ in range(5)], rng.randint(0, 2))
+        for vid in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["vec_id"]: (
+            r["label"],
+            r["n_rel_topk"],
+            r["n_rel_pool"],
+            r["dcg_fp"],
+            r["ndcg_ppm"],
+            r["mrr_milli"],
+        )
+        for r in retrieval_ndcg(df, k=5, query_mod=7).collect()
+    }
+    assert got == _py_ndcg(rows, k=5, query_mod=7)
+
+
+def test_ndcg_perfect_ranking_scores_million(spark):
+    # probe 0's label-mates are its nearest neighbors by construction ->
+    # nDCG = 1.0 exactly (dcg == idcg prefix), MRR = 1000
+    rows = [
+        (0, [10.0, 0.0], 1),
+        (1, [9.9, 0.1], 1),
+        (2, [9.8, 0.0], 1),
+        (3, [-10.0, 5.0], 0),
+        (4, [-9.0, 4.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r for r in retrieval_ndcg(df, k=2, query_mod=999).collect()}
+    r0 = out[0]
+    assert r0["ndcg_ppm"] == 1_000_000
+    assert r0["mrr_milli"] == 1000
+    assert r0["n_rel_topk"] == 2
+
+
+def test_ndcg_no_relevant_in_pool_scores_zero(spark):
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r for r in retrieval_ndcg(df, k=2, query_mod=999).collect()}
+    assert out[0]["ndcg_ppm"] == 0
+    assert out[0]["mrr_milli"] == 0
+    assert out[0]["n_rel_pool"] == 0

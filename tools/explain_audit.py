@@ -796,6 +796,48 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the corpus total is an integer window-sum over the #groups "
          "rows — no join anywhere"),
     ],
+    "rank_weighted_select": [
+        (r"\bExchange\b", False,
+         "authority×DSIR selection is ZERO-shuffle end to end: λ rides "
+         "as an array literal into a native fold, the barrier-pinned "
+         "rank prior broadcasts into the doc join, and selection is "
+         "per-partition heaps"),
+        (r"TakeOrderedAndProject", True,
+         "top-k is heaps, not a global sort"),
+        (r"Scan ExistingRDD", True,
+         "the 2-iteration link-graph prior is pinned metadata — the doc "
+         "join never re-derives extract_links→pagerank"),
+        (r"SortMergeJoin", False, "both joins broadcast"),
+    ],
+    "kmeans_topics": [
+        (r"Scan parquet", False,
+         "the quantized frame is barrier-pinned; the final Lloyd "
+         "assignment + per-cluster rollup read the pin — the corpus is "
+         "scanned (and quantized) once, not once per plan consumer"),
+        (r"SortMergeJoin", False,
+         "centroids are broadcast array literals — Lloyd's has no join"),
+        (r"partial_count|partial_sum", True,
+         "the per-cluster rollup combines map-side before the k-row "
+         "exchange"),
+    ],
+    "cluster_balanced_sample": [
+        (r"Scan parquet", False,
+         "the quota window reads the pinned quantized frame"),
+        (r"hashpartitioning\(cid", True,
+         "the only exchange carries (vec_id, cid, d2) triples keyed by "
+         "cluster — vectors never shuffle"),
+        (r"hashpartitioning\(qe", False,
+         "the quantized vectors never enter an exchange"),
+    ],
+    "retrieval_ndcg": [
+        (r"BroadcastNestedLoopJoin", True,
+         "the bounded probe sample broadcasts against the corpus scan "
+         "(id<>qid non-equi) — the corpus never shuffles to form pairs"),
+        (r"SortMergeJoin", False, "no corpus-scale sort join"),
+        (r"hashpartitioning\(__qid", True,
+         "the ranking window keys by probe id — 1/query_mod of the pair "
+         "stream, never the corpus"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan

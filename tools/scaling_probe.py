@@ -478,6 +478,44 @@ def ops(spark, mult: int) -> dict[str, float]:
     out["hashed_lang_id"] = timed(
         lambda: hashed_lang_id(docs, langs=["de", "en", "es", "fr", "zh"])
     )
+
+    # round-10 family: Lloyd's k-means over a synthesized integer vector
+    # column (md5-derived from doc_id — transform-identical across scales).
+    # Expected shape: linear — iterations are corpus scans + (cid,dim)
+    # metadata aggregates; vectors never pair. The quantized frame is
+    # pinned exactly like the kmeans_topics query (each iteration re-reads
+    # the pin, not the parquet+synthesis subplan).
+    from pharmacodi_spark.text.similarity import kmeans_lloyd_int
+
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("doc_id").cast("string"),
+                                    F.lit(f"_d{i}"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2001
+                    - 1000
+                )
+                for i in range(16)
+            ]
+        ).alias("qe"),
+    ).localCheckpoint()
+    out["kmeans_2iter"] = timed(
+        lambda: kmeans_lloyd_int(vecs, k=8, iterations=2)[0]
+    )
     return out
 
 
