@@ -171,6 +171,8 @@ HEADLINE = HEADLINE_R1 + [
     "kmeans_topics",
     "cluster_balanced_sample",
     "retrieval_ndcg",
+    "embedding_top_component",
+    "abtt_corrected_topk",
 ]
 
 

@@ -429,3 +429,225 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# All-but-the-top: corpus dominant-direction projection
+# (text/similarity.py::top_component_projection)
+# ---------------------------------------------------------------------------
+
+_ABTT_SCALE = 1 << 10
+_ABTT_SHIFT = 1 << 16
+_ABTT_ITERS = 2
+
+
+def _abtt_sql(iters: int = _ABTT_ITERS) -> str:
+    """Long-form (pos-keyed) twin of the integer power iteration: mean =
+    per-dim ``sum // n``, start = the lowest-id centered row, each
+    iteration ``d = c·v`` → downshift → per-dim ``w = Σ c·d'`` →
+    ∞-norm rescale to 2^scale_bits — every division truncating."""
+    parts = [
+        """un AS (
+      SELECT vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)*10000 + 0.5)
+                  AS BIGINT) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    mu AS (SELECT pos, sum(x) // count(*) AS m FROM un GROUP BY 1),
+    cent AS (
+      SELECT vec_id, un.pos, CAST(x - m AS BIGINT) AS c
+      FROM un JOIN mu USING (pos)
+    ),
+    v0 AS (
+      SELECT pos, c AS v FROM cent
+      WHERE vec_id = (SELECT min(vec_id) FROM cent)
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+      SELECT vec_id, sum(c * v) AS d
+      FROM cent JOIN v{i - 1} USING (pos) GROUP BY 1
+    ),
+    w{i} AS (
+      SELECT pos, sum(c * (d // {_ABTT_SHIFT})) AS w
+      FROM cent JOIN d{i} USING (vec_id) GROUP BY 1
+    ),
+    v{i} AS (
+      SELECT pos,
+             (w * {_ABTT_SCALE}) // (SELECT max(abs(w)) FROM w{i}) AS v
+      FROM w{i}
+    )"""
+        )
+    parts.append(
+        f"""p AS (
+      SELECT vec_id, sum(c * v) AS d
+      FROM cent JOIN v{iters} USING (pos) GROUP BY 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, CAST(d // {_ABTT_SCALE} AS BIGINT) AS proj_q FROM p
+    """
+    )
+
+
+@q("embedding_top_component", _abtt_sql())
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top anisotropy audit (Mu & Viswanath 2018): every
+    vector's projection onto the corpus's dominant direction, found by
+    integer power iteration (text/similarity.py::top_component_projection
+    — 2 iterations, ∞-norm rescale to 2^10, truncating divisions only).
+    Embedding columns are anisotropic out of every encoder; the common
+    direction carries no retrieval signal, and removing it (subtract
+    mu, subtract proj·v) measurably improves cosine retrieval — this
+    query is the audit that decides whether to run the removal, and
+    ``proj_q`` is exactly the coefficient the removal needs.
+
+    Scale shape: mean + component are dim-length driver metadata; each
+    iteration is one scan of the pinned centered frame + a per-dim
+    map-side-combining aggregate (dim rows exchanged); vectors never
+    pair, never shuffle. ``shift_bits`` is the int64 headroom knob —
+    the library docstring gives the exact bound to raise it with n."""
+    from pharmacodi_spark.text.similarity import top_component_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (_rnd(x.cast("double") * _KM_SCALE)).cast("long"),
+        ).alias("qe"),
+    )
+    proj, _v, _mu = top_component_projection(
+        qe, iterations=_ABTT_ITERS, scale_bits=10, shift_bits=16
+    )
+    return proj.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("proj_q").cast("long").alias("proj_q"),
+    )
+
+
+_ABTT_PROBE = 42
+_ABTT_TOPK = 10
+
+
+def _abtt_corrected_sql() -> str:
+    """Extends the power-iteration CTE chain with the CORRECTION and a
+    probe retrieval. Exact integer ABTT removal with per-component floor
+    quantization: ``c' = (c·|v|² − (c·v)·v) div |v|²`` — subtracting each
+    vector's share of the common direction and truncating back to the
+    centered-quantized magnitude (every engine computes the identical
+    division); then exact integer dot top-k against the corrected
+    probe."""
+    return (
+        _abtt_sql().rsplit("SELECT vec_id", 1)[0]
+        + f""",
+    vv2 AS (SELECT sum(v * v) AS s2 FROM v{_ABTT_ITERS}),
+    corr AS (
+      SELECT cent.vec_id, cent.pos,
+             (cent.c * vv2.s2 - p.d * v{_ABTT_ITERS}.v) // vv2.s2 AS cc
+      FROM cent
+      JOIN p USING (vec_id)
+      JOIN v{_ABTT_ITERS} USING (pos)
+      CROSS JOIN vv2
+    ),
+    probe AS (SELECT pos, cc AS pc FROM corr WHERE vec_id = {_ABTT_PROBE})
+    SELECT c.vec_id,
+           CAST(sum(c.cc * probe.pc) AS BIGINT) AS dot
+    FROM corr c JOIN probe USING (pos)
+    WHERE c.vec_id <> {_ABTT_PROBE}
+    GROUP BY 1
+    ORDER BY dot DESC, c.vec_id
+    LIMIT {_ABTT_TOPK}
+    """
+    )
+
+
+@q("abtt_corrected_topk", _abtt_corrected_sql())
+def abtt_corrected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top CORRECTED retrieval — the E2E that closes the
+    anisotropy story: audit (embedding_top_component) → correction →
+    exact top-k by corrected dot against a fixed probe (vec_id 42, ties
+    → lower id). The correction is the Mu & Viswanath 2018 removal in
+    exact integer arithmetic: ``c' = (c·|v|² − (c·v)·v) div |v|²`` —
+    each vector loses its share of the common direction, floor-quantized
+    per component back to centered-quantized magnitude (int64-safe: the
+    pre-division numerator peaks ~2^41 on this fixture; the library
+    docstring's shift_bits bound governs the power iteration itself).
+
+    Scale shape: mean/component/|v|²/probe are dim-length (or scalar)
+    literals; the correction + projection fuse into ONE codegen'd
+    zero-shuffle pass over each row (no join back to the audit output —
+    ``c·v`` recomputes in-row from the same literals); top-k is
+    TakeOrderedAndProject. Zero corpus shuffle end to end."""
+    from pharmacodi_spark.text.similarity import top_component_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (_rnd(x.cast("double") * _KM_SCALE)).cast("long"),
+        ).alias("qe"),
+    )
+    _proj, v, mu = top_component_projection(
+        qe, iterations=_ABTT_ITERS, scale_bits=10, shift_bits=16
+    )
+    vv2 = sum(x * x for x in v)
+    mu_arr = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    cent = qe.select(
+        "vec_id",
+        F.zip_with(
+            F.transform("qe", lambda x: x.cast("long")),
+            mu_arr,
+            lambda x, m: x - m,
+        ).alias("c"),
+    )
+    dot_v = F.aggregate(
+        F.zip_with("c", v_arr, lambda c, vv: c * vv),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+    def _trunc_div_col(num, den: int):
+        # truncate-toward-zero via (num - num % den) / den: Spark % takes
+        # the dividend's sign, the difference divides exactly, and the
+        # double division of an exactly-divisible value < 2^53 is exact
+        return ((num - num % F.lit(den)) / F.lit(den)).cast("long")
+
+    from pharmacodi_spark.barrier import stage_barrier
+
+    corrected = stage_barrier(
+        cent.withColumn("__dv", dot_v).select(
+            "vec_id",
+            F.zip_with(
+                "c",
+                v_arr,
+                lambda c, vv: _trunc_div_col(
+                    c * F.lit(vv2) - F.col("__dv") * vv, vv2
+                ),
+            ).alias("cc"),
+        ),
+        name="abtt_corrected",
+    )
+    probe_row = corrected.where(F.col("vec_id") == _ABTT_PROBE).collect()[0]
+    p_arr = F.array(*[F.lit(int(x)).cast("long") for x in probe_row["cc"]])
+    dot_p = F.aggregate(
+        F.zip_with("cc", p_arr, lambda c, pp: c * pp),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        corrected.where(F.col("vec_id") != _ABTT_PROBE)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            dot_p.cast("long").alias("dot"),
+        )
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(_ABTT_TOPK)
+    )

@@ -945,3 +945,114 @@ def kmeans_lloyd_int(
         lambda acc, v: acc + v,
     )
     return assigned.withColumn("d2", d2), cents
+
+
+def top_component_projection(
+    df: DataFrame,
+    iterations: int = 2,
+    scale_bits: int = 10,
+    shift_bits: int = 16,
+    vec_col: str = "qe",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[int], list[int]]:
+    """Per-vector projection onto the corpus's dominant direction — the
+    distributed core of all-but-the-top embedding post-processing
+    (Mu & Viswanath 2018: isotropic embeddings retrieve better once the
+    common direction is removed) and the corpus-anisotropy audit that
+    decides whether to apply it.
+
+    Engine-deterministic power iteration over INTEGER-quantized vectors:
+
+    - mean = per-dim ``sum div n`` (truncate-toward-zero — Spark ``div``
+      ≡ DuckDB ``//``), centered vectors pinned by the caller;
+    - start vector = the lowest-id centered row (data-derived and
+      deterministic; an all-zero start raises);
+    - each iteration computes ``d_i = c_i · v`` per row, downshifts by
+      ``shift_bits`` (``div 2^shift`` — the int64 headroom knob: keep
+      ``log2(n · max|c|² · 2^scale_bits) − shift_bits < 63``), aggregates
+      ``w_p = Σ c_ip · d'_i`` per dimension (dim rows of metadata), and
+      rescales to ``|v|_∞ = 2^scale_bits`` by truncating integer
+      division — no norms, no sqrt, no floats anywhere;
+    - returns ``(projections, component, mu)`` where projections =
+      ``(id_col, proj_q = (c·v) div 2^scale_bits)`` in centered
+      quantized units.
+
+    Scale shape (100 TB): the component and mean are dim-length driver
+    metadata (the ANN-centroid budget class); each iteration is ONE scan
+    of the pinned centered frame + a map-side-combining per-dim aggregate;
+    vectors never pair and never shuffle (the per-dim aggregate exchanges
+    dim rows). Raise ``shift_bits`` as n grows — the docchain above gives
+    the exact bound.
+    """
+    from pharmacodi_spark.barrier import stage_barrier
+
+    scale = 1 << scale_bits
+    shift = 1 << shift_bits
+
+    sums = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("x").cast("long")).alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    dim = len(sums)
+    mu = [0] * dim
+    for r in sums:
+        mu[int(r["pos"])] = _trunc_div(int(r["s"]), int(r["n"]))
+    mu_arr = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+
+    cent = stage_barrier(
+        df.select(
+            F.col(id_col),
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("long")),
+                mu_arr,
+                lambda x, m: x - m,
+            ).alias("__c"),
+        ),
+        name="abtt_centered",
+    )
+    first = cent.orderBy(F.col(id_col)).limit(1).collect()[0]["__c"]
+    v = [int(x) for x in first]
+    if not any(v):
+        raise ValueError(
+            "top_component_projection: the lowest-id centered vector is "
+            "zero — pick a different start row or de-duplicate first"
+        )
+
+    for _ in range(iterations):
+        v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        dot = F.aggregate(
+            F.zip_with("__c", v_arr, lambda c, vv: c * vv),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        w_rows = (
+            cent.select(dot.alias("__d"), F.posexplode("__c").alias("pos", "c"))
+            .select("pos", (F.col("c") * F.expr(f"__d div {shift}")).alias("t"))
+            .groupBy("pos")
+            .agg(F.sum("t").alias("w"))
+            .collect()
+        )
+        w = [0] * dim
+        for r in w_rows:
+            w[int(r["pos"])] = int(r["w"])
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError(
+                "top_component_projection: power iteration collapsed to "
+                "zero — raise shift_bits resolution or check the data"
+            )
+        v = [_trunc_div(x * scale, m) for x in w]
+
+    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    final_dot = F.aggregate(
+        F.zip_with("__c", v_arr, lambda c, vv: c * vv),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    proj = (
+        cent.withColumn("__fd", final_dot)
+        .select(F.col(id_col), F.expr(f"__fd div {scale}").alias("proj_q"))
+    )
+    return proj, v, mu

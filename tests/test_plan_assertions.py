@@ -201,6 +201,23 @@ CASES = [
     ("cluster_balanced_sample", r"SortMergeJoin", False,
      "centroids are broadcast literals; the quota is a cid-keyed window "
      "over id/distance triples"),
+    ("embedding_top_component", r"\bExchange\b", False,
+     "the final projection is a zero-shuffle fold over the pinned "
+     "centered frame — component and mean ride as literals"),
+    ("embedding_top_component", r"Scan parquet", False,
+     "power-iteration consumers read the pin; the corpus is scanned "
+     "(and centered) once"),
+    ("embedding_top_component", r"\bJoin\b", False,
+     "no join anywhere — per-dim aggregates collapse to dim-row "
+     "metadata that returns as plan literals"),
+    ("abtt_corrected_topk", r"\bExchange\b", False,
+     "correction + probe dot fuse into one zero-shuffle pass over the "
+     "pinned corrected frame"),
+    ("abtt_corrected_topk", r"Scan parquet", False,
+     "the probe collect and the top-k both read the pin — the corpus "
+     "is corrected once"),
+    ("abtt_corrected_topk", r"TakeOrderedAndProject", True,
+     "corrected retrieval is per-partition heaps, not a global sort"),
 ]
 
 

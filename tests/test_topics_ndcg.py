@@ -221,3 +221,162 @@ def test_ndcg_no_relevant_in_pool_scores_zero(spark):
     assert out[0]["ndcg_ppm"] == 0
     assert out[0]["mrr_milli"] == 0
     assert out[0]["n_rel_pool"] == 0
+
+
+# ---------------------------------------------------------------------------
+# top_component_projection (all-but-the-top)
+# ---------------------------------------------------------------------------
+
+
+def _py_top_component(rows, iterations=2, scale_bits=10, shift_bits=16):
+    rows = sorted(rows)
+    n = len(rows)
+    dim = len(rows[0][1])
+    scale, shift = 1 << scale_bits, 1 << shift_bits
+    mu = [
+        _trunc_div(sum(v[p] for _, v in rows), n) for p in range(dim)
+    ]
+    cent = {vid: [x - m for x, m in zip(v, mu)] for vid, v in rows}
+    v = list(cent[rows[0][0]])
+    assert any(v)
+    for _ in range(iterations):
+        d = {vid: sum(c * vv for c, vv in zip(cent[vid], v)) for vid, _ in rows}
+        dd = {vid: _trunc_div(d[vid], shift) for vid in d}
+        w = [
+            sum(cent[vid][p] * dd[vid] for vid, _ in rows)
+            for p in range(dim)
+        ]
+        m = max(abs(x) for x in w)
+        v = [_trunc_div(x * scale, m) for x in w]
+    return {
+        vid: _trunc_div(
+            sum(c * vv for c, vv in zip(cent[vid], v)), scale
+        )
+        for vid, _ in rows
+    }, v, mu
+
+
+def test_top_component_matches_python_replay(spark):
+    from pharmacodi_spark.text.similarity import top_component_projection
+
+    rng = random.Random(21)
+    rows = [
+        (vid, [rng.randint(-9000, 9000) for _ in range(8)])
+        for vid in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    proj, v, mu = top_component_projection(df, iterations=2)
+    py_proj, py_v, py_mu = _py_top_component(rows, iterations=2)
+    assert v == py_v
+    assert mu == py_mu
+    got = {r["vec_id"]: r["proj_q"] for r in proj.collect()}
+    assert got == py_proj
+
+
+def test_top_component_finds_dominant_direction(spark):
+    from pharmacodi_spark.text.similarity import top_component_projection
+
+    # corpus = big spread along axis 0, small noise on axis 1: the
+    # recovered component must be axis-0-dominant and the projection
+    # magnitudes must order by the axis-0 coordinate
+    rng = random.Random(4)
+    rows = [
+        (vid, [(vid - 20) * 1000 + rng.randint(-5, 5), rng.randint(-50, 50)])
+        for vid in range(41)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    proj, v, _mu = top_component_projection(df, iterations=3)
+    assert abs(v[0]) > 10 * abs(v[1])
+    got = {r["vec_id"]: r["proj_q"] for r in proj.collect()}
+    # projections ordered by centered axis-0 coordinate (up to sign)
+    ordered = sorted(got, key=lambda vid: got[vid])
+    if got[ordered[0]] != min(got.values()):
+        ordered = list(reversed(ordered))
+    axis0 = sorted(range(41), key=lambda vid: rows[vid][1][0])
+    assert ordered == axis0 or ordered == list(reversed(axis0))
+
+
+def test_top_component_zero_start_raises(spark):
+    from pharmacodi_spark.text.similarity import top_component_projection
+
+    rows = [(0, [5, 5]), (1, [5, 5]), (2, [5, 5])]
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    with pytest.raises(ValueError, match="zero"):
+        top_component_projection(df, iterations=1)
+
+
+def test_abtt_correction_orthogonalizes(spark):
+    """The corrected vectors must have ~zero projection onto the removed
+    component: |c'·v| ≤ dim·|v|_inf/2 (per-component floor quantization
+    error bound), vs the UNcorrected projections which are large by
+    construction on an anisotropic corpus."""
+    from pharmacodi_spark.text.similarity import top_component_projection
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    # anisotropic corpus: dominant direction = (3, 1, -2), big coefficients
+    base = [3, 1, -2, 0]
+    rows = []
+    for vid in range(60):
+        coef = (vid - 30) * 500
+        rows.append(
+            (
+                vid,
+                [
+                    coef * b + rng.randint(-40, 40)
+                    for b in base
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    _proj, v, mu = top_component_projection(df, iterations=3)
+    vv2 = sum(x * x for x in v)
+    mu_arr = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    cent = df.select(
+        "vec_id",
+        F.zip_with(
+            F.transform("qe", lambda x: x.cast("long")),
+            mu_arr,
+            lambda x, m: x - m,
+        ).alias("c"),
+    )
+    dot_v = F.aggregate(
+        F.zip_with("c", v_arr, lambda c, vv: c * vv),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    corrected = cent.withColumn("__dv", dot_v).select(
+        "vec_id",
+        "__dv",
+        F.zip_with(
+            "c",
+            v_arr,
+            lambda c, vv: (
+                (
+                    (c * F.lit(vv2) - F.col("__dv") * vv)
+                    - (c * F.lit(vv2) - F.col("__dv") * vv) % F.lit(vv2)
+                )
+                / F.lit(vv2)
+            ).cast("long"),
+        ).alias("cc"),
+    )
+    resid = corrected.select(
+        "vec_id",
+        "__dv",
+        F.aggregate(
+            F.zip_with("cc", v_arr, lambda c, vv: c * vv),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("cv"),
+    ).collect()
+    dim = len(base)
+    bound = dim * max(abs(x) for x in v)  # one unit of floor error per dim
+    big = 0
+    for r in resid:
+        assert abs(r["cv"]) <= bound, (r["vec_id"], r["cv"], bound)
+        if abs(r["__dv"]) > bound * 10:
+            big += 1
+    # the corpus really was anisotropic: most uncorrected projections dwarf
+    # the post-correction residual bound
+    assert big > 40

@@ -838,6 +838,29 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the ranking window keys by probe id — 1/query_mod of the pair "
          "stream, never the corpus"),
     ],
+    "embedding_top_component": [
+        (r"\bExchange\b", False,
+         "the final projection is a ZERO-shuffle fold over the pinned "
+         "centered frame — the power-iteration component and the mean "
+         "ride as dim-length plan literals"),
+        (r"Scan parquet", False,
+         "iteration consumers read the pin; the corpus is scanned (and "
+         "centered) exactly once"),
+        (r"\bJoin\b", False,
+         "no join anywhere — per-dim aggregates collapse to dim-row "
+         "driver metadata that returns as literals"),
+    ],
+    "abtt_corrected_topk": [
+        (r"\bExchange\b", False,
+         "ABTT correction + probe dot fuse into ONE zero-shuffle "
+         "codegen'd pass over the pinned corrected frame"),
+        (r"Scan parquet", False,
+         "the probe collect and the top-k both read the pin — the "
+         "corpus is corrected exactly once"),
+        (r"TakeOrderedAndProject", True,
+         "corrected retrieval is per-partition heaps, not a global sort"),
+        (r"SortMergeJoin", False, "no join anywhere"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
