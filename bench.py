@@ -173,6 +173,7 @@ HEADLINE = HEADLINE_R1 + [
     "retrieval_ndcg",
     "embedding_top_component",
     "abtt_corrected_topk",
+    "embedding_drift",
 ]
 
 

@@ -35,6 +35,12 @@ _DRIVER_WINDOW = [
     # array_kit re-enters with a scalar-only projection (its r9 row was
     # the driver-canonicalizer TypeError, VERDICT item 1 — the array
     # algebra is unchanged upstream of the output projection).
+    #
+    # r11 rotation heads (registered after this window froze; each is
+    # local-mirror + vanilla-driver-sim green, no driver row yet):
+    # rank_weighted_select, kmeans_topics, cluster_balanced_sample,
+    # retrieval_ndcg, embedding_top_component, abtt_corrected_topk,
+    # embedding_drift.
     # ------------------------------------------------------------------
     # r9-late flagships registered after the r9 window froze:
     "crawl_permission_funnel", "unicode_minhash_pairs",

@@ -651,3 +651,133 @@ def abtt_corrected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot"), F.asc("vec_id"))
         .limit(_ABTT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding snapshot drift: mean shift + dominant-direction rotation
+# ---------------------------------------------------------------------------
+
+
+def _abtt_chain(sfx: str, pred: str, iters: int = _ABTT_ITERS) -> list[str]:
+    """The power-iteration CTE chain with suffixed names and a row
+    filter — lets one statement run the iteration over two corpus
+    snapshots (embedding_drift) without colliding with the unsuffixed
+    chain _abtt_sql builds."""
+    parts = [
+        f"""un{sfx} AS (
+      SELECT vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)*10000 + 0.5)
+                  AS BIGINT) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE {pred}
+    ),
+    mu{sfx} AS (SELECT pos, sum(x) // count(*) AS m FROM un{sfx} GROUP BY 1),
+    cent{sfx} AS (
+      SELECT vec_id, un{sfx}.pos, CAST(x - m AS BIGINT) AS c
+      FROM un{sfx} JOIN mu{sfx} USING (pos)
+    ),
+    v0{sfx} AS (
+      SELECT pos, c AS v FROM cent{sfx}
+      WHERE vec_id = (SELECT min(vec_id) FROM cent{sfx})
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i}{sfx} AS (
+      SELECT vec_id, sum(c * v) AS d
+      FROM cent{sfx} JOIN v{i - 1}{sfx} USING (pos) GROUP BY 1
+    ),
+    w{i}{sfx} AS (
+      SELECT pos, sum(c * (d // {_ABTT_SHIFT})) AS w
+      FROM cent{sfx} JOIN d{i}{sfx} USING (vec_id) GROUP BY 1
+    ),
+    v{i}{sfx} AS (
+      SELECT pos,
+             (w * {_ABTT_SCALE}) // (SELECT max(abs(w)) FROM w{i}{sfx}) AS v
+      FROM w{i}{sfx}
+    )"""
+        )
+    return parts
+
+
+def _drift_sql() -> str:
+    vo = f"v{_ABTT_ITERS}_o"
+    vn = f"v{_ABTT_ITERS}_n"
+    return (
+        "WITH "
+        + ",\n    ".join(
+            _abtt_chain("_o", "vec_id % 2 = 0")
+            + _abtt_chain("_n", "vec_id % 2 = 1")
+        )
+        + f""",
+    met AS (
+      SELECT
+        (SELECT count(DISTINCT vec_id) FROM un_o) AS n_old,
+        (SELECT count(DISTINCT vec_id) FROM un_n) AS n_new,
+        (SELECT sum((a.m - b.m) * (a.m - b.m))
+         FROM mu_o a JOIN mu_n b USING (pos)) AS mean_shift2,
+        (SELECT sum(a.v * b.v)
+         FROM {vo} a JOIN {vn} b USING (pos)) AS dd,
+        (SELECT sum(v * v) FROM {vo}) AS no2,
+        (SELECT sum(v * v) FROM {vn}) AS nn2
+    )
+    SELECT CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(mean_shift2 AS BIGINT) AS mean_shift2,
+           CAST(dd // {_ABTT_SCALE} AS BIGINT) AS comp_dot_q,
+           CAST((CASE WHEN dd < 0 THEN -1 ELSE 1 END)
+                * (((dd // {_ABTT_SCALE}) * (dd // {_ABTT_SCALE}) * 1000000)
+                   // ((no2 // {_ABTT_SCALE}) * (nn2 // {_ABTT_SCALE})))
+                AS BIGINT) AS cos2_ppm_signed
+    FROM met
+    """
+    )
+
+
+@q("embedding_drift", _drift_sql())
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding snapshot drift audit: split the corpus into two
+    deterministic snapshots (even/odd ids — the fixture stand-in for
+    old-encoder vs re-encoded, or last-month vs this-month), run the
+    integer power iteration on each, and report the drift a pipeline
+    alarms on before trusting cross-snapshot ANN/dedup: exact integer
+    mean shift ``Σ(µo−µn)²`` and the dominant-direction rotation as a
+    signed squared-cosine in ppm (both components ∞-norm-scaled to
+    2^10, the dot downshifted before squaring to stay in int64 —
+    deterministic, same truncations in both engines). The re-encode /
+    re-index trigger next to corpus_drift_psi's token-space twin.
+
+    Scale shape: both snapshot iterations are pinned-frame scans with
+    dim-row metadata aggregates (the top_component_projection shape);
+    the drift combine is pure driver metadata math over two dim-length
+    vectors — the emitted row is scalars only."""
+    from pharmacodi_spark.text.similarity import (
+        _trunc_div,
+        top_component_projection,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (_rnd(x.cast("double") * _KM_SCALE)).cast("long"),
+        ).alias("qe"),
+    )
+    old = qe.where(F.col("vec_id") % 2 == 0)
+    new = qe.where(F.col("vec_id") % 2 == 1)
+    _po, vo, muo = top_component_projection(old, iterations=_ABTT_ITERS)
+    _pn, vn, mun = top_component_projection(new, iterations=_ABTT_ITERS)
+    n_old, n_new = old.count(), new.count()
+    mean_shift2 = sum((a - b) * (a - b) for a, b in zip(muo, mun))
+    dd = sum(a * b for a, b in zip(vo, vn))
+    no2 = sum(x * x for x in vo)
+    nn2 = sum(x * x for x in vn)
+    dq = _trunc_div(dd, _ABTT_SCALE)
+    denom = _trunc_div(no2, _ABTT_SCALE) * _trunc_div(nn2, _ABTT_SCALE)
+    cos2 = (-1 if dd < 0 else 1) * ((dq * dq * 1000000) // denom)
+    return spark.createDataFrame(
+        [(n_old, n_new, mean_shift2, dq, cos2)],
+        "n_old long, n_new long, mean_shift2 long, comp_dot_q long, "
+        "cos2_ppm_signed long",
+    )

@@ -981,7 +981,7 @@ def top_component_projection(
     metadata (the ANN-centroid budget class); each iteration is ONE scan
     of the pinned centered frame + a map-side-combining per-dim aggregate;
     vectors never pair and never shuffle (the per-dim aggregate exchanges
-    dim rows). Raise ``shift_bits`` as n grows — the docchain above gives
+    dim rows). Raise ``shift_bits`` as n grows — the headroom bound above gives
     the exact bound.
     """
     from pharmacodi_spark.barrier import stage_barrier

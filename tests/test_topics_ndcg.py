@@ -380,3 +380,53 @@ def test_abtt_correction_orthogonalizes(spark):
     # the corpus really was anisotropic: most uncorrected projections dwarf
     # the post-correction residual bound
     assert big > 40
+
+
+def test_embedding_drift_detects_rotation(spark):
+    """Semantic contract of the drift audit: two snapshots sharing a
+    dominant direction score cos² near 1e6; snapshots whose dominant
+    directions are orthogonal score near 0 — with mean shift tracking
+    the planted offset. (The oracle-gated query proves determinism;
+    this proves the audit MEASURES what it claims.)"""
+    from pharmacodi_spark.text.similarity import (
+        _trunc_div,
+        top_component_projection,
+    )
+
+    rng = random.Random(13)
+
+    def corpus(axis, offset, start_id):
+        rows = []
+        for i in range(40):
+            coef = (i - 20) * 800
+            vec = [offset[p] + coef * axis[p] + rng.randint(-3, 3)
+                   for p in range(4)]
+            rows.append((start_id + i, vec))
+        return rows
+
+    def drift(rows_a, rows_b):
+        df_a = spark.createDataFrame(rows_a, "vec_id long, qe array<long>")
+        df_b = spark.createDataFrame(rows_b, "vec_id long, qe array<long>")
+        _pa, va, mua = top_component_projection(df_a, iterations=3)
+        _pb, vb, mub = top_component_projection(df_b, iterations=3)
+        dd = sum(a * b for a, b in zip(va, vb))
+        no2 = sum(x * x for x in va)
+        nn2 = sum(x * x for x in vb)
+        dq = _trunc_div(dd, 1024)
+        denom = _trunc_div(no2, 1024) * _trunc_div(nn2, 1024)
+        cos2 = (-1 if dd < 0 else 1) * ((dq * dq * 1000000) // denom)
+        shift2 = sum((a - b) ** 2 for a, b in zip(mua, mub))
+        return cos2, shift2
+
+    same_axis = corpus([3, 1, 0, 0], [0, 0, 0, 0], 0), corpus(
+        [3, 1, 0, 0], [500, 0, 0, 0], 100
+    )
+    rotated = corpus([3, 1, 0, 0], [0, 0, 0, 0], 0), corpus(
+        [0, 0, 2, -3], [0, 0, 0, 0], 100
+    )
+    cos2_same, shift2_same = drift(*same_axis)
+    cos2_rot, _ = drift(*rotated)
+    assert abs(cos2_same) > 900_000, cos2_same
+    assert abs(cos2_rot) < 100_000, cos2_rot
+    # planted mean offset of 500 on dim 0 dominates the noise
+    assert shift2_same > 200_000, shift2_same
