@@ -2868,7 +2868,8 @@ def pagerank_dangling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qe
       FROM embeddings
     ),
-    cents AS (SELECT vec_id AS cid, qe AS cqe FROM q WHERE vec_id < 16),
+    cents AS (SELECT vec_id AS cid, qe AS cqe FROM q
+              WHERE vec_id < greatest(16, (SELECT count(*) FROM q) // 256)),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT q.vec_id, c.cid,
@@ -2937,9 +2938,22 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: _rnd(x.cast("double") * 10000)
         ).alias("qe"),
     )
-    seed_rows = qe.where(F.col("vec_id") < 16).collect()
+    # centroid count scales with the corpus (k = max(16, n div 256)) so
+    # the within-cell candidate-pair mass stays ~n·256 (linear) — see the
+    # text_semantic_dedup comment for the r10 sf1 evidence; at
+    # sf0.01/sf0.1 the expression still yields 16 (oracle unchanged)
+    n_k = max(16, qe.count() // 256)
+    seed_rows = qe.where(F.col("vec_id") < n_k).collect()
     centroids = [list(r.qe) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
-    assigned = ivf_assign(qe, centroids, vec_col="qe", out_col="cid")
+    from pharmacodi_spark.barrier import stage_barrier
+
+    # pin the k-literal argmin: cell_cosine_pairs consumes its input three
+    # times (dim probe, triangle-guard cell counts, pair expansion) — see
+    # the text_semantic_dedup twin for the r10 sf1 profile
+    assigned = stage_barrier(
+        ivf_assign(qe, centroids, vec_col="qe", out_col="cid"),
+        name="semdedup_assigned",
+    )
     # pair scoring: cell_cosine_pairs picks the flattened straight-line-
     # codegen dot at 64-dim (its high-dim zip_with path kicks in past 128)
     pairs = cell_cosine_pairs(

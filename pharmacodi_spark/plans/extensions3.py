@@ -4174,7 +4174,8 @@ def unicode_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS qe
       FROM t LEFT JOIN g USING (doc_id)
     ),
-    cents AS (SELECT vec_id AS cid, qe AS cqe FROM q WHERE vec_id < 16),
+    cents AS (SELECT vec_id AS cid, qe AS cqe FROM q
+              WHERE vec_id < greatest(16, (SELECT count(*) FROM q) // 256)),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT q.vec_id, c.cid,
@@ -4245,14 +4246,32 @@ def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("long")).alias("qe"),
     )
-    seed_rows = qe.where(F.col("vec_id") < 16).collect()
+    # centroid count SCALES with the corpus: k = max(16, n div 256) keeps
+    # the average cell near the triangle-guard block size, so within-cell
+    # candidate-pair mass stays ~n·256 (linear) instead of n²/16 — the r10
+    # sf1 pair measured the fixed-16 version at 25× wall for 10× data,
+    # exactly that quadratic term. At sf0.01 (the driver's correctness
+    # scale) the expression still yields 16, so oracle rows are unchanged;
+    # sf0.1 gets 19 centroids. (Literal-argmin assignment
+    # holds to k~1e3; beyond that, production assigns via a broadcast
+    # centroid table — cell_cosine_pairs is unchanged either way.)
+    n_k = max(16, qe.count() // 256)
+    seed_rows = qe.where(F.col("vec_id") < n_k).collect()
     centroids = [list(r.qe) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
     assigned = ivf_assign(qe, centroids, vec_col="qe", out_col="cid")
-    nz = assigned.where(
-        F.aggregate(
-            "qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        )
-        > 0
+    # the k-literal argmin is the E2E's CPU-heavy projection and
+    # cell_cosine_pairs consumes its input THREE times (dim probe, the
+    # triangle guard's cell counts, the pair expansion) — pin it so the
+    # assignment runs once (the r5 lesson; the r10 sf1 profile measured
+    # the unpinned version re-paying ~14s per consumer at 50k docs)
+    nz = stage_barrier(
+        assigned.where(
+            F.aggregate(
+                "qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            )
+            > 0
+        ),
+        name="text_semdedup_assigned",
     )
     pairs = cell_cosine_pairs(
         nz,

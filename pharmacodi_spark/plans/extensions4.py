@@ -286,6 +286,10 @@ def kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NDCG_K = 10
 _NDCG_MOD = 23
+_NDCG_PROBES = 100  # probe BUDGET: eval work is max_probes·n (linear),
+# not n²/mod — at sf0.01/sf0.1 every mod-eligible id is under the cap so
+# the oracle rows are unchanged; the cap only bites at sf1+ (r10 sf1
+# pair: 4.4× at 10× data uncapped)
 _NDCG_DISC = ndcg_discounts(_NDCG_K)
 _NDCG_PSUM = [sum(_NDCG_DISC[:j]) for j in range(1, _NDCG_K + 1)]
 
@@ -309,6 +313,7 @@ def _ndcg_sql() -> str:
              CAST(sum(q.qv * c.qv) AS BIGINT) AS dot
       FROM un q JOIN un c ON q.pos = c.pos AND q.vec_id <> c.vec_id
       WHERE q.vec_id % {_NDCG_MOD} = 0
+        AND q.vec_id < {_NDCG_MOD * _NDCG_PROBES}
       GROUP BY q.vec_id, c.vec_id
     ),
     rnk AS (
@@ -359,7 +364,9 @@ def retrieval_ndcg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pharmacodi_spark.text.retrieval import retrieval_ndcg
 
     e = _t(spark, sf_dir, "embeddings")
-    return retrieval_ndcg(e, k=_NDCG_K, query_mod=_NDCG_MOD)
+    return retrieval_ndcg(
+        e, k=_NDCG_K, query_mod=_NDCG_MOD, max_probes=_NDCG_PROBES
+    )
 
 
 _CBS_QUOTA = 16

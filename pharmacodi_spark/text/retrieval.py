@@ -304,6 +304,7 @@ def retrieval_ndcg(
     df: DataFrame,
     k: int = 10,
     query_mod: int = 23,
+    max_probes: int = 100,
     scale: int = 10000,
     frac_bits: int = FP_BITS,
     vec_col: str = "embedding",
@@ -322,11 +323,15 @@ def retrieval_ndcg(
     IDCG is a prefix-sum lookup ``psum[min(n_rel_pool, k)]`` — every
     division a positive-integer truncation, bit-identical cross-engine.
 
-    Scale shape: the probe sample is bounded (``n/query_mod`` rows) and
-    broadcasts against the corpus scan — the corpus never shuffles to form
-    pairs; the only shuffle is the per-probe ranking window keyed by probe
-    id (1/query_mod of the pair stream); the discount/prefix tables are
-    k-length literals."""
+    Scale shape: the probe sample is BUDGETED, not proportional —
+    ``id % query_mod == 0 AND id < query_mod·max_probes`` caps the
+    sample at ``max_probes`` rows, so eval work grows LINEARLY with the
+    corpus (``max_probes·n`` dots) instead of quadratically
+    (``n²/query_mod`` — the r10 sf1 pair measured exactly that blowup
+    before the cap: 4.4× wall at 10× data). The capped sample broadcasts
+    against the corpus scan — the corpus never shuffles to form pairs;
+    the only shuffle is the per-probe ranking window keyed by probe id;
+    the discount/prefix tables are k-length literals."""
     from pyspark.sql import Window
 
     disc = ndcg_discounts(k, frac_bits)
@@ -343,7 +348,10 @@ def retrieval_ndcg(
         ),
     )
     base = df.select(F.col(id_col), F.col(label_col), q.alias("__q"))
-    probes = base.where(F.col(id_col) % query_mod == 0).select(
+    probes = base.where(
+        (F.col(id_col) % query_mod == 0)
+        & (F.col(id_col) < query_mod * max_probes)
+    ).select(
         F.col(id_col).alias("__qid"),
         F.col(label_col).alias("__qlabel"),
         F.col("__q").alias("__qv"),
