@@ -174,6 +174,7 @@ HEADLINE = HEADLINE_R1 + [
     "embedding_top_component",
     "abtt_corrected_topk",
     "embedding_drift",
+    "cluster_purity",
 ]
 
 

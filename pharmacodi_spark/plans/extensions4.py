@@ -788,3 +788,91 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_old long, n_new long, mean_shift2 long, comp_dot_q long, "
         "cos2_ppm_signed long",
     )
+
+
+def _cluster_purity_sql() -> str:
+    return (
+        _kmeans_parts()
+        + """,
+    lab AS (
+      SELECT af.cid, e.label, count(*) AS c
+      FROM af JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT cid, sum(c) AS n FROM lab GROUP BY 1),
+    top AS (
+      SELECT cid, label AS top_label, c AS top_c FROM (
+        SELECT cid, label, c,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY c DESC, label) AS rn
+        FROM lab)
+      WHERE rn = 1
+    )
+    SELECT CAST(t.cid AS BIGINT) AS cid,
+           CAST(t.n AS BIGINT) AS n_vecs,
+           CAST(top.top_label AS BIGINT) AS top_label,
+           CAST(top.top_c AS BIGINT) AS top_c,
+           CAST((top.top_c * 1000000) // t.n AS BIGINT) AS purity_ppm
+    FROM tot t JOIN top USING (cid)
+    """
+    )
+
+
+@q("cluster_purity", _cluster_purity_sql())
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster label-purity report — the eval that closes the topic
+    family the way knn_label_eval closes the embedding family: after the
+    k-means assignment (same seeds/iterations as kmeans_topics), each
+    cluster reports its size, majority label (ties → lower label,
+    deterministic), and purity in ppm. Low purity on a labeled probe set
+    is the signal that the embedding space (or k) doesn't support
+    topic-balanced sampling yet.
+
+    Scale shape: identical to kmeans_topics through the final assignment
+    (pinned quantized frame, metadata centroids); the purity rollup is a
+    (cid,label)-keyed aggregate collapsing map-side to k·|labels| rows,
+    then a k-row window. The label join probes the pinned assignment by
+    id — at corpus scale write the assignment partitioned by cid and
+    this is a metadata-scale report."""
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.barrier import stage_barrier
+    from pharmacodi_spark.text.similarity import kmeans_lloyd_int
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (_rnd(x.cast("double") * _KM_SCALE)).cast("long"),
+        ).alias("qe"),
+    )
+    qe = stage_barrier(qe, name="purity_qe")
+    assigned, _cents = kmeans_lloyd_int(
+        qe, k=_KM_K, iterations=_KM_ITERS, vec_col="qe", id_col="vec_id"
+    )
+    # the pinned assignment has no stats, so the label attach would fall
+    # to sort-merge — hint it hash (the near_dup_droplist lesson); the
+    # total and the majority pick are two windows over the SAME cid
+    # partitioning, sharing one exchange (no tot⋈top self-join, no
+    # second label scan)
+    lab = (
+        assigned.select("vec_id", "cid")
+        .join(e.select("vec_id", "label").hint("shuffle_hash"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    w_tot = Window.partitionBy("cid")
+    w_rank = Window.partitionBy("cid").orderBy(F.desc("c"), F.asc("label"))
+    return (
+        lab.withColumn("n", F.sum("c").over(w_tot))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.col("label").cast("long").alias("top_label"),
+            F.col("c").cast("long").alias("top_c"),
+            F.expr("(c * 1000000) div n").cast("long").alias("purity_ppm"),
+        )
+    )

@@ -873,6 +873,7 @@ def kmeans_lloyd_int(
     vec_col: str = "qe",
     id_col: str = "vec_id",
     out_col: str = "cid",
+    init_centroids: list[list[int]] | None = None,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Lloyd's k-means over an INTEGER-quantized vector column, fully
     engine-deterministic: seeds = the ``k`` lowest-id vectors, assignment
@@ -887,6 +888,11 @@ def kmeans_lloyd_int(
     pruning, cluster-balanced sampling) next to the one-shot
     :func:`ivf_assign` quantizer.
 
+    ``init_centroids`` overrides the lowest-id seeding — pass
+    :func:`train_ivf_centroids` output (k-means||, quality seeds for
+    production) cast to ints; the oracle-gated queries keep the
+    default because lowest-id seeds are SQL-reproducible.
+
     Scale shape (100 TB): centroids are index METADATA (k·dim longs) and
     ride driver-side exactly like :func:`ivf_topk`'s coarse quantizer —
     each Lloyd step is one corpus scan with a map-side-combining
@@ -896,12 +902,19 @@ def kmeans_lloyd_int(
     (a Python encode stage, say) would re-run per iteration.
     """
     assert k >= 1 and iterations >= 0
-    seed_rows = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
-    )
-    cents: list[list[int]] = [
-        [int(x) for x in r[vec_col]] for r in seed_rows
-    ]
+    if init_centroids is not None:
+        assert len(init_centroids) == k
+        cents: list[list[int]] = [
+            [int(x) for x in c] for c in init_centroids
+        ]
+    else:
+        seed_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        cents = [[int(x) for x in r[vec_col]] for r in seed_rows]
     for _ in range(iterations):
         assigned = ivf_assign(df, cents, vec_col=vec_col, out_col=out_col)
         stats = (

@@ -218,6 +218,10 @@ CASES = [
      "is corrected once"),
     ("abtt_corrected_topk", r"TakeOrderedAndProject", True,
      "corrected retrieval is per-partition heaps, not a global sort"),
+    ("cluster_purity", r"SortMergeJoin", False,
+     "the stat-less pinned assignment joins labels hash, not sort-merge "
+     "(the near_dup_droplist lesson); total+majority are two windows "
+     "over one cid exchange, not a self-join"),
 ]
 
 

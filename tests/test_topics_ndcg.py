@@ -430,3 +430,49 @@ def test_embedding_drift_detects_rotation(spark):
     assert abs(cos2_rot) < 100_000, cos2_rot
     # planted mean offset of 500 on dim 0 dominates the noise
     assert shift2_same > 200_000, shift2_same
+
+
+def test_kmeans_kmeanspp_seeding_beats_pathological_lowest_id(spark):
+    """init_centroids seam: with the k lowest ids all planted inside ONE
+    tight cluster (the adversarial case for lowest-id seeding), k-means||
+    seeds (train_ivf_centroids) reach a strictly lower inertia after the
+    same 2 Lloyd iterations; the lowest-id default stays the
+    SQL-reproducible oracle path."""
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.text.similarity import (
+        kmeans_lloyd_int,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    vid = 0
+    # ids 0..3 (the k=4 lowest) all in cluster A; three other far clusters
+    centers = [(0, 0), (4000, 0), (0, 4000), (4000, 4000)]
+    for _ in range(4):
+        rows.append((vid, [rng.randint(-30, 30), rng.randint(-30, 30)]))
+        vid += 1
+    for cx, cy in centers:
+        for _ in range(20):
+            rows.append(
+                (vid, [cx + rng.randint(-30, 30), cy + rng.randint(-30, 30)])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+
+    def inertia(assigned):
+        return assigned.agg(F.sum("d2")).collect()[0][0]
+
+    base, _ = kmeans_lloyd_int(df, k=4, iterations=2)
+    pp_seeds = train_ivf_centroids(df, n_centroids=4, vec_col="qe", seed=3)
+    pp_init = [[int(x) for x in c] for c in pp_seeds]
+    better, _ = kmeans_lloyd_int(
+        df, k=4, iterations=2, init_centroids=pp_init
+    )
+    i_base, i_pp = inertia(base), inertia(better)
+    assert i_pp < i_base, (i_pp, i_base)
+    # k-means|| spreads seeds across the four true clusters: inertia should
+    # collapse to near the within-cluster noise floor, far below the
+    # one-cluster-seeded run
+    assert i_pp * 5 < i_base, (i_pp, i_base)

@@ -861,6 +861,13 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "corrected retrieval is per-partition heaps, not a global sort"),
         (r"SortMergeJoin", False, "no join anywhere"),
     ],
+    "cluster_purity": [
+        (r"SortMergeJoin", False,
+         "the stat-less pinned assignment joins labels HASH (hinted — "
+         "the near_dup_droplist lesson); no sort passes anywhere"),
+        (r"ShuffledHashJoin", True,
+         "the label attach is the one id-keyed exchange"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
