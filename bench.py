@@ -175,6 +175,7 @@ HEADLINE = HEADLINE_R1 + [
     "abtt_corrected_topk",
     "embedding_drift",
     "cluster_purity",
+    "hll_distinct",
 ]
 
 

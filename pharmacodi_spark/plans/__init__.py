@@ -40,7 +40,7 @@ _DRIVER_WINDOW = [
     # local-mirror + vanilla-driver-sim green, no driver row yet):
     # rank_weighted_select, kmeans_topics, cluster_balanced_sample,
     # retrieval_ndcg, embedding_top_component, abtt_corrected_topk,
-    # embedding_drift, cluster_purity.
+    # embedding_drift, cluster_purity, hll_distinct.
     # ------------------------------------------------------------------
     # r9-late flagships registered after the r9 window froze:
     "crawl_permission_funnel", "unicode_minhash_pairs",

@@ -876,3 +876,113 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(c * 1000000) div n").cast("long").alias("purity_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic md5-HLL distinct sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256
+_HLL_W1 = 31  # W + 1
+_HLL_NUM = 735 * 256 * 256 * (1 << 31)  # alpha_fp10 · m² · 2^(W+1)
+
+
+def _hll_sql() -> str:
+    return f"""
+    WITH hh AS (
+      SELECT source,
+             CAST(('0x' || substr(md5('h:' || text), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    ),
+    reg AS (
+      SELECT source, h % {_HLL_M} AS j,
+             CASE WHEN (h // {_HLL_M}) % {1 << 30} = 0 THEN {_HLL_W1}
+                  ELSE {_HLL_W1}
+                       - length(bin((h // {_HLL_M}) % {1 << 30})) END AS rho
+      FROM hh
+    ),
+    mx AS (SELECT source, j, max(rho) AS m FROM reg GROUP BY 1, 2),
+    per AS (
+      SELECT source, count(*) AS n_hit,
+             sum(CAST(1 AS BIGINT) << CAST({_HLL_W1} - m AS INT)) AS s_hit
+      FROM mx GROUP BY 1
+    ),
+    fin AS (
+      SELECT source, n_hit,
+             {_HLL_M} - n_hit AS v_empty,
+             ({_HLL_NUM}
+              // (s_hit + ({_HLL_M} - n_hit)
+                          * CAST({1 << 31} AS BIGINT))) // 1024 AS raw
+      FROM per
+    ),
+    lc AS (
+      SELECT source, v_empty, raw,
+             CASE WHEN v_empty > 0
+                  THEN ({_HLL_M * 1024}) // v_empty ELSE 1024 END AS q
+      FROM fin
+    ),
+    lc2 AS (
+      SELECT source, v_empty, raw, q,
+             length(bin(q)) - 11 AS sh,
+             q >> CAST(length(bin(q)) - 11 AS INT) AS r
+      FROM lc
+    ),
+    lc3 AS (
+      SELECT source, v_empty, raw, sh, r,
+             ((r - 1024) * 1024) // (r + 1024) AS z
+      FROM lc2
+    ),
+    est AS (
+      SELECT source, v_empty,
+             CASE WHEN v_empty > 0 AND raw * 2 < {5 * _HLL_M}
+                  THEN ({_HLL_M} * (sh * 709 + 2 * z
+                                    + (2 * z * z * z) // 3145728)) // 1024
+                  ELSE raw END AS n_est
+      FROM lc3
+    ),
+    ex AS (SELECT source, count(DISTINCT text) AS n_exact
+           FROM documents GROUP BY 1)
+    SELECT e.source,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           CAST(e.n_est AS BIGINT) AS n_est,
+           CAST(e.v_empty AS BIGINT) AS v_empty,
+           CAST((abs(e.n_est - x.n_exact) * 1000000) // x.n_exact AS BIGINT)
+             AS err_ppm
+    FROM est e JOIN ex x USING (source)
+    """
+
+
+@q("hll_distinct", _hll_sql())
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct documents per source via the deterministic
+    md5-HLL (operators/sketches.py::hll_md5_distinct) — the
+    oracle-GATED sibling of the native DataSketches path (whose binary
+    sketch is engine-specific and therefore pytest-only, the gap that
+    module's docstring has carried since r3). Every step is integer:
+    md5 register+rank, per-register max, one-denominator harmonic sum,
+    fixed-point alpha multiply, and Flajolet's linear-counting
+    small-range branch through the fixed-point log2 kit. The row also
+    carries the exact distinct and the error in ppm — the sketch
+    auditing itself.
+
+    Scale shape: the sketch is ONE map-side-combining aggregate keyed by
+    (source, register) — ≤256 rows per source survive the combine no
+    matter how many documents — vs count(DISTINCT)'s shuffle of every
+    distinct value. (The exact side here is fixture-scale audit;
+    production reads the sketch alone.)"""
+    from pharmacodi_spark.operators.sketches import hll_md5_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    sk = hll_md5_distinct(d, "text", by=["source"])
+    ex = d.groupBy("source").agg(
+        F.countDistinct("text").cast("long").alias("n_exact")
+    )
+    return sk.join(ex, "source").select(
+        "source",
+        "n_exact",
+        "n_est",
+        "v_empty",
+        F.expr("(abs(n_est - n_exact) * 1000000) div n_exact")
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -222,6 +222,12 @@ CASES = [
      "the stat-less pinned assignment joins labels hash, not sort-merge "
      "(the near_dup_droplist lesson); total+majority are two windows "
      "over one cid exchange, not a self-join"),
+    ("hll_distinct", r"partial_max", True,
+     "registers combine map-side — at most 256 rows per group reach "
+     "the exchange regardless of input rows"),
+    ("hll_distinct", r"hashpartitioning\(text#", False,
+     "document bodies never enter an exchange — only (source, register) "
+     "keys do"),
 ]
 
 

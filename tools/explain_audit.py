@@ -868,6 +868,16 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"ShuffledHashJoin", True,
          "the label attach is the one id-keyed exchange"),
     ],
+    "hll_distinct": [
+        (r"partial_max", True,
+         "the register table combines map-side — ≤256 rows per group "
+         "reach the exchange no matter how many documents scanned"),
+        (r"hashpartitioning\(text#", False,
+         "document bodies never enter an exchange — only "
+         "(source, register) keys do"),
+        (r"SortMergeJoin", False,
+         "the est⋈exact audit join stays hash/broadcast"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
