@@ -245,6 +245,21 @@ def hll_md5_distinct(
     map-side (max is idempotent), so the sketch is also
     replay/append-friendly: union register tables and re-max to merge.
     """
+    regs = hll_md5_registers(df, col, by=by, salt=salt)
+    return hll_md5_estimate(regs, by=by)
+
+
+def hll_md5_registers(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    salt: str = "h",
+) -> DataFrame:
+    """The sketch STATE: per-group register table ``(by..., __j, __m)``
+    — ≤ 2^HLL_P rows per group after the map-side combine. Persist these
+    per table-partition/date-slice (the distinct_sketch pattern) and
+    answer coarser-grained distinct questions later via
+    :func:`hll_md5_merge` without rescanning data."""
     m = 1 << HLL_P
     keys = by or []
     h = F.conv(
@@ -257,7 +272,7 @@ def hll_md5_distinct(
         10,
     ).cast("long")
     j = h % m
-    regs = (
+    return (
         df.select(*keys, j.alias("__j"), h.alias("__h"))
         .withColumn("__w", F.expr(f"(__h div {m}) % {1 << HLL_W}"))
         .withColumn(
@@ -269,6 +284,31 @@ def hll_md5_distinct(
         .groupBy(*keys, "__j")
         .agg(F.max("__rho").alias("__m"))
     )
+
+
+def hll_md5_merge(
+    *register_tables: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Union register tables and re-max — the HLL merge (max is
+    idempotent, commutative, associative, so merging ANY partition of
+    the input rows into sketches estimates exactly like sketching the
+    union once; pytest-proven). Also the regroup point: pass coarser
+    ``by`` keys to roll slices up."""
+    keys = by or []
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*keys, "__j").agg(F.max("__m").alias("__m"))
+
+
+def hll_md5_estimate(
+    regs: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Fold a register table into ``(by..., n_hit, v_empty, n_est)`` —
+    the estimate stage of :func:`hll_md5_distinct`, shared by the
+    merge path."""
+    m = 1 << HLL_P
+    keys = by or []
     per = regs.groupBy(*keys).agg(
         F.count("*").cast("long").alias("n_hit"),
         F.sum(

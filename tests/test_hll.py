@@ -96,3 +96,33 @@ def test_hll_register_exchange_is_bounded(spark):
     assert not re.search(r"hashpartitioning\(x#", plan), (
         "raw values entered an exchange"
     )
+
+
+def test_hll_merge_equals_single_sketch(spark):
+    """Mergeability proof: sketch two halves separately, merge the
+    register tables, estimate — identical to sketching the union once;
+    and a coarser-key rollup (drop the slice key) matches the global
+    sketch."""
+    from pharmacodi_spark.operators.sketches import (
+        hll_md5_estimate,
+        hll_md5_merge,
+        hll_md5_registers,
+    )
+
+    rng = random.Random(41)
+    rows = [(f"s{i % 2}", f"m{rng.randint(0, 10**9)}_{i}") for i in range(700)]
+    df = spark.createDataFrame(rows, "slice string, x string")
+    a = df.where("slice = 's0'")
+    b = df.where("slice = 's1'")
+    merged = hll_md5_merge(
+        hll_md5_registers(a, "x"), hll_md5_registers(b, "x")
+    )
+    est_merged = hll_md5_estimate(merged).collect()[0]
+    est_once = hll_md5_estimate(hll_md5_registers(df, "x")).collect()[0]
+    assert tuple(est_merged) == tuple(est_once)
+
+    # coarser-key rollup: per-slice registers -> global estimate
+    per_slice = hll_md5_registers(df, "x", by=["slice"])
+    rolled = hll_md5_merge(per_slice, by=[])
+    est_rolled = hll_md5_estimate(rolled).collect()[0]
+    assert tuple(est_rolled) == tuple(est_once)
