@@ -273,7 +273,13 @@ def hll_md5_registers(
     ).cast("long")
     j = h % m
     return (
-        df.select(*keys, j.alias("__j"), h.alias("__h"))
+        # NULL values must not mint a register: a NULL hash would yield a
+        # (__j NULL, __m NULL) row that count(*) counts but the harmonic
+        # sum skips, driving v_empty = m - n_hit negative and corrupting
+        # the estimate (identically in Spark and the SQL oracle — i.e.
+        # oracle-green but wrong). HLL counts distinct non-NULL values.
+        df.where(F.col(col).isNotNull())
+        .select(*keys, j.alias("__j"), h.alias("__h"))
         .withColumn("__w", F.expr(f"(__h div {m}) % {1 << HLL_W}"))
         .withColumn(
             "__rho",

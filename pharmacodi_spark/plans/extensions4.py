@@ -893,6 +893,7 @@ def _hll_sql() -> str:
       SELECT source,
              CAST(('0x' || substr(md5('h:' || text), 1, 15)) AS BIGINT) AS h
       FROM documents
+      WHERE text IS NOT NULL
     ),
     reg AS (
       SELECT source, h % {_HLL_M} AS j,

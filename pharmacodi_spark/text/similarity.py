@@ -914,6 +914,18 @@ def kmeans_lloyd_int(
             .limit(k)
             .collect()
         )
+        # The oracle-gated queries pair this seeding with SQL of the form
+        # ``WHERE vec_id < k`` / ``cid = seed vec_id`` — valid ONLY when
+        # ids run contiguously from 0. Fail loudly instead of silently
+        # diverging on a gapped/offset id space; non-contiguous callers
+        # pass ``init_centroids=`` (e.g. train_ivf_centroids output).
+        seed_ids = [int(r[id_col]) for r in seed_rows]
+        if seed_ids != list(range(len(seed_ids))):
+            raise ValueError(
+                "kmeans_lloyd_int default seeding requires ids contiguous "
+                f"from 0 (got lowest {k}: {seed_ids[:8]}...); pass "
+                "init_centroids= for gapped or offset id spaces"
+            )
         cents = [[int(x) for x in r[vec_col]] for r in seed_rows]
     for _ in range(iterations):
         assigned = ivf_assign(df, cents, vec_col=vec_col, out_col=out_col)

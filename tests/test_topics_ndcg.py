@@ -106,6 +106,22 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert cents == py_cents
 
 
+def test_kmeans_gapped_ids_fail_loudly(spark):
+    # The default lowest-id seeding is paired with oracle SQL that assumes
+    # ids contiguous from 0 (cid = seed vec_id). A gapped or offset id
+    # space must raise, not silently diverge from that oracle; the
+    # init_centroids= seam is the sanctioned escape hatch.
+    rows = [(3, [0, 0]), (7, [10, 10]), (9, [0, 1]), (12, [11, 10])]
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    with pytest.raises(ValueError, match="contiguous"):
+        kmeans_lloyd_int(df, k=2, iterations=1)
+    # the escape hatch works on the same gapped frame
+    _assigned, cents = kmeans_lloyd_int(
+        df, k=2, iterations=1, init_centroids=[[0, 0], [10, 10]]
+    )
+    assert len(cents) == 2
+
+
 def test_trunc_div_semantics():
     assert _trunc_div(-7, 2) == -3
     assert _trunc_div(7, 2) == 3
