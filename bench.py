@@ -176,6 +176,9 @@ HEADLINE = HEADLINE_R1 + [
     "embedding_drift",
     "cluster_purity",
     "hll_distinct",
+    # round-11: the broadcast-centroid-table IVF assign at k=200 — past
+    # the literal ceiling, certifying the constant-plan production path
+    "ivf_table_assign",
 ]
 
 

@@ -96,20 +96,42 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+#: above this many centroids :func:`ivf_assign` switches from plan-literal
+#: argmin expressions (whose tree grows O(k) and hits the janino /
+#: analyzer ceiling around k≈1e3) to the broadcast-centroid-TABLE path,
+#: whose plan is CONSTANT-size regardless of k. 128 keeps every existing
+#: oracle query (k=16–19 at driver scales) on the byte-identical literal
+#: plan while removing the scale ceiling for production k = n/256.
+IVF_LITERAL_MAX = 128
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
+    literal_max: int = IVF_LITERAL_MAX,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2, ties → lower
-    centroid index): ``array_min`` over an array of (distance, index)
-    structs — native argmin, no UDF, fully codegen'd. At scale, write the
-    table partitioned by ``out_col``: probes then prune partitions.
+    centroid index). Two physical paths, same result:
+
+    - ``k <= literal_max``: ``array_min`` over an array of (distance,
+      index) struct EXPRESSIONS — native argmin, no UDF, no join; the
+      expression tree grows O(k·dim), which self-bounds at k≈1e3;
+    - larger k: delegate to :func:`ivf_assign_table` — the centroids ride
+      as a broadcast 1-row array-of-structs (DATA, not plan), so the plan
+      stays constant-size at any k (the 100 TB path: k = n div 256 passes
+      1e3 at ~256k docs, i.e. every production corpus).
+
+    At scale, write the table partitioned by ``out_col``: probes then
+    prune partitions.
 
     Exactness note: with integer-valued inputs (e.g. quantized embeddings)
     every distance is an exact integer-valued double (< 2⁵³), so the argmin
-    is engine-deterministic — the property the oracle query relies on."""
+    is engine-deterministic — the property the oracle query relies on —
+    and the two paths are bit-identical (pytest-proven literal≡table)."""
+    if len(centroids) > literal_max:
+        return ivf_assign_table(df, centroids, vec_col=vec_col, out_col=out_col)
     v = _as_double(F.col(vec_col))
     pairs = [
         F.struct(
@@ -127,6 +149,117 @@ def ivf_assign(
         for i, c in enumerate(centroids)
     ]
     return df.withColumn(out_col, F.array_min(F.array(*pairs))["i"])
+
+
+def ivf_assign_table(
+    df: DataFrame,
+    centroids: "list[list[float]] | DataFrame",
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """Nearest-centroid assignment with the centroid matrix as DATA: the
+    k-row centroid table collapses to ONE row carrying
+    ``array<struct<i,c>>``, broadcast-cross-joined onto the corpus, and
+    the argmin is ``array_min`` over a ``transform`` of that array column
+    — the plan has a FIXED handful of expression nodes no matter how
+    large k is (vs the O(k)-literal tree of :func:`ivf_assign`, which
+    janino caps at k≈1e3). Removes the VERDICT-r10 structural ceiling:
+    with the k = n div 256 blocking rule, production corpora need
+    k in the 1e4–1e6 range.
+
+    ``centroids``: a driver list (``train_ivf_centroids`` output) or a
+    k-row DataFrame ``(cid int, cvec array)`` — e.g. centroids maintained
+    as a table by an index-build job, never collected to the driver.
+
+    Physical shape (100 TB): BroadcastNestedLoopJoin against a 1-row
+    relation — one broadcast of k·dim doubles (index metadata, the same
+    bytes every ANN engine ships to every search node), zero shuffle of
+    the corpus, all columns preserved, no groupBy/join-back. Ties break
+    to the lower centroid id via the (d2, cid) struct ordering, exactly
+    like the literal path. For k past ~1e5·dim broadcast bytes, use
+    :func:`ivf_assign_arrow` (numpy GEMM per Arrow batch) instead."""
+    spark = df.sparkSession
+    if isinstance(centroids, DataFrame):
+        cdf = centroids.select(
+            F.col(cid_col).cast("int").alias("__i"),
+            F.col(cvec_col).cast("array<double>").alias("__c"),
+        )
+    else:
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "__i int, __c array<double>",
+        )
+    one = cdf.agg(
+        F.collect_list(F.struct("__i", "__c")).alias("__cents")
+    )
+    v = _as_double(F.col(vec_col))
+    pairs = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(v, c["__c"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d2"),
+            c["__i"].alias("i"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(one))
+        .withColumn(out_col, F.array_min(pairs)["i"])
+        .drop("__cents")
+    )
+
+
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as one vectorized GEMM per Arrow batch
+    — the k ≥ ~1e4 tier above :func:`ivf_assign_table`, where evaluating
+    k·dim interpreted higher-order-function multiplies per ROW loses to
+    BLAS. The centroid matrix ships once per executor via
+    ``SparkContext.broadcast`` (torrent protocol, NOT per-task
+    serialization) and each batch computes
+    ``argmin_k(|c_k|² − 2·X·Cᵀ)`` — dropping the per-row ``|x|²`` term,
+    which is constant within a row and cannot change the argmin.
+
+    Exactness contract: for INTEGER-valued vectors/centroids with
+    ``dim · max|x|² < 2⁵³`` every product and partial sum in the GEMM is
+    an exact float64 integer, so the result is bit-identical to the
+    literal/table paths (pytest-proven); ``np.argmin`` takes the first
+    minimum = lowest centroid id, matching the (d2, cid) struct
+    ordering. Float centroids may differ in the last ULP across paths —
+    quantize first (int8_quantize / the qe convention) when
+    cross-engine determinism matters."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, IntegerType(), False)]
+    )
+
+    def assign(batches):
+        cm = bc.value  # k × dim
+        cn2 = (cm * cm).sum(axis=1)  # k
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray(
+                    [np.asarray(r, dtype=np.float64) for r in pdf[vec_col]]
+                )
+                scores = cn2[None, :] - 2.0 * (x @ cm.T)
+                pdf[out_col] = scores.argmin(axis=1).astype("int32")
+            else:
+                pdf[out_col] = np.array([], dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk(

@@ -228,6 +228,15 @@ CASES = [
     ("hll_distinct", r"hashpartitioning\(text#", False,
      "document bodies never enter an exchange — only (source, register) "
      "keys do"),
+    ("ivf_table_assign", r"BroadcastNestedLoopJoin", True,
+     "the k=200 centroid table collapses to ONE broadcast row — the "
+     "constant-plan argmin path, not k plan-literal expressions"),
+    ("ivf_table_assign", r"SortMergeJoin", False,
+     "no sort-based join anywhere: broadcast centroids + one ≤k-row "
+     "groupBy is the whole exchange story"),
+    ("ivf_table_assign", r"MapInPandas", False,
+     "this k-tier stays JVM-side (transform/aggregate argmin); the "
+     "Arrow GEMM tier is ivf_assign_arrow, not this plan"),
 ]
 
 

@@ -878,6 +878,17 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False,
          "the est⋈exact audit join stays hash/broadcast"),
     ],
+    "ivf_table_assign": [
+        (r"BroadcastNestedLoopJoin", True,
+         "k=200 centroids ride as ONE broadcast array-of-structs row — "
+         "the constant-plan table path past the literal ceiling"),
+        (r"SortMergeJoin", False,
+         "no sort-based join: broadcast centroids, then one ≤k-row "
+         "groupBy"),
+        (r"MapInPandas", False,
+         "this tier stays JVM-side; the Arrow GEMM tier is "
+         "ivf_assign_arrow"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
