@@ -2929,7 +2929,10 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     task stays bounded at any scale — the guard should engage under SKEW,
     not on every healthy cell."""
     from pharmacodi_spark.text.clusters import near_dup_droplist
-    from pharmacodi_spark.text.similarity import cell_cosine_pairs, ivf_assign
+    from pharmacodi_spark.text.similarity import (
+        cell_cosine_pairs,
+        seeded_cell_assign,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     qe = e.select(
@@ -2943,15 +2946,19 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_semantic_dedup comment for the r10 sf1 evidence; at
     # sf0.01/sf0.1 the expression still yields 16 (oracle unchanged)
     n_k = max(16, qe.count() // 256)
-    seed_rows = qe.where(F.col("vec_id") < n_k).collect()
-    centroids = [list(r.qe) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
     from pharmacodi_spark.barrier import stage_barrier
 
-    # pin the k-literal argmin: cell_cosine_pairs consumes its input three
+    # pin the argmin: cell_cosine_pairs consumes its input three
     # times (dim probe, triangle-guard cell counts, pair expansion) — see
-    # the text_semantic_dedup twin for the r10 sf1 profile
+    # the text_semantic_dedup twin for the r10 sf1 profile.
+    # seeded_cell_assign keeps driver traffic BOUNDED: k ≤ 128 collects
+    # the seed rows into the literal argmin (this oracle's recorded
+    # plan); past ~33k docs (k = n div 256 > 128) the seed frame feeds
+    # the broadcast-centroid-table path and nothing is collected (r11,
+    # VERDICT r10 item 1 — the k-literal ceiling and the growing seed
+    # collect close together)
     assigned = stage_barrier(
-        ivf_assign(qe, centroids, vec_col="qe", out_col="cid"),
+        seeded_cell_assign(qe, n_k, vec_col="qe", out_col="cid"),
         name="semdedup_assigned",
     )
     # pair scoring: cell_cosine_pairs picks the flattened straight-line-

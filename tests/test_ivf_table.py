@@ -149,6 +149,36 @@ def test_all_paths_tie_break_to_lower_cid(spark):
         assert got == {0: 0, 1: 2}, fn.__name__
 
 
+def test_seeded_assign_paths_agree_and_guard_gaps(spark):
+    # the E2E blocking helper: literal (k<=literal_max, bounded collect)
+    # and table (no collect at all) branches must emit IDENTICAL
+    # (vec_id, cid) — cid = seed id on both — and a gapped id space must
+    # raise in the literal branch rather than silently renumber
+    from pharmacodi_spark.text.similarity import seeded_cell_assign
+
+    rows, df = _vectors(spark, n=200, dim=8, seed=17)
+    lit = {
+        r["vec_id"]: r["cid"]
+        for r in seeded_cell_assign(
+            df, 24, out_col="cid", literal_max=128
+        ).collect()
+    }
+    tab = {
+        r["vec_id"]: r["cid"]
+        for r in seeded_cell_assign(
+            df, 24, out_col="cid", literal_max=4  # force the table branch
+        ).collect()
+    }
+    assert lit == tab
+    assert lit == _py_assign(rows, [v for _, v in rows[:24]])
+
+    import pytest
+
+    gapped = df.where(F.col("vec_id") != 3)
+    with pytest.raises(ValueError, match="contiguous"):
+        seeded_cell_assign(gapped, 24, out_col="cid", literal_max=128)
+
+
 def test_table_preserves_columns_and_kmeans_seeds_feed_it(spark):
     # train_ivf_centroids (k-means||) output is the documented feeder
     rows, df = _vectors(spark, n=80, dim=4, seed=31, lo=-20, hi=20)
