@@ -177,8 +177,11 @@ HEADLINE = HEADLINE_R1 + [
     "cluster_purity",
     "hll_distinct",
     # round-11: the broadcast-centroid-table IVF assign at k=200 — past
-    # the literal ceiling, certifying the constant-plan production path
+    # the literal ceiling, certifying the constant-plan production path —
+    # and the tokens_col seam on the highest-stakes space-split op
+    # (CJK contamination through the unchanged 13-gram rule)
     "ivf_table_assign",
+    "unicode_decontam",
 ]
 
 

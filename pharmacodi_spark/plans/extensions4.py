@@ -1061,3 +1061,109 @@ def ivf_table_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").cast("long").alias("min_vec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode decontamination E2E (round 11: the tokens_col seam on the
+# HIGHEST-stakes space-split op — VERDICT r10 item 4's lead case)
+# ---------------------------------------------------------------------------
+
+
+def _unicode_decontam_sql() -> str:
+    from pharmacodi_spark.plans.extensions3 import (
+        _MIXED_SENTENCES,
+        _SPACEFREE_RE2_CLS,
+        _UNI_CASE,
+        _UNI_TOKEN_RE2,
+    )
+
+    def tokify(src: str) -> str:
+        return (
+            f"regexp_extract_all(regexp_replace({src}, "
+            f"'{_SPACEFREE_RE2_CLS}', ' " + "\\1"
+            f" ', 'g'), '{_UNI_TOKEN_RE2}')"
+        )
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS bucket,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' ' || {_UNI_CASE} AS text
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id, bucket, {tokify('text')} AS toks
+      FROM fixture
+    ),
+    trg AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS gh
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks)-12)) AS i
+            FROM tr WHERE len(toks) >= 13)
+    ),
+    ev AS (SELECT {tokify(f"'{_MIXED_SENTENCES[0]}'")} AS toks),
+    evg AS (
+      SELECT DISTINCT md5(array_to_string(toks[i:i+12], ' ')) AS gh
+      FROM (SELECT toks, unnest(generate_series(1, len(toks)-12)) AS i
+            FROM ev WHERE len(toks) >= 13)
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_collisions
+      FROM trg WHERE gh IN (SELECT gh FROM evg)
+      GROUP BY doc_id
+    )
+    SELECT f.bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(h.n_collisions, 0) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(coalesce(h.n_collisions, 0)) AS BIGINT)
+             AS sum_collisions
+    FROM fixture f LEFT JOIN hits h USING (doc_id)
+    GROUP BY f.bucket
+    """
+
+
+@q("unicode_decontam", _unicode_decontam_sql())
+def unicode_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK benchmark decontamination through the UNCHANGED 13-gram rule
+    (r11, VERDICT r10 item 4's highest-stakes case): on split-on-space an
+    unspaced Han line is ONE "token", 13-grams never form, and benchmark
+    contamination passes SILENTLY — the exact r8 silent-degradation
+    class. The mixed-script fixture (Han/Thai/Japanese/Latin sentences
+    keyed by doc_id % 4, the unicode_token_stats fixture) plants the
+    bucket-0 Han sentence as the "benchmark"; through
+    ``tokens_col=unicode_tokens`` every bucket-0 document yields exactly
+    4 colliding 13-grams (the 16-char run's windows) while the other
+    buckets stay clean. The oracle runs the identical tokenize→13-gram→
+    md5→semi-join cascade in RE2/DuckDB syntax.
+
+    Same scale shape as decontaminate_against's default path: eval grams
+    collapse to a DISTINCT sidecar hash set, train ships (id, 32-byte
+    hash) pairs, bodies never shuffle; the bucket rollup replaces the
+    per-doc droplist so the driver row stays 4 rows at any sf."""
+    from pharmacodi_spark.text.analysis import unicode_tokens
+    from pharmacodi_spark.text.cleaning import decontaminate_against
+    from pharmacodi_spark.plans.extensions3 import _MIXED_SENTENCES
+
+    d = _t(spark, sf_dir, "documents")
+    sent = F.element_at(
+        F.array(*[F.lit(s) for s in _MIXED_SENTENCES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    train = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "), sent
+        ).alias("text"),
+    ).withColumn("toks", unicode_tokens("text"))
+    ev = spark.createDataFrame(
+        [(0, _MIXED_SENTENCES[0])], "doc_id long, text string"
+    ).withColumn("toks", unicode_tokens("text"))
+    flags = decontaminate_against(train, ev, n=13, tokens_col="toks")
+    return flags.groupBy(
+        (F.col("doc_id") % 4).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("int"))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum("n_collisions").cast("long").alias("sum_collisions"),
+    )

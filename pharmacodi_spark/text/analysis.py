@@ -318,6 +318,7 @@ def hashed_linear_score(
     threshold_centi: int = 0,
     content_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Model-based quality filtering, fasttext/DCLM-style: a LINEAR
     classifier over hashing-trick bag-of-words features, run as columnar
@@ -345,7 +346,12 @@ def hashed_linear_score(
     fold per document, so the corpus never leaves its scan partitions.
     """
     assert dim >= 1
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized array seam (CJK via unicode_tokens)
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
 
     def idx_of(tok) -> Column:
         return F.conv(
@@ -395,6 +401,7 @@ def hashed_lang_id(
     salt: str = "lid",
     content_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Fasttext-shaped language-ID head (VERDICT r7 item 6): a MULTI-CLASS
     linear classifier over hashing-trick bag-of-words features — one
@@ -425,7 +432,14 @@ def hashed_lang_id(
     """
     assert langs == sorted(langs), "langs must be sorted (tie-break order)"
     assert dim >= 1
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized array seam (CJK via unicode_tokens) — on
+    # space-split an unspaced CJK doc is ONE token, so lang-id sees a
+    # single out-of-vocabulary feature and degenerates silently
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     idx_arr = F.transform(
         toks,
         lambda t: (
@@ -497,6 +511,7 @@ def tokenizer_fertility(
     token_pattern: str = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]",
     group_col: str = "source",
     content_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Tokenizer fertility audit per origin: how many subword-ish tokens
     the pre-tokenizer emits per whitespace word and how many characters
@@ -514,7 +529,14 @@ def tokenizer_fertility(
     by the domain-cardinality group — no explode, no fact-scale shuffle.
     """
     toks = F.regexp_extract_all(content_col, F.lit(token_pattern), 0)
-    words = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized WORD array seam (CJK via unicode_tokens);
+    # the denominator of tokens_per_100_words is whitespace-degenerate on
+    # unspaced scripts (1 "word" per doc inflates fertility ∞-ward)
+    words = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     per_doc = df.select(
         F.col(group_col),
         F.size(words).cast("long").alias("__w"),
@@ -601,6 +623,7 @@ def token_entropy(
     content_col: str = "text",
     id_col: str = "doc_id",
     min_bits_fp: int = 2 << 10,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document token-distribution Shannon entropy — the
     gibberish/repetitiveness gate (low entropy = a few tokens dominate:
@@ -624,7 +647,14 @@ def token_entropy(
     """
     from pharmacodi_spark.text.retrieval import ilog2_fp
 
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized array seam (CJK via unicode_tokens) — on
+    # space-split an unspaced CJK doc is ONE token with entropy 0, so the
+    # gate rejects perfectly fine text (or passes junk) for the wrong reason
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     counts = (
         df.select(F.col(id_col), F.explode(toks).alias("__tok"))
         .groupBy(id_col, "__tok")

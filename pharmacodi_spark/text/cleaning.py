@@ -218,6 +218,7 @@ def decontaminate_against(
     content_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3 13-gram rule): flag training
     documents sharing any ``n``-gram with the evaluation set.
@@ -229,8 +230,18 @@ def decontaminate_against(
     (id, gram-hash) pairs only — document bodies never shuffle. At 100 TB
     the eval-gram table is a reusable sidecar index: build once, semi-join
     every corpus refresh against it.
+
+    ``tokens_col`` names a pre-tokenized array column present on BOTH
+    frames (e.g. from analysis.unicode_tokens) — the CJK seam: split on
+    space, an unspaced CJK line is ONE "token", 13-grams never form, and
+    benchmark contamination passes silently (the r8 silent-degradation
+    class; VERDICT r10 item 4 ranked this op highest-stakes).
     """
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
 
     def gram_rows(df: DataFrame) -> DataFrame:
         g = F.transform(
@@ -243,7 +254,10 @@ def decontaminate_against(
             .select(id_col, F.explode(g).alias("gh"))
         )
 
-    eval_grams = gram_rows(eval_df).select("gh").distinct()
+    # the eval gram set is benchmark-sized by definition — hint it so the
+    # semi-join stays broadcast even when the eval frame has no stats
+    # (a literal/derived frame statically plans SortMergeJoin otherwise)
+    eval_grams = F.broadcast(gram_rows(eval_df).select("gh").distinct())
     hits = (
         gram_rows(train)
         .distinct()
@@ -270,6 +284,7 @@ def strip_source_boilerplate(
     content_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "stripped_text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Site-template removal: if ≥ ``min_share_ppm`` of an origin's
     documents open with the SAME ``prefix_tokens``-token prefix, that
@@ -288,8 +303,19 @@ def strip_source_boilerplate(
     join — no explode); ONE count aggregate keyed by (source, prefix)
     collapses map-side; the winning-prefix table is domain-cardinality
     and broadcasts back.
+
+    ``tokens_col`` names a pre-tokenized array column (e.g. from
+    analysis.unicode_tokens) — the CJK seam: an unspaced CJK header is
+    one space-token, so every doc of a source shares the degenerate
+    1-token "prefix" and template detection collapses. In seam mode the
+    stripped output is the remaining tokens space-joined (stripping
+    operates in TOKEN space).
     """
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     pfx = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
     base = df.withColumn("__pfx", pfx)
     counts = base.groupBy(group_col, "__pfx").agg(

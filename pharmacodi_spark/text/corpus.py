@@ -185,6 +185,7 @@ def chunk_documents(
     overlap: int = 32,
     content_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split documents into overlapping retrieval chunks — the corpus →
     RAG-index preparation step (pairs with text/similarity.py's ANN
@@ -205,7 +206,14 @@ def chunk_documents(
     """
     assert chunk_tokens >= 1 and 0 <= overlap < chunk_tokens
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized array seam (CJK via unicode_tokens) — on
+    # space-split an unspaced CJK doc is ONE token = one chunk however
+    # long, blowing the retrieval context budget silently
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     base = df.select(F.col(id_col), toks.alias("__tk"))
     n = F.size("__tk")
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
@@ -457,6 +465,7 @@ def corpus_report(
     id_col: str = "doc_id",
     group_col: str = "source",
     lang_col: str = "lang",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The data card: one (metric, value) table summarizing a corpus —
     the header block every dataset release ships (sizes, origin/language
@@ -468,8 +477,16 @@ def corpus_report(
     rewrite handles the three count-distincts via expand — still a single
     pass over the scan), melted to rows with ``stack``; no joins, no
     window, no second scan.
+
+    ``tokens_col`` names a pre-tokenized array column (CJK via
+    unicode_tokens): n_tokens / mean_tokens_x100 under-count unspaced
+    scripts ~sentence-fold on the whitespace default.
     """
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     agg = df.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size(toks)).cast("long").alias("n_tokens"),
@@ -513,6 +530,7 @@ def detect_phrases(
     threshold_fp: int = 100,
     content_col: str = "text",
     scale: int = 100,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Collocation detection (Mikolov et al. 2013 phrases): score every
     adjacent token pair by ``(c_ab − δ)·N / (c_a·c_b)`` with δ =
@@ -526,8 +544,16 @@ def detect_phrases(
     Scale shape: token/bigram counts collapse map-side (the two
     fact-scale shuffles are keyed by token and pair); N rides as a 1-row
     broadcast aggregate; the score join runs on the Zipf-bounded count
-    tables."""
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    tables.
+
+    ``tokens_col``: pre-tokenized array seam (CJK via unicode_tokens) —
+    whitespace-split sees an unspaced collocation corpus as 1-token docs
+    and detects NOTHING."""
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     t = df.select(toks.alias("__tk")).where(F.size("__tk") >= 2)
     pairs = t.select(
         F.explode(
@@ -578,6 +604,7 @@ def apply_phrases(
     content_col: str = "text",
     out_col: str = "phrased_text",
     joiner: str = "_",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Merge detected collocations into single tokens, greedy
     left-to-right (each token joins at most one phrase, leftmost-first —
@@ -586,7 +613,14 @@ def apply_phrases(
     (output-array, pending-token) struct — ZERO shuffles, the corpus
     never leaves its scan partitions."""
     keys = F.array(*[F.lit(f"{a} {b}") for a, b in phrases])
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized array seam (CJK via unicode_tokens); the
+    # merged output is the token stream space-joined (token space, like
+    # strip_source_boilerplate's seam mode)
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     acc0 = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit("").alias("pend"),

@@ -367,6 +367,7 @@ def passage_dedup_stats(
     window: int = 16,
     content_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style cross-document passage dedup: cut each document into
     consecutive ``window``-token passages (last one partial), hash each,
@@ -384,7 +385,15 @@ def passage_dedup_stats(
     when not.  Bodies never shuffle.
     """
     assert window >= 1
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized array seam (CJK via unicode_tokens) — on
+    # space-split an unspaced CJK doc is ONE token = one passage, so
+    # cross-document passage sharing degenerates silently (VERDICT r10
+    # item 4)
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(float(window))).cast("int"))
     chunks = F.transform(
@@ -433,6 +442,7 @@ def passage_first_owner_stats(
     content_col: str = "text",
     id_col: str = "doc_id",
     prior_owned: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Prefix-consistent variant of :func:`passage_dedup_stats` — the
     passage-dedup semantics a STREAMING curation pass can reproduce
@@ -452,7 +462,15 @@ def passage_first_owner_stats(
     rows shuffle, the owner table is boilerplate-sized.
     """
     assert window >= 1
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # tokens_col: pre-tokenized array seam (CJK via unicode_tokens) — on
+    # space-split an unspaced CJK doc is ONE token = one passage, so
+    # cross-document passage sharing degenerates silently (VERDICT r10
+    # item 4)
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(float(window))).cast("int"))
     chunks = F.transform(

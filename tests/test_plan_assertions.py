@@ -237,6 +237,11 @@ CASES = [
     ("ivf_table_assign", r"MapInPandas", False,
      "this k-tier stays JVM-side (transform/aggregate argmin); the "
      "Arrow GEMM tier is ivf_assign_arrow, not this plan"),
+    ("unicode_decontam", r"LeftSemi", True,
+     "train gram hashes semi-join the distinct eval sidecar — the "
+     "contract: no doc bodies in the collision check"),
+    ("unicode_decontam", r"SortMergeJoin", False,
+     "the eval gram set is benchmark-sized: hash/broadcast joins only"),
 ]
 
 

@@ -889,6 +889,13 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "this tier stays JVM-side; the Arrow GEMM tier is "
          "ivf_assign_arrow"),
     ],
+    "unicode_decontam": [
+        (r"LeftSemi", True,
+         "train 13-gram hashes semi-join the distinct eval sidecar — "
+         "bodies never enter the collision check"),
+        (r"SortMergeJoin", False,
+         "benchmark-sized eval gram set: hash/broadcast joins only"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
