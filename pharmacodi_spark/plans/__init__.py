@@ -19,6 +19,54 @@ from pyspark.sql import DataFrame, SparkSession
 # local driver-sim and the pytest oracle mirror.
 _DRIVER_WINDOW = [
     # ------------------------------------------------------------------
+    # r11 rotation — first steady-state round of the documented policy
+    # (plans/__init__.py r10 comment; VERDICT r10 items 2/8): the window
+    # = this round's flagships + every never-driver-verified registration
+    # + the OLDEST rows by last-driver-green date, so no registry entry's
+    # driver evidence goes stale beyond ~4 rounds. Composition (50):
+    #   2  r11 flagships (registered this round, window slot decided at
+    #      registration time — the discipline VERDICT item 8 asked for);
+    #   10 r10-late registrations (local-mirror + vanilla-driver-sim
+    #      green since r10; never had a driver row — the whole debt);
+    #   38 oldest-green, ascending last-green round (r2: 15, r3: 3,
+    #      r4: 9, r5: 11 — computed from CORRECTNESS_r01..r10).
+    # Every rotated-out query keeps full coverage via the local
+    # driver-sim (211/211 green this session) + the pytest oracle mirror.
+    # ------------------------------------------------------------------
+    # r11 flagships: the broadcast-centroid-table IVF assign at k=200
+    # (past the literal ceiling) and the CJK decontamination E2E (the
+    # tokens_col seam on the highest-stakes space-split op)
+    "ivf_table_assign", "unicode_decontam",
+    # r10-late registrations (the never-driver-verified tail):
+    "text_semantic_dedup", "rank_weighted_select", "kmeans_topics",
+    "retrieval_ndcg", "cluster_balanced_sample", "embedding_top_component",
+    "abtt_corrected_topk", "embedding_drift", "cluster_purity",
+    "hll_distinct",
+    # oldest-green: last driver row r2
+    "rollup_stats", "sessionization", "doc_fingerprint",
+    "minhash_signature", "jaccard_pairs", "text_stats",
+    "lang_stopword_score", "ann_cosine_bucketed", "simhash_fingerprint",
+    "simhash_near_pairs", "embedding_near_dup", "token_count_bpe",
+    "quality_score", "window_sliding", "dedup_watermark",
+    # oldest-green: last driver row r3
+    "table_stats", "group_concat", "anti_join",
+    # oldest-green: last driver row r4
+    "group_count", "constant_flag", "cross_join_pairs", "map_lookup",
+    "distinct_rows", "except_distinct", "pivot_wide", "melt_columns",
+    "incremental_dedup",
+    # oldest-green: last driver row r5
+    "broadcast_left_join", "semi_join", "surrogate_key_dim",
+    "top_k_orders", "exact_dedup", "minhash_band_pairs", "ann_dot_topk",
+    "fuzzy_dedup_pipeline", "ann_int8_topk", "passage_dedup",
+    "curation_pipeline",
+]
+
+#: the r10 debt-burning window, kept for its rotation rationale (the r9
+#: burn-down list and the two r10 flagship seams) — every entry here has
+#: a driver-green CORRECTNESS row from r10.
+_DRIVER_WINDOW_R10 = [
+
+    # ------------------------------------------------------------------
     # r10 rotation — the debt-burning round (VERDICT r9 item 2): after the
     # r9 full rotation, EXACTLY 48 registry entries had never earned a
     # driver-green CORRECTNESS row (VERDICT r9's burn-down list; verified
