@@ -93,3 +93,59 @@ def test_text_to_droplist_through_unchanged_semantic_dedup(spark):
     # the unrelated docs survive in their own components
     assert got[3][1] is True and got[4][1] is True
     assert got[3][0] != got[0][0] != got[4][0]
+
+
+def test_model_encoder_batch_invariance(spark):
+    """VERDICT r10 item 7: a MODEL-shaped encoder (dense numpy weight
+    matrix, no hashing) through the Arrow seam must produce the same
+    embedding column regardless of Arrow batch size — the contract the
+    order-free hashing stand-in cannot guard. Any per-batch state leak
+    (batch-relative indexing, buffer reuse, row drop/dup at batch
+    boundaries) shows up as a mismatch between the 3-row-batch run, the
+    big-batch run, and the driver-side ground truth."""
+    from pharmacodi_spark.text.embeddings import encode_documents
+
+    dim = 16
+    rng = np.random.RandomState(42)
+    # dense model weights, INTEGER-valued in float32: every product and
+    # partial sum stays an exact integer < 2^24, so the comparison is
+    # exact regardless of BLAS blocking/summation order (a float-valued
+    # W showed last-ULP SGEMM kernel differences between a (3,8) and a
+    # (40,8) left operand — real non-associativity, not a seam leak) —
+    # the same quantize-first contract the similarity family documents
+    w = rng.randint(-9, 10, size=(8, dim)).astype(np.float32)
+
+    def featurize(texts):
+        x = np.zeros((len(texts), 8), dtype=np.float32)
+        for i, t in enumerate(texts):
+            t = t if isinstance(t, str) else ""
+            x[i] = [
+                len(t), t.count(" "), t.count("e"), t.count("a"),
+                sum(ord(c) for c in t[:20]) % 97,
+                len(t.split()), t.count("."), 1.0,
+            ]
+        return x
+
+    def model_encoder(texts):
+        return featurize(texts) @ w  # (n, 8) @ (8, dim)
+
+    rows = [(i, f"doc number {i} with body " + "word " * (i % 7)) for i in range(40)]
+    df = _docs(spark, rows).repartition(4)
+
+    def run(batch_size):
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_size)
+        try:
+            out = encode_documents(df, encoder=model_encoder, dim=dim)
+            return {r["doc_id"]: list(r["embedding"]) for r in out.collect()}
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+
+    tiny, big = run(3), run(100000)
+    assert tiny == big  # batch-boundary invariance, exact float equality
+
+    truth = model_encoder([t for _, t in rows]).astype(np.float32)
+    for i, (_did, _t) in enumerate(rows):
+        assert tiny[i] == [float(v) for v in truth[i]], i
