@@ -1137,10 +1137,22 @@ def kmeans_lloyd_int(
             for i in range(k)
         ]
     assigned = ivf_assign(df, cents, vec_col=vec_col, out_col=out_col)
-    cent_arr = F.array(
-        *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in cents]
-    )
-    chosen = F.element_at(cent_arr, (F.col(out_col) + 1).cast("int"))
+    if k <= IVF_LITERAL_MAX:
+        cent_arr = F.array(
+            *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in cents]
+        )
+        chosen = F.element_at(cent_arr, (F.col(out_col) + 1).cast("int"))
+    else:
+        # large k: the k·dim literal array is the same O(k) plan tree
+        # ivf_assign_table exists to avoid — ship the centroids as a
+        # broadcast k-row frame and join on the assignment instead
+        # (ivf_assign already dispatched to the table path above this k)
+        cdf = df.sparkSession.createDataFrame(
+            [(i, [int(x) for x in c]) for i, c in enumerate(cents)],
+            f"{out_col} int, __cqe array<long>",
+        )
+        assigned = assigned.join(F.broadcast(cdf), out_col)
+        chosen = F.col("__cqe")
     d2 = F.aggregate(
         F.zip_with(
             F.transform(F.col(vec_col), lambda x: x.cast("long")),
@@ -1150,7 +1162,7 @@ def kmeans_lloyd_int(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return assigned.withColumn("d2", d2), cents
+    return assigned.withColumn("d2", d2).drop("__cqe"), cents
 
 
 def top_component_projection(

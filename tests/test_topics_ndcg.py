@@ -106,6 +106,23 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert cents == py_cents
 
 
+def test_kmeans_large_k_uses_constant_plan_paths(spark):
+    # k > IVF_LITERAL_MAX: assignment dispatches to the broadcast
+    # centroid table AND the final d2 joins a broadcast k-row frame
+    # instead of building the k·dim literal array — replay-exact
+    from pharmacodi_spark.text.similarity import IVF_LITERAL_MAX
+
+    k = IVF_LITERAL_MAX + 4
+    rows = _int_vectors(seed=23, n=k + 60, dim=3, lo=-30, hi=30)
+    df = spark.createDataFrame(rows, "vec_id long, qe array<long>")
+    assigned, cents = kmeans_lloyd_int(df, k=k, iterations=1)
+    py_assign, py_cents = _py_kmeans(rows, k=k, iterations=1)
+    assert cents == py_cents
+    got = {r["vec_id"]: (r["cid"], r["d2"]) for r in assigned.collect()}
+    for vid, (d2, cid) in py_assign.items():
+        assert got[vid] == (cid, d2), vid
+
+
 def test_kmeans_gapped_ids_fail_loudly(spark):
     # The default lowest-id seeding is paired with oracle SQL that assumes
     # ids contiguous from 0 (cid = seed vec_id). A gapped or offset id
