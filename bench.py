@@ -182,6 +182,7 @@ HEADLINE = HEADLINE_R1 + [
     # (CJK contamination through the unchanged 13-gram rule)
     "ivf_table_assign",
     "unicode_decontam",
+    "ivf_arrow_assign",
 ]
 
 

@@ -1167,3 +1167,52 @@ def unicode_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_contaminated"),
         F.sum("n_collisions").cast("long").alias("sum_collisions"),
     )
+
+
+def _ivf_arrow_sql() -> str:
+    # the Arrow tier computes argmin(|c|² − 2x·c) in one float64 GEMM per
+    # batch — for quantized integer-valued vectors every product and
+    # partial sum is exact (< 2⁵³), so the SAME cross-join + row_number
+    # oracle shape as ivf_table_assign certifies it, k=48 keeps the
+    # DuckDB side cheap while still exercising multi-batch GEMM
+    return _ivf_table_sql().replace(f"< {_IVF_TBL_K}", "< 48")
+
+
+@q("ivf_arrow_assign", _ivf_arrow_sql())
+def ivf_arrow_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment through the Arrow GEMM tier
+    (text/similarity.py::ivf_assign_arrow) — the k ≥ ~1e4 path where
+    per-row higher-order-function argmin loses to BLAS: the centroid
+    matrix ships once per executor via ``SparkContext.broadcast`` and
+    each Arrow batch computes ``argmin_k(|c_k|² − 2·X·Cᵀ)`` as one
+    numpy matmul (the per-row |x|² term is constant within a row and
+    cannot change the argmin). This driver row certifies the tier's
+    EXACTNESS contract cross-engine: with quantized integer-valued
+    vectors every GEMM product/partial-sum is an exact float64 integer,
+    so np.argmin (first minimum = lowest cid) agrees bit-for-bit with
+    the oracle's row_number-over-(distance, cid).
+
+    Scale shape: one mapInPandas projection, zero shuffle before the
+    ≤k-row rollup; the broadcast is k·dim·8 bytes of index metadata
+    (torrent-distributed once per executor, not per task)."""
+    from pharmacodi_spark.text.similarity import ivf_assign_arrow
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: _rnd(x.cast("double") * 10000)
+        ).alias("qe"),
+    )
+    cents = [
+        [float(x) for x in r["qe"]]
+        for r in sorted(
+            qe.where(F.col("vec_id") < 48).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    assigned = ivf_assign_arrow(qe, cents, vec_col="qe", out_col="cid")
+    return assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("vec_id").cast("long").alias("min_vec"),
+    )

@@ -242,6 +242,12 @@ CASES = [
      "contract: no doc bodies in the collision check"),
     ("unicode_decontam", r"SortMergeJoin", False,
      "the eval gram set is benchmark-sized: hash/broadcast joins only"),
+    ("ivf_arrow_assign", r"MapInPandas", True,
+     "the GEMM tier IS the Arrow seam — one matmul per batch over the "
+     "broadcast centroid matrix"),
+    ("ivf_arrow_assign", r"SortMergeJoin", False,
+     "no join at all in the assign path; only the ≤k-row cid rollup "
+     "exchanges"),
 ]
 
 

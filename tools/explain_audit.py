@@ -896,6 +896,14 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False,
          "benchmark-sized eval gram set: hash/broadcast joins only"),
     ],
+    "ivf_arrow_assign": [
+        (r"MapInPandas", True,
+         "the GEMM tier IS the Arrow seam — one vectorized matmul per "
+         "batch over the sc.broadcast centroid matrix"),
+        (r"Exchange hashpartitioning\(cid", True,
+         "the only exchange is the ≤k-row rollup keyed by cid"),
+        (r"SortMergeJoin", False, "no join at all in the assign path"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
