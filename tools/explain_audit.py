@@ -900,7 +900,7 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"MapInPandas", True,
          "the GEMM tier IS the Arrow seam — one vectorized matmul per "
          "batch over the sc.broadcast centroid matrix"),
-        (r"Exchange hashpartitioning\(cid", True,
+        (r"hashpartitioning\(cid#", True,
          "the only exchange is the ≤k-row rollup keyed by cid"),
         (r"SortMergeJoin", False, "no join at all in the assign path"),
     ],
