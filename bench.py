@@ -183,6 +183,7 @@ HEADLINE = HEADLINE_R1 + [
     "ivf_table_assign",
     "unicode_decontam",
     "ivf_arrow_assign",
+    "simhash_wide_pairs",
 ]
 
 

@@ -33,10 +33,11 @@ _DRIVER_WINDOW = [
     # Every rotated-out query keeps full coverage via the local
     # driver-sim (211/211 green this session) + the pytest oracle mirror.
     #
-    # r12 rotation head (registered after this window froze; local-mirror
-    # + vanilla-driver-sim green, no driver row yet): ivf_arrow_assign
-    # (the GEMM tier's exactness row — sibling of in-window
-    # ivf_table_assign, same oracle shape at k=48).
+    # r12 rotation heads (registered after this window froze; each is
+    # local-mirror + vanilla-driver-sim green, no driver row yet):
+    # ivf_arrow_assign (the GEMM tier's exactness row — sibling of
+    # in-window ivf_table_assign, same oracle shape at k=48) and
+    # simhash_wide_pairs (the production 60-bit fingerprint width).
     # ------------------------------------------------------------------
     # r11 flagships: the broadcast-centroid-table IVF assign at k=200
     # (past the literal ceiling) and the CJK decontamination E2E (the

@@ -22,11 +22,18 @@ from pharmacodi_spark.plans.queries import q, _t, _rnd, fan_out
 _SIM_BITS = 16
 
 
-def _simhash_spark(d: DataFrame, tokens_col: str | None = None) -> DataFrame:
-    """16-bit SimHash from md5-sliced 60-bit token hashes (oracle-parity
-    variant of text/dedup.py::simhash, which uses xxhash64/64 bits).
+def _simhash_spark(
+    d: DataFrame,
+    tokens_col: str | None = None,
+    bits: int = _SIM_BITS,
+    out_col: str = "simhash16",
+) -> DataFrame:
+    """``bits``-wide SimHash from md5-sliced 60-bit token hashes
+    (oracle-parity variant of text/dedup.py::simhash, which uses
+    xxhash64/64 bits; ``bits`` ≤ 60 — the md5-slice budget).
     ``tokens_col`` consumes an existing token-array column (shared-stage
     seam; the caller owns partitioning)."""
+    assert bits <= 60, "md5 15-hex-char slice provides 60 hash bits"
     if tokens_col is not None:
         base = d.select("doc_id", F.explode(F.col(tokens_col)).alias("tok"))
     else:
@@ -40,35 +47,39 @@ def _simhash_spark(d: DataFrame, tokens_col: str | None = None) -> DataFrame:
         F.sum(
             F.when(F.col("th").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(_SIM_BITS)
+        for j in range(bits)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_sums)
     fp = None
-    for j in range(_SIM_BITS):
+    for j in range(bits):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
-    return sums.select("doc_id", fp.cast("long").alias("simhash16"))
+    return sums.select("doc_id", fp.cast("long").alias(out_col))
 
 
-_SIM_SUMS_SQL = ",\n             ".join(
-    f"sum(CASE WHEN (th & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
-    for j in range(_SIM_BITS)
-)
-_SIM_FP_SQL = " + ".join(
-    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIM_BITS)
-)
-_SIM_SQL = f"""
-      SELECT doc_id, CAST({_SIM_FP_SQL} AS BIGINT) AS simhash16
+def _sim_sql(bits: int = _SIM_BITS, out_col: str = "simhash16") -> str:
+    """DuckDB twin of :func:`_simhash_spark` at any width ≤ 60."""
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (th & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+      SELECT doc_id, CAST({fp} AS BIGINT) AS {out_col}
       FROM (
         SELECT doc_id,
-             {_SIM_SUMS_SQL}
+             {sums}
         FROM (SELECT doc_id,
                      CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS th
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                     FROM documents))
         GROUP BY doc_id
-      )
-"""
+      )"""
+
+
+_SIM_SQL = _sim_sql()
 
 
 @q("simhash_fingerprint", f"SELECT doc_id, simhash16 FROM ({_SIM_SQL})")

@@ -1216,3 +1216,63 @@ def ivf_arrow_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").cast("long").alias("min_vec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide (60-bit) SimHash near-dup pairs — retiring the 16-bit saturation
+# caveat the r11 detector_agreement root-cause documented
+# ---------------------------------------------------------------------------
+
+_SIMW_BITS = 60  # the md5 15-hex-char slice budget
+_SIMW_PREFIX = 8
+_SIMW_HAMMING = 3
+
+
+def _simhash_wide_sql() -> str:
+    from pharmacodi_spark.plans.extensions2 import _sim_sql
+
+    shift = 1 << (_SIMW_BITS - _SIMW_PREFIX)
+    return f"""
+    WITH sim AS ({_sim_sql(_SIMW_BITS, "fp")}),
+    b AS (SELECT doc_id, fp, fp // {shift} AS bucket FROM sim)
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.fp, b2.fp)) <= {_SIMW_HAMMING}
+    """
+
+
+@q("simhash_wide_pairs", _simhash_wide_sql())
+def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from 60-bit SimHash fingerprints — the
+    PRODUCTION width. The r11 detector_agreement root-cause measured the
+    16-bit oracle variant saturating its fingerprint space at 50k docs
+    (65,536 values → hamming ≤ 3 pair mass grew 21× for 10× docs); at 60
+    bits the space is 2^60, collision mass tracks true near-duplicates at
+    any realistic corpus size. Same machinery, just wide:
+    plans/extensions2.py::_simhash_spark (md5-sliced token hashes, per-bit
+    ±1 majority) at bits=60 feeding text/dedup.py::simhash_near_pairs
+    (top-8-bit prefix blocking, exact bit_count(xor) Hamming referee,
+    triangle hot-bucket guard at 256).
+
+    Scale shape: one explode + one (doc, 60-sum) aggregate (map-side
+    combining), then bucket-local pair expansion — fingerprints are the
+    only thing that shuffles; 100 TB stores them partitioned by the
+    prefix bucket so pair generation is partition-local. The oracle runs
+    the identical 60-bit majority + prefix-join + popcount cascade."""
+    from pharmacodi_spark.plans.extensions2 import _simhash_spark
+    from pharmacodi_spark.text.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sim = _simhash_spark(d, bits=_SIMW_BITS, out_col="simhash")
+    return simhash_near_pairs(
+        sim,
+        max_hamming=_SIMW_HAMMING,
+        prefix_bits=_SIMW_PREFIX,
+        bits=_SIMW_BITS,
+        max_cell_size=256,
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("long").alias("hamming"),
+    )

@@ -248,6 +248,12 @@ CASES = [
     ("ivf_arrow_assign", r"SortMergeJoin", False,
      "no join at all in the assign path; only the ≤k-row cid rollup "
      "exchanges"),
+    ("simhash_wide_pairs", r"partial_sum", True,
+     "the 60 per-bit majority sums collapse map-side — one (doc, sums) "
+     "exchange carries the whole fingerprint build"),
+    ("simhash_wide_pairs", r"SortMergeJoin", False,
+     "bucket-local pair expansion under the triangle guard — no "
+     "corpus-scale sort join"),
 ]
 
 

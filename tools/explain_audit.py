@@ -904,6 +904,13 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "the only exchange is the ≤k-row rollup keyed by cid"),
         (r"SortMergeJoin", False, "no join at all in the assign path"),
     ],
+    "simhash_wide_pairs": [
+        (r"partial_sum", True,
+         "the 60 per-bit majority sums collapse map-side — one "
+         "(doc, sums) exchange carries the fingerprint build"),
+        (r"SortMergeJoin", False,
+         "bucket-local pair expansion under the triangle guard"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
