@@ -88,7 +88,11 @@ def cm_sketch(
     ``depth·width`` counter table — the shuffle carries at most
     ``depth·width`` rows per task regardless of corpus size."""
     assert depth >= 1 and width >= 1
-    pairs = df.select(
+    # NULL values must not mint counter cells: md5(NULL) is NULL, so a
+    # NULL input lands depth rows on a NULL bucket — junk cells that
+    # inflate the sketch's total mass (the same silent-corruption class
+    # the r11 hll_md5_registers NULL fix closed). CM counts non-NULLs.
+    pairs = df.where(F.col(col).isNotNull()).select(
         F.explode(
             F.array(
                 *[

@@ -420,6 +420,17 @@ def test_cm_sketch_bounds_and_merge(spark):
     # with 91 items in width-64 rows, the heavy hitter stays near-exact
     assert est_m["x"] - exact["x"] <= 16
 
+    # NULL values mint no counter cells (the r11 sketch-hygiene rule:
+    # md5(NULL) would land depth rows on a NULL bucket and inflate the
+    # sketch's mass) — a sketch over data-with-NULLs is IDENTICAL to one
+    # over the clean data
+    with_nulls = a.unionByName(
+        spark.createDataFrame([(None,)] * 20, "v string")
+    )
+    sk_clean = {tuple(r) for r in cm_sketch(a, "v", **kw).collect()}
+    sk_nulls = {tuple(r) for r in cm_sketch(with_nulls, "v", **kw).collect()}
+    assert sk_clean == sk_nulls
+
 
 @pytest.mark.slow
 def test_streaming_cm_sketch_equals_batch_and_survives_replay(spark, tmp_path):
