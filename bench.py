@@ -184,6 +184,7 @@ HEADLINE = HEADLINE_R1 + [
     "unicode_decontam",
     "ivf_arrow_assign",
     "simhash_wide_pairs",
+    "quantile_sketch_audit",
 ]
 
 

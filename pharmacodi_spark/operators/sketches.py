@@ -18,7 +18,7 @@ bit-identical across engines (oracle row ``hll_distinct``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -369,3 +369,117 @@ def hll_md5_estimate(
         )
     )
     return out.select(*keys, "n_hit", "v_empty", "n_est")
+
+
+# ---------------------------------------------------------------------------
+# log2-bucket quantile sketch (round 11): the third leg of the sketch
+# family — distinct (md5-HLL), frequency (count-min), QUANTILES (this).
+# Deterministic, mergeable, and ANSI-SQL-expressible: values bucket by
+# floor(log2(v)), so every estimate carries a PROVEN [2^b, 2^(b+1)-1]
+# envelope (relative error ≤ 2×) instead of a probabilistic rank bound —
+# the right trade for percentile MONITORING (p99 doc length per source
+# per day) where the exact per-group sort is the thing being avoided.
+# ---------------------------------------------------------------------------
+
+
+def log2_hist_sketch(
+    df: DataFrame, col: str, by: list[str] | None = None
+) -> DataFrame:
+    """The sketch STATE: ``(by..., __b, __n)`` — one row per occupied
+    log2 bucket (≤ 64 per group for int64 inputs, ≤ ~40 in practice).
+    Bucket ``b`` holds values in ``[2^b, 2^(b+1))``; value 0 buckets at
+    ``-1``. Inputs must be non-negative; NULLs mint no bucket (the r11
+    sketch-hygiene rule shared with the HLL/CM fixes).
+
+    Scale shape: ONE map-side-combining aggregate keyed by
+    ``(by..., bucket)`` — at most 64 rows per group reach the exchange
+    no matter how many values were scanned. Merge = sum on the same key
+    (:func:`log2_hist_merge`), so per-slice sketches persisted next to
+    table partitions answer coarser-grained quantile questions later
+    without a rescan — exactly the distinct_sketch pattern."""
+    keys = by or []
+    v = F.col(col).cast("long")
+    b = F.when(v == 0, F.lit(-1)).otherwise(
+        (F.length(F.bin(v)) - 1).cast("int")
+    )
+    return (
+        df.where(v.isNotNull() & (v >= 0))
+        .select(*keys, b.alias("__b"))
+        .groupBy(*keys, "__b")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+
+
+def log2_hist_merge(
+    *sketches: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Union sketch states and re-sum — count addition is commutative/
+    associative, so merging ANY partition of the rows estimates exactly
+    like sketching the union once (pytest-proven). Also the regroup
+    point: pass coarser ``by`` keys to roll slices up."""
+    keys = by or []
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*keys, "__b").agg(F.sum("__n").alias("__n"))
+
+
+def log2_hist_quantiles(
+    sketch: DataFrame,
+    qs_ppm: list[int],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile envelopes from the sketch: one row per (group, q) with
+    ``(q_ppm, n_values, lo, hi)`` where the discrete quantile at rank
+    ``ceil(q·n)`` (1-based, ties-low — the ``quantile_disc`` convention)
+    is GUARANTEED to lie in ``[lo, hi]`` (the occupied bucket's bounds;
+    exact integer arithmetic end to end).
+
+    Scale shape: the cumulative walk is a window over the ≤64-row
+    per-group HISTOGRAM — metadata-scale, the vocab_coverage /
+    quality_percentile_gate trick — then one explode over the
+    ``len(qs_ppm)`` literal quantile list and a min-bucket aggregate.
+    Nothing here ever touches the original values."""
+    assert qs_ppm and all(0 < q <= 1_000_000 for q in qs_ppm)
+    keys = by or []
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("__b")
+    tot = Window.partitionBy(*[F.col(k) for k in keys])
+    cum = sketch.select(
+        *keys,
+        "__b",
+        F.sum("__n").over(w).alias("__cum"),
+        F.sum("__n").over(tot).alias("n_values"),
+    )
+    qarr = F.array(*[F.lit(int(q)) for q in qs_ppm])
+    hit = (
+        cum.select(
+            *keys, "__b", "__cum", "n_values",
+            F.explode(qarr).alias("q_ppm"),
+        )
+        # rank = ceil(n·q/1e6), integer-exact; smallest bucket covering it
+        .where(
+            F.col("__cum") * 1_000_000
+            >= F.col("n_values") * F.col("q_ppm")
+        )
+        .groupBy(*keys, "q_ppm")
+        .agg(
+            F.min("__b").alias("__b"),
+            F.max("n_values").alias("n_values"),
+        )
+    )
+    lo = F.when(F.col("__b") < 0, F.lit(0)).otherwise(
+        F.call_function("shiftleft", F.lit(1).cast("long"), F.col("__b"))
+    )
+    hi = F.when(F.col("__b") < 0, F.lit(0)).otherwise(
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.col("__b") + 1
+        )
+        - 1
+    )
+    return hit.select(
+        *keys,
+        F.col("q_ppm").cast("long").alias("q_ppm"),
+        F.col("n_values").cast("long").alias("n_values"),
+        lo.cast("long").alias("lo"),
+        hi.cast("long").alias("hi"),
+    )

@@ -36,8 +36,10 @@ _DRIVER_WINDOW = [
     # r12 rotation heads (registered after this window froze; each is
     # local-mirror + vanilla-driver-sim green, no driver row yet):
     # ivf_arrow_assign (the GEMM tier's exactness row — sibling of
-    # in-window ivf_table_assign, same oracle shape at k=48) and
-    # simhash_wide_pairs (the production 60-bit fingerprint width).
+    # in-window ivf_table_assign, same oracle shape at k=48),
+    # simhash_wide_pairs (the production 60-bit fingerprint width), and
+    # quantile_sketch_audit (the log2-bucket quantile sketch, completing
+    # the mergeable-sketch family).
     # ------------------------------------------------------------------
     # r11 flagships: the broadcast-centroid-table IVF assign at k=200
     # (past the literal ceiling) and the CJK decontamination E2E (the

@@ -1276,3 +1276,133 @@ def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log2-bucket quantile sketch audit (round 11: the third sketch leg —
+# distinct = md5-HLL, frequency = count-min, quantiles = this)
+# ---------------------------------------------------------------------------
+
+_QSK_QS = [500_000, 900_000, 990_000]  # p50 / p90 / p99
+
+
+def _quantile_sketch_sql() -> str:
+    qs = ", ".join(str(q) for q in _QSK_QS)
+    return f"""
+    WITH v AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS v
+      FROM documents
+    ),
+    sk AS (
+      SELECT source,
+             CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS b,
+             count(*) AS n
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, b,
+             sum(n) OVER (PARTITION BY source ORDER BY b) AS cum,
+             sum(n) OVER (PARTITION BY source) AS n_values
+      FROM sk
+    ),
+    q AS (SELECT unnest([{qs}]) AS q_ppm),
+    hit AS (
+      SELECT source, q_ppm, min(b) AS b, max(n_values) AS n_values
+      FROM cum CROSS JOIN q
+      WHERE cum * 1000000 >= n_values * q_ppm
+      GROUP BY 1, 2
+    ),
+    env AS (
+      SELECT source, q_ppm, n_values,
+             CASE WHEN b < 0 THEN 0
+                  ELSE (CAST(1 AS BIGINT) << b) END AS lo,
+             CASE WHEN b < 0 THEN 0
+                  ELSE (CAST(1 AS BIGINT) << (b + 1)) - 1 END AS hi
+      FROM hit
+    ),
+    ex AS (
+      SELECT source, q_ppm, v AS exact_q FROM (
+        SELECT source, q_ppm, v,
+               row_number() OVER (PARTITION BY source, q_ppm
+                                  ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY source, q_ppm) AS n
+        FROM v CROSS JOIN q)
+      WHERE rn = (n * q_ppm + 999999) // 1000000
+    )
+    SELECT env.source,
+           CAST(env.q_ppm AS BIGINT) AS q_ppm,
+           CAST(env.n_values AS BIGINT) AS n_values,
+           CAST(ex.exact_q AS BIGINT) AS exact_q,
+           CAST(env.lo AS BIGINT) AS lo,
+           CAST(env.hi AS BIGINT) AS hi,
+           ex.exact_q BETWEEN env.lo AND env.hi AS in_envelope
+    FROM env JOIN ex ON env.source = ex.source AND env.q_ppm = ex.q_ppm
+    """
+
+
+@q("quantile_sketch_audit", _quantile_sketch_sql())
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 token-count envelopes from the log2-bucket
+    quantile sketch (operators/sketches.py::log2_hist_*) next to the
+    exact discrete quantiles — the sketch auditing itself, completing
+    the mergeable-sketch family (distinct = md5-HLL ``hll_distinct``,
+    frequency = count-min ``cm_heavy_hitters``, quantiles = this). Every
+    estimate carries its PROVEN ``[2^b, 2^(b+1)-1]`` envelope — relative
+    error ≤ 2× by construction, not probabilistic — and the row asserts
+    the exact value lies inside it.
+
+    Scale shape: the sketch is ONE map-side-combining aggregate keyed by
+    (source, bucket) — ≤64 rows per source survive no matter how many
+    documents scanned; the quantile walk is a window over that ≤64-row
+    histogram (metadata-scale). The exact side's per-source sort window
+    is the fixture-scale REFEREE (the hll_distinct n_exact pattern);
+    production reads the sketch alone, and per-slice sketch states merge
+    via log2_hist_merge without rescans."""
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.operators.sketches import (
+        log2_hist_quantiles,
+        log2_hist_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("v"),
+    )
+    env = log2_hist_quantiles(
+        log2_hist_sketch(v, "v", by=["source"]), _QSK_QS, by=["source"]
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    ranked = v.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+    ex = (
+        ranked.select(
+            "source", "v", "rn", "n",
+            F.explode(
+                F.array(*[F.lit(int(qq)) for qq in _QSK_QS])
+            ).alias("q_ppm"),
+        )
+        .where(F.col("rn") == F.expr("(n * q_ppm + 999999) div 1000000"))
+        .select(
+            "source",
+            F.col("q_ppm").cast("long").alias("q_ppm"),
+            F.col("v").alias("exact_q"),
+        )
+    )
+    return env.join(ex, ["source", "q_ppm"]).select(
+        "source",
+        "q_ppm",
+        "n_values",
+        "exact_q",
+        "lo",
+        "hi",
+        F.col("exact_q").between(F.col("lo"), F.col("hi")).alias(
+            "in_envelope"
+        ),
+    )

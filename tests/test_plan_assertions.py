@@ -254,6 +254,12 @@ CASES = [
     ("simhash_wide_pairs", r"SortMergeJoin", False,
      "bucket-local pair expansion under the triangle guard — no "
      "corpus-scale sort join"),
+    ("quantile_sketch_audit", r"partial_count", True,
+     "the sketch state collapses map-side — at most 64 bucket rows per "
+     "source reach the exchange regardless of corpus size"),
+    ("quantile_sketch_audit", r"hashpartitioning\(source", True,
+     "sketch + exact referee both key by source — no doc-id-scale "
+     "exchange"),
 ]
 
 

@@ -1,0 +1,122 @@
+"""log2-bucket quantile sketch (operators/sketches.py::log2_hist_*):
+pure-Python replay equality, the guaranteed [lo, hi] envelope vs exact
+discrete quantiles, merge/rollup equivalence, NULL/zero hygiene, and the
+bounded-state scale property."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pharmacodi_spark.operators.sketches import (
+    log2_hist_merge,
+    log2_hist_quantiles,
+    log2_hist_sketch,
+)
+
+QS = [500_000, 900_000, 990_000]
+
+
+def _py_quantiles(values, qs_ppm):
+    out = {}
+    n = len(values)
+    s = sorted(values)
+    for q in qs_ppm:
+        rank = -(-n * q // 1_000_000)  # ceil
+        exact = s[rank - 1]
+        b = -1 if exact == 0 else exact.bit_length() - 1
+        lo = 0 if b < 0 else 1 << b
+        hi = 0 if b < 0 else (1 << (b + 1)) - 1
+        out[q] = (n, exact, lo, hi)
+    return out
+
+
+def test_quantile_sketch_matches_python_replay(spark):
+    rng = random.Random(3)
+    rows = [
+        (f"g{i % 3}", int(math.exp(rng.uniform(0, 12)))) for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        (r["grp"], r["q_ppm"]): (r["n_values"], r["lo"], r["hi"])
+        for r in log2_hist_quantiles(
+            log2_hist_sketch(df, "v", by=["grp"]), QS, by=["grp"]
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        vals = [v for grp, v in rows if grp == g]
+        py = _py_quantiles(vals, QS)
+        for q, (n, exact, lo, hi) in py.items():
+            assert got[(g, q)] == (n, lo, hi), (g, q)
+            assert lo <= exact <= hi  # the guaranteed envelope
+
+
+def test_quantile_envelope_always_contains_exact(spark):
+    # property sweep over distribution shapes: uniform, heavy-tailed,
+    # constant, with zeros
+    rng = random.Random(17)
+    shapes = {
+        "uniform": [rng.randint(0, 10**6) for _ in range(500)],
+        "heavy": [int(math.exp(rng.uniform(0, 20))) for _ in range(500)],
+        "const": [42] * 300,
+        "zeros": [0] * 50 + [rng.randint(1, 100) for _ in range(200)],
+    }
+    for name, vals in shapes.items():
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r["q_ppm"]: (r["n_values"], r["lo"], r["hi"])
+            for r in log2_hist_quantiles(
+                log2_hist_sketch(df, "v"), QS
+            ).collect()
+        }
+        py = _py_quantiles(vals, QS)
+        for q, (n, exact, lo, hi) in py.items():
+            assert got[q] == (n, lo, hi), (name, q)
+            assert lo <= exact <= hi, (name, q)
+            if exact > 0:
+                assert hi < 2 * lo  # the 2x relative-error contract
+
+
+def test_quantile_sketch_merge_equals_single(spark):
+    rng = random.Random(29)
+    rows = [
+        ("s0" if i % 2 else "s1", rng.randint(0, 10**9)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "slice string, v long")
+    a = df.where("slice = 's0'")
+    b = df.where("slice = 's1'")
+    merged = log2_hist_merge(
+        log2_hist_sketch(a, "v"), log2_hist_sketch(b, "v")
+    )
+    once = log2_hist_sketch(df, "v")
+    qm = {
+        r["q_ppm"]: tuple(r)
+        for r in log2_hist_quantiles(merged, QS).collect()
+    }
+    qo = {
+        r["q_ppm"]: tuple(r)
+        for r in log2_hist_quantiles(once, QS).collect()
+    }
+    assert qm == qo
+    # coarser-key rollup: per-slice states -> global quantiles
+    rolled = log2_hist_merge(
+        log2_hist_sketch(df, "v", by=["slice"]), by=[]
+    )
+    qr = {
+        r["q_ppm"]: tuple(r)
+        for r in log2_hist_quantiles(rolled, QS).collect()
+    }
+    assert qr == qo
+
+
+def test_quantile_sketch_ignores_nulls_and_bounds_state(spark):
+    vals = [(i % 1000 + 1,) for i in range(5000)]
+    df = spark.createDataFrame(vals, "v long")
+    with_nulls = df.unionByName(
+        spark.createDataFrame([(None,)] * 100, "v long")
+    )
+    sk_clean = {tuple(r) for r in log2_hist_sketch(df, "v").collect()}
+    sk_nulls = {tuple(r) for r in log2_hist_sketch(with_nulls, "v").collect()}
+    assert sk_clean == sk_nulls
+    # bounded state: 5000 values in [1, 1000] occupy <= 10 buckets
+    assert len(sk_clean) <= 10

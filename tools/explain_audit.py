@@ -911,6 +911,13 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False,
          "bucket-local pair expansion under the triangle guard"),
     ],
+    "quantile_sketch_audit": [
+        (r"partial_count", True,
+         "the sketch state collapses map-side — ≤64 bucket rows per "
+         "source reach the exchange"),
+        (r"hashpartitioning\(source", True,
+         "sketch and exact referee key by source only"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
