@@ -483,3 +483,47 @@ def log2_hist_quantiles(
         lo.cast("long").alias("lo"),
         hi.cast("long").alias("hi"),
     )
+
+
+def streaming_log2_hist_sketch(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    by: list[str] | None = None,
+):
+    """Maintain the quantile sketch over a stream — the monitoring twin
+    of :func:`streaming_cm_sketch` with the identical replay-idempotence
+    pattern: each micro-batch's ≤64-rows-per-group state lands in its
+    OWN ``batch_id=N`` partition (dynamic partition overwrite ⇒ a
+    replayed batch rewrites its partition instead of double-counting);
+    :func:`read_log2_hist_sketch` folds partitions with
+    :func:`log2_hist_merge` at question time. Answers "p99 doc length
+    per source, so far today" from KB-scale state without rescanning
+    the stream's history."""
+    keys = by or []
+
+    def do_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            log2_hist_sketch(batch, col, by=keys)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{base_dir}/log2_hist")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_log2_hist_sketch(
+    spark, base_dir: str, by: list[str] | None = None
+) -> DataFrame:
+    """Fold the per-batch sketch partitions into ONE queryable state."""
+    parts = spark.read.parquet(f"{base_dir}/log2_hist").drop("batch_id")
+    return log2_hist_merge(parts, by=by)

@@ -120,3 +120,65 @@ def test_quantile_sketch_ignores_nulls_and_bounds_state(spark):
     assert sk_clean == sk_nulls
     # bounded state: 5000 values in [1, 1000] occupy <= 10 buckets
     assert len(sk_clean) <= 10
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_streaming_quantile_sketch_equals_batch_and_survives_replay(
+    spark, tmp_path
+):
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pharmacodi_spark.operators.sketches import (
+        log2_hist_quantiles,
+        log2_hist_sketch,
+        read_log2_hist_sketch,
+        streaming_log2_hist_sketch,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        {"src": f"s{i % 2}", "v": rng.randint(0, 10**6)} for i in range(60)
+    ]
+    src = str(tmp_path / "incoming")
+    _os.makedirs(src)
+    for i in range(3):
+        path = _os.path.join(src, f"b{i}.json")
+        with open(path, "w") as f:
+            for r in rows[i * 20 : (i + 1) * 20]:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(path, (_time.time() + i * 10, _time.time() + i * 10))
+
+    base = str(tmp_path / "state")
+    for ckpt in ("c1", "c2"):  # second pass = full replay, must not double
+        stream = (
+            spark.readStream.schema("src string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = streaming_log2_hist_sketch(
+            stream, base, str(tmp_path / ckpt), col="v", by=["src"]
+        )
+        q.awaitTermination()
+    folded = read_log2_hist_sketch(spark, base, by=["src"])
+    batch = log2_hist_sketch(
+        spark.createDataFrame(
+            [(r["src"], r["v"]) for r in rows], "src string, v long"
+        ),
+        "v",
+        by=["src"],
+    )
+    qs = [500_000, 990_000]
+    got = {
+        tuple(r)
+        for r in log2_hist_quantiles(folded, qs, by=["src"]).collect()
+    }
+    want = {
+        tuple(r)
+        for r in log2_hist_quantiles(batch, qs, by=["src"]).collect()
+    }
+    assert got == want
