@@ -416,8 +416,21 @@ def log2_hist_merge(
     """Union sketch states and re-sum — count addition is commutative/
     associative, so merging ANY partition of the rows estimates exactly
     like sketching the union once (pytest-proven). Also the regroup
-    point: pass coarser ``by`` keys to roll slices up."""
-    keys = by or []
+    point: pass coarser ``by`` keys EXPLICITLY (``by=[]`` for a global
+    roll-up) to roll slices up. With ``by=None`` (the default) the keys
+    are INFERRED from the stored schema — every column that isn't sketch
+    state — so folding a per-source sketch without naming the keys can
+    never silently sum counts across sources (ADVICE r11)."""
+    if by is None:
+        keys = [c for c in sketches[0].columns if c not in ("__b", "__n")]
+    else:
+        keys = list(by)
+        missing = [k for k in keys if k not in sketches[0].columns]
+        if missing:
+            raise ValueError(
+                f"log2_hist_merge: by names columns absent from the "
+                f"sketch state: {missing} (have {sketches[0].columns})"
+            )
     out = sketches[0]
     for t in sketches[1:]:
         out = out.unionByName(t)
@@ -524,6 +537,11 @@ def streaming_log2_hist_sketch(
 def read_log2_hist_sketch(
     spark, base_dir: str, by: list[str] | None = None
 ) -> DataFrame:
-    """Fold the per-batch sketch partitions into ONE queryable state."""
+    """Fold the per-batch sketch partitions into ONE queryable state.
+
+    ``by=None`` infers the group keys from the stored schema (all
+    columns except ``__b``/``__n``/``batch_id``), so forgetting to name
+    the keys a sketch was built with preserves them instead of silently
+    summing across groups; pass an explicit coarser list to roll up."""
     parts = spark.read.parquet(f"{base_dir}/log2_hist").drop("batch_id")
     return log2_hist_merge(parts, by=by)

@@ -186,7 +186,16 @@ def ivf_assign_table(
             F.col(cid_col).cast("int").alias("__i"),
             F.col(cvec_col).cast("array<double>").alias("__c"),
         )
+        # Loud emptiness guard (ADVICE r11): an empty centroid table would
+        # yield array_min over an empty array = silent NULL out_col, which
+        # downstream join-backs would silently DROP instead of failing.
+        if cdf.limit(1).count() == 0:
+            raise ValueError(
+                "ivf_assign_table: centroid DataFrame is empty"
+            )
     else:
+        if not centroids:
+            raise ValueError("ivf_assign_table: centroid list is empty")
         cdf = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "__i int, __c array<double>",
@@ -250,6 +259,16 @@ def seeded_cell_assign(
         return ivf_assign(
             df, cents, vec_col=vec_col, out_col=out_col,
             literal_max=literal_max,
+        )
+    # Same contiguity contract as the literal branch (ADVICE r11): a
+    # gapped or short id space must raise on BOTH sides of the dispatch
+    # threshold, not silently proceed with fewer cells past it. One
+    # count on the id-filtered seed frame — engine-side, never collected.
+    n_seeds = seeds.count()
+    if n_seeds != n_k:
+        raise ValueError(
+            f"seeded_cell_assign needs ids contiguous from 0: expected "
+            f"{n_k} seed rows with {id_col} < {n_k}, found {n_seeds}"
         )
     cdf = seeds.select(
         F.col(id_col).cast("int").alias("__cid"),

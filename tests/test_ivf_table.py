@@ -190,3 +190,26 @@ def test_table_preserves_columns_and_kmeans_seeds_feed_it(spark):
     assert set(out.columns) == {"vec_id", "embedding", "extra", "cid"}
     cids = {r["cid"] for r in out.select("cid").distinct().collect()}
     assert cids <= set(range(4)) and len(cids) >= 2
+
+
+def test_guards_raise_loudly_on_both_dispatch_sides(spark):
+    # ADVICE r11 closures: (a) the table branch of seeded_cell_assign
+    # enforces the SAME seed-contiguity ValueError as the literal branch
+    # (previously it silently proceeded with fewer cells past the
+    # threshold); (b) ivf_assign_table rejects empty centroid inputs
+    # (previously array_min over an empty array -> silent NULL cid that
+    # a downstream join-back would silently drop).
+    import pytest
+
+    from pharmacodi_spark.text.similarity import seeded_cell_assign
+
+    _, df = _vectors(spark, n=60, dim=4, seed=41)
+    gapped = df.where(F.col("vec_id") != 3)
+    with pytest.raises(ValueError, match="contiguous"):
+        seeded_cell_assign(gapped, 24, out_col="cid", literal_max=4)
+
+    with pytest.raises(ValueError, match="empty"):
+        ivf_assign_table(df, [])
+    empty_cdf = spark.createDataFrame([], "cid int, cvec array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_assign_table(df, empty_cdf)

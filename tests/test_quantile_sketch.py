@@ -182,3 +182,26 @@ def test_streaming_quantile_sketch_equals_batch_and_survives_replay(
         for r in log2_hist_quantiles(batch, qs, by=["src"]).collect()
     }
     assert got == want
+
+
+def test_merge_infers_group_keys_when_by_omitted(spark):
+    # ADVICE r11: by=None must INFER the stored keys (every non-state
+    # column), not silently sum counts across groups; naming an absent
+    # key raises instead of dropping rowgroups on a typo.
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 4), ("a", 9), ("b", 4), ("b", 100)], "src string, v long"
+    )
+    sk = log2_hist_sketch(df, "v", by=["src"])
+    inferred = log2_hist_merge(sk, sk)
+    assert set(inferred.columns) == {"src", "__b", "__n"}
+    per_src = {
+        (r["src"], r["__b"]): r["__n"] for r in inferred.collect()
+    }
+    direct = {
+        (r["src"], r["__b"]): 2 * r["__n"] for r in sk.collect()
+    }
+    assert per_src == direct
+    with pytest.raises(ValueError, match="absent"):
+        log2_hist_merge(sk, by=["sourc"])
