@@ -2361,13 +2361,24 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _detector_agreement_sql() -> str:
+#: SimHash width for the agreement referee — the PRODUCTION 60-bit
+#: fingerprint (r12; was 16). The r11 root-cause measured the 16-bit
+#: space saturating at 50k docs (hamming ≤ 3 pair mass grew 21.2× for
+#: 10× docs — pigeonhole, not engine); at 60 bits collision mass tracks
+#: true near-duplicates at any corpus size, so the headline agreement
+#: metric now degrades linearly like its minhash/winnow siblings.
+_AGREE_SIM_BITS = 60
+
+
+def _detector_agreement_sql(bits: int = _AGREE_SIM_BITS) -> str:
     from pharmacodi_spark.plans.extensions import (
         _minhash_sql_select,
         _SHINGLE_SQL,
     )
-    from pharmacodi_spark.plans.extensions2 import _SIM_SQL
+    from pharmacodi_spark.plans.extensions2 import _sim_sql
 
+    _SIM_SQL = _sim_sql(bits, "fp")
+    shift = 1 << (bits - 8)
     return f"""
     WITH sig AS (
       SELECT doc_id,
@@ -2387,11 +2398,11 @@ def _detector_agreement_sql() -> str:
       WHERE a.doc_id < b.doc_id
     ),
     sim AS ({_SIM_SQL}),
-    sb AS (SELECT doc_id, simhash16, simhash16 // 256 AS bucket FROM sim),
+    sb AS (SELECT doc_id, fp, fp // {shift} AS bucket FROM sim),
     sh AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
       FROM sb a JOIN sb b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-      WHERE bit_count(xor(a.simhash16, b2.simhash16)) <= 3
+      WHERE bit_count(xor(a.fp, b2.fp)) <= 3
     ),
     {_WIN_FP_CTE},
     fph AS (SELECT DISTINCT doc_id, h FROM fp),
@@ -2429,7 +2440,14 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifted PASSAGE; simhash-only pairs are usually topical twins). Runs
     the three in-engine pipelines (LSH banding, simhash prefix buckets,
     winnow hash buckets — each through its own guard) and reduces every
-    pair to membership bits; the final rollup is 8-row metadata.
+    pair to membership bits; the final rollup is 8-row metadata. The
+    simhash branch runs the PRODUCTION 60-bit fingerprint (r12,
+    ``_AGREE_SIM_BITS``): the 16-bit fixture width saturated its 2^16
+    space at 50k docs (r11 root-cause: 21.2× pair mass for 10× docs, by
+    pigeonhole), so the headline metric was drifting away from what the
+    production detector would report; at 60 bits all three branches'
+    pair mass tracks true near-duplication. The 16-bit path stays
+    exercised by the standalone ``simhash_near_pairs`` fixture query.
 
     Shared-stage plan (VERDICT r7 item 5): ONE scan tokenizes the corpus
     and the token frame is stage-barrier-pinned; all three detectors
@@ -2465,13 +2483,14 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("w"),
     )
     sim = stage_barrier(
-        _simhash_spark(toks, tokens_col="__tk").select(
-            "doc_id", F.col("simhash16").alias("simhash")
+        _simhash_spark(
+            toks, tokens_col="__tk", bits=_AGREE_SIM_BITS, out_col="simhash"
         ),
         name="det_sim",
     )
     sh = _snp(
-        sim, max_hamming=3, prefix_bits=8, bits=16, max_cell_size=256
+        sim, max_hamming=3, prefix_bits=8, bits=_AGREE_SIM_BITS,
+        max_cell_size=256,
     ).select(
         "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(1).alias("s"),
         F.lit(0).alias("w"),

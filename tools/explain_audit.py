@@ -630,7 +630,7 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "re-tokenized the corpus (9.14s → 4.01s isolated at sf0.1)"),
         (r"Scan ExistingRDD", True,
          "all three near-dup families derive from the barrier-pinned "
-         "token frame (plus the pinned 16-bit simhash fingerprints for "
+         "token frame (plus the pinned 60-bit simhash fingerprints for "
          "the triangle-guard self-join)"),
     ],
     "kneser_ney3_lm": [
