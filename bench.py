@@ -185,6 +185,10 @@ HEADLINE = HEADLINE_R1 + [
     "ivf_arrow_assign",
     "simhash_wide_pairs",
     "quantile_sketch_audit",
+    # r12: the sketch-maintenance E2E (gate from merged persisted state)
+    # and the production-width detector referee rides the existing
+    # detector_agreement row (now 60-bit)
+    "percentile_gate_sketch",
 ]
 
 

@@ -498,6 +498,78 @@ def log2_hist_quantiles(
     )
 
 
+def log2_hist_top_gate(
+    sketch: DataFrame,
+    keep_pct: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Top-``keep_pct``% gate thresholds from the quantile sketch — the
+    percentile gate (text/selection.py::percentile_gate, the DCLM
+    "keep top-p% by classifier score" filter) answered from PERSISTED
+    per-slice sketch state instead of a corpus rescan: merge the slices
+    (:func:`log2_hist_merge`), walk the ≤64-row histogram, done.
+
+    Per group emits ``(by..., n_values, gate_b, gate_lo, gate_hi_excl)``
+    where ``gate_b`` is the bucket CONTAINING the exact tie-keeping
+    threshold ``thr`` (the score of the ⌊n·p/100⌋-th largest value):
+    ``gate_b = max{b : count(v ≥ 2^b) ≥ quota}`` — since bucket b holds
+    ``[2^b, 2^(b+1))``, the cumulative-from-top at b IS ``count(v≥2^b)``,
+    so ``2^gate_b ≤ thr < 2^(gate_b+1)`` exactly. Hence the PROVEN
+    envelope the audit query asserts: gating at ``v ≥ gate_lo`` keeps a
+    SUPERSET of the exact gate, ``v ≥ gate_hi_excl`` a subset —
+    ``n_strict ≤ n_exact ≤ n_loose`` always. Groups whose quota floors
+    to 0 (the exact gate keeps nothing) emit NO row — absent = empty
+    gate, the floor semantics of percentile_gate.
+
+    Scale shape: two windows + one aggregate over the per-group ≤64-row
+    histogram — pure metadata; the corpus is never touched. The caller
+    broadcasts the result back onto the corpus for the actual filter."""
+    assert 0 <= keep_pct <= 100
+    if by is None:
+        keys = [c for c in sketch.columns if c not in ("__b", "__n")]
+    else:
+        keys = list(by)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.desc("__b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*[F.col(k) for k in keys])
+    cum = sketch.select(
+        *keys,
+        "__b",
+        F.sum("__n").over(w).alias("__cum_top"),
+        F.sum("__n").over(tot).alias("n_values"),
+    )
+    hit = (
+        cum.where(
+            F.col("__cum_top")
+            >= F.expr(f"(n_values * {int(keep_pct)}) div 100")
+        )
+        .where(F.expr(f"(n_values * {int(keep_pct)}) div 100") >= 1)
+        .groupBy(*keys)
+        .agg(
+            F.max("__b").alias("gate_b"),
+            F.max("n_values").cast("long").alias("n_values"),
+        )
+    )
+    lo = F.when(F.col("gate_b") < 0, F.lit(0)).otherwise(
+        F.call_function("shiftleft", F.lit(1).cast("long"), F.col("gate_b"))
+    )
+    hi_excl = F.when(F.col("gate_b") < 0, F.lit(1)).otherwise(
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.col("gate_b") + 1
+        )
+    )
+    return hit.select(
+        *keys,
+        "n_values",
+        F.col("gate_b").cast("int").alias("gate_b"),
+        lo.cast("long").alias("gate_lo"),
+        hi_excl.cast("long").alias("gate_hi_excl"),
+    )
+
+
 def streaming_log2_hist_sketch(
     stream: DataFrame,
     base_dir: str,

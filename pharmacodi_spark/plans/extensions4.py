@@ -1406,3 +1406,156 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_envelope"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile gate answered from MERGED quantile-sketch state (round 12:
+# the sketch-maintenance story E2E — VERDICT r11 item 6)
+# ---------------------------------------------------------------------------
+
+_PGS_PCT = 20  # keep the top 20% per source
+
+
+def _percentile_gate_sketch_sql() -> str:
+    return f"""
+    WITH v AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS v
+      FROM documents
+    ),
+    -- two persisted slices, merged = union + re-sum (count addition is
+    -- associative, so this equals sketching the corpus once)
+    sk AS (
+      SELECT source,
+             CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS b,
+             count(*) AS n
+      FROM v WHERE doc_id % 2 = 0 GROUP BY 1, 2
+      UNION ALL
+      SELECT source,
+             CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS b,
+             count(*) AS n
+      FROM v WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ),
+    merged AS (SELECT source, b, sum(n) AS n FROM sk GROUP BY 1, 2),
+    cum AS (
+      SELECT source, b,
+             sum(n) OVER (PARTITION BY source ORDER BY b DESC) AS cum_top,
+             sum(n) OVER (PARTITION BY source) AS n_values
+      FROM merged
+    ),
+    gate AS (
+      SELECT source, max(b) AS gate_b, max(n_values) AS n_values
+      FROM cum
+      WHERE cum_top >= (n_values * {_PGS_PCT}) // 100
+        AND (n_values * {_PGS_PCT}) // 100 >= 1
+      GROUP BY source
+    ),
+    g2 AS (
+      SELECT source, n_values, gate_b,
+             CASE WHEN gate_b < 0 THEN 0
+                  ELSE (CAST(1 AS BIGINT) << gate_b) END AS gate_lo,
+             CASE WHEN gate_b < 0 THEN 1
+                  ELSE (CAST(1 AS BIGINT) << (gate_b + 1))
+             END AS gate_hi_excl
+      FROM gate
+    ),
+    thr AS (
+      SELECT source, v AS thr FROM (
+        SELECT source, v,
+               row_number() OVER (PARTITION BY source ORDER BY v DESC)
+                 AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM v)
+      WHERE rn = (n * {_PGS_PCT}) // 100
+    )
+    SELECT v.source,
+           CAST(max(g2.n_values) AS BIGINT) AS n_values,
+           CAST(max(g2.gate_b) AS BIGINT) AS gate_b,
+           CAST(max(g2.gate_lo) AS BIGINT) AS gate_lo,
+           CAST(sum(CASE WHEN v.v >= g2.gate_hi_excl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep_strict,
+           CAST(sum(CASE WHEN v.v >= thr.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep_exact,
+           CAST(sum(CASE WHEN v.v >= g2.gate_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep_loose,
+           (sum(CASE WHEN v.v >= g2.gate_hi_excl THEN 1 ELSE 0 END)
+              <= sum(CASE WHEN v.v >= thr.thr THEN 1 ELSE 0 END))
+           AND (sum(CASE WHEN v.v >= thr.thr THEN 1 ELSE 0 END)
+              <= sum(CASE WHEN v.v >= g2.gate_lo THEN 1 ELSE 0 END))
+             AS in_envelope
+    FROM v JOIN g2 ON v.source = g2.source
+           JOIN thr ON v.source = thr.source
+    GROUP BY v.source
+    """
+
+
+@q("percentile_gate_sketch", _percentile_gate_sketch_sql())
+def percentile_gate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DCLM-style top-p% percentile gate answered from PERSISTED
+    per-slice quantile-sketch state (operators/sketches.py::
+    log2_hist_top_gate) instead of a corpus rescan — the E2E for the
+    r11 sketch family's maintenance story: two doc_id-parity slices
+    stand in for per-partition sketch states written by independent
+    jobs; :func:`log2_hist_merge` folds them (with INFERRED group keys,
+    the r12 guard); the ≤64-row-per-source histogram walk yields the
+    gate bucket; and the row ASSERTS the proven envelope against the
+    exact tie-keeping gate — ``n_strict ≤ n_exact ≤ n_loose``, where
+    strict/loose gate at the bucket's upper/lower bound and the exact
+    referee is text/selection.py::percentile_gate's threshold semantics
+    (the ⌊n·p/100⌋-th largest score, ties kept).
+
+    Scale shape: sketch = one map-side-combining aggregate per slice
+    (≤64 rows/source survive); merge + gate walk are metadata-scale
+    windows over the merged histogram; the thresholds broadcast back
+    onto the corpus for the gate counts. The exact-threshold referee
+    (per-source row_number window) is fixture-scale audit apparatus —
+    production reads the sketch alone, which is the point: the gate
+    comes from persisted state with NO rescan of history."""
+    from pyspark.sql import Window
+
+    from pharmacodi_spark.operators.sketches import (
+        log2_hist_merge,
+        log2_hist_sketch,
+        log2_hist_top_gate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("v"),
+    )
+    slices = [
+        log2_hist_sketch(
+            v.where(F.col("doc_id") % 2 == i), "v", by=["source"]
+        )
+        for i in (0, 1)
+    ]
+    gate = log2_hist_top_gate(log2_hist_merge(*slices), _PGS_PCT)
+    w = Window.partitionBy("source").orderBy(F.desc("v"))
+    thr = (
+        v.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("source")))
+        .where(F.col("rn") == F.expr(f"(n * {_PGS_PCT}) div 100"))
+        .select("source", F.col("v").alias("thr"))
+    )
+    strict = F.sum((F.col("v") >= F.col("gate_hi_excl")).cast("int"))
+    exact = F.sum((F.col("v") >= F.col("thr")).cast("int"))
+    loose = F.sum((F.col("v") >= F.col("gate_lo")).cast("int"))
+    return (
+        v.join(F.broadcast(gate), "source")
+        .join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_values").cast("long").alias("n_values"),
+            F.max("gate_b").cast("long").alias("gate_b"),
+            F.max("gate_lo").cast("long").alias("gate_lo"),
+            strict.cast("long").alias("n_keep_strict"),
+            exact.cast("long").alias("n_keep_exact"),
+            loose.cast("long").alias("n_keep_loose"),
+            ((strict <= exact) & (exact <= loose)).alias("in_envelope"),
+        )
+    )

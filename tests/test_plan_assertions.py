@@ -260,6 +260,14 @@ CASES = [
     ("quantile_sketch_audit", r"hashpartitioning\(source", True,
      "sketch + exact referee both key by source — no doc-id-scale "
      "exchange"),
+    ("percentile_gate_sketch", r"partial_count", True,
+     "each slice's sketch collapses map-side before the merge — ≤64 "
+     "bucket rows per (slice, source) reach any exchange"),
+    ("percentile_gate_sketch", r"BroadcastHashJoin", True,
+     "gate thresholds and exact-referee thresholds broadcast back onto "
+     "the corpus — per-source metadata, never shuffled corpus-side"),
+    ("percentile_gate_sketch", r"SortMergeJoin", False,
+     "both joins are per-source 1-row-ish metadata: broadcast only"),
 ]
 
 

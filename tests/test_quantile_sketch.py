@@ -8,6 +8,8 @@ from __future__ import annotations
 import math
 import random
 
+from pyspark.sql import functions as F
+
 from pharmacodi_spark.operators.sketches import (
     log2_hist_merge,
     log2_hist_quantiles,
@@ -205,3 +207,72 @@ def test_merge_infers_group_keys_when_by_omitted(spark):
     assert per_src == direct
     with pytest.raises(ValueError, match="absent"):
         log2_hist_merge(sk, by=["sourc"])
+
+
+def _py_top_gate(vals, pct):
+    # pure-python replay: exact tie-keeping threshold + its log2 bucket
+    q = len(vals) * pct // 100
+    if q < 1:
+        return None
+    thr = sorted(vals, reverse=True)[q - 1]
+    b = -1 if thr == 0 else thr.bit_length() - 1
+    return b, (0 if b < 0 else 1 << b), (1 if b < 0 else 1 << (b + 1))
+
+
+def test_top_gate_bucket_matches_exact_threshold_and_envelope(spark):
+    # log2_hist_top_gate: gate_b must be the bucket CONTAINING the exact
+    # tie-keeping top-p% threshold, for every group and several p — so
+    # strict (v >= gate_hi_excl) <= exact <= loose (v >= gate_lo) holds
+    # by construction. Values include 0 (bucket -1) and heavy ties.
+    from pharmacodi_spark.operators.sketches import log2_hist_top_gate
+
+    rng = random.Random(43)
+    rows = []
+    groups = {
+        "a": [rng.randint(0, 10**6) for _ in range(400)],
+        "b": [rng.choice([0, 1, 7, 7, 8, 1000]) for _ in range(97)],
+        "tiny": [3, 9],  # quota floors to 0 at pct=20 -> NO row
+    }
+    for g, vs in groups.items():
+        rows += [(g, v) for v in vs]
+    df = spark.createDataFrame(rows, "src string, v long")
+    sk = log2_hist_sketch(df, "v", by=["src"])
+    for pct in (1, 20, 55, 100):
+        got = {
+            r["src"]: (r["gate_b"], r["gate_lo"], r["gate_hi_excl"])
+            for r in log2_hist_top_gate(sk, pct, by=["src"]).collect()
+        }
+        want = {
+            g: _py_top_gate(vs, pct)
+            for g, vs in groups.items()
+            if _py_top_gate(vs, pct) is not None
+        }
+        assert got == want, (pct, got, want)
+        for g, vs in groups.items():
+            if g not in want:
+                continue
+            b, lo, hi_excl = got[g]
+            q = len(vs) * pct // 100
+            thr = sorted(vs, reverse=True)[q - 1]
+            n_exact = sum(v >= thr for v in vs)
+            assert sum(v >= hi_excl for v in vs) <= n_exact
+            assert n_exact <= sum(v >= lo for v in vs)
+
+
+def test_top_gate_from_merged_slices_equals_from_scan(spark):
+    # the item the sketch exists for: per-slice persisted states, merged
+    # with inferred keys, gate identical to sketching the corpus once
+    from pharmacodi_spark.operators.sketches import log2_hist_top_gate
+
+    rng = random.Random(47)
+    rows = [("s%d" % (i % 3), rng.randint(0, 10**9)) for i in range(900)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    slices = [
+        log2_hist_sketch(df.where(F.col("v") % 2 == i), "v", by=["src"])
+        for i in (0, 1)
+    ]
+    merged = log2_hist_merge(*slices)  # by=None -> infers ["src"]
+    once = log2_hist_sketch(df, "v", by=["src"])
+    a = sorted(map(tuple, log2_hist_top_gate(merged, 10, by=["src"]).collect()))
+    b = sorted(map(tuple, log2_hist_top_gate(once, 10, by=["src"]).collect()))
+    assert a == b and len(a) == 3

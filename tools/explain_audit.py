@@ -918,6 +918,14 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"hashpartitioning\(source", True,
          "sketch and exact referee key by source only"),
     ],
+    "percentile_gate_sketch": [
+        (r"partial_count", True,
+         "per-slice sketch states collapse map-side before the merge"),
+        (r"BroadcastHashJoin", True,
+         "gate + exact thresholds broadcast back onto the corpus"),
+        (r"SortMergeJoin", False,
+         "per-source metadata joins: broadcast only"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
