@@ -2928,6 +2928,17 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative component labelling, is value-checked against the
     recursive-CTE oracle.
 
+    Production blocking recipe (r12): swap ``seeded_cell_assign`` for
+    text/similarity.py::trained_cell_assign (k-means|| centroids →
+    broadcast-centroid-table assign) — the lowest-id seeding stays HERE
+    because it is SQL-reproducible (the oracle contract), but at corpus
+    scale cell BALANCE bounds the quadratic within-cell term and
+    arbitrary-sample seeds concentrate misaligned cluster mass into
+    giant cells (tests/test_trained_blocking.py: an 800-vector blob far
+    from every seed lands in ONE cell — trained centroids cut the max
+    cell >3×, and the planted-duplicate droplist is preserved since
+    identical vectors share a Voronoi cell under any seeding).
+
     Hot-cell skew guard: the within-cell pair join runs through
     text/dedup.py::triangle_blocks with ``max_cell_size=256`` (the same
     cap the simhash twin settled on) — a cell of m vectors re-splits into

@@ -4282,7 +4282,10 @@ def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows into the literal argmin (this oracle's recorded plan); past
     # ~33k docs (k = n div 256 > 128) the seed frame feeds the
     # broadcast-centroid-table path and NOTHING is collected (r11,
-    # VERDICT r10 item 1)
+    # VERDICT r10 item 1). Production runs trained_cell_assign instead
+    # (k-means|| seeds — cell balance bounds the quadratic within-cell
+    # term; r12, tests/test_trained_blocking.py); lowest-id seeding
+    # stays here because it is the SQL-reproducible oracle recipe.
     assigned = seeded_cell_assign(qe, n_k, vec_col="qe", out_col="cid")
     # the argmin is the E2E's CPU-heavy projection and
     # cell_cosine_pairs consumes its input THREE times (dim probe, the

