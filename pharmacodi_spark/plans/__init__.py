@@ -19,6 +19,52 @@ from pyspark.sql import DataFrame, SparkSession
 # local driver-sim and the pytest oracle mirror.
 _DRIVER_WINDOW = [
     # ------------------------------------------------------------------
+    # r12 rotation (steady-state policy, round 2): 3 r11-late heads
+    # (pre-declared in the r11 window comment — local-mirror + vanilla-
+    # driver-sim green since r11, never had a driver row), 1 r12
+    # flagship (percentile_gate_sketch, registered this round — window
+    # slot decided at registration time), 14 oldest-green rows (r6: 6,
+    # r7: 8), and 32 from the r8 cohort in registration order INCLUDING
+    # detector_agreement out of order — its simhash branch moved to the
+    # production 60-bit width this round, so its oracle RESULTS changed
+    # and the driver must re-record it. Remaining r8 rows (18) plus the
+    # r9 cohort are the r13 rotation tail. Every rotated-out query keeps
+    # full coverage via the local driver-sim + the pytest oracle mirror.
+    #
+    # r13 rotation heads (none registered after this window froze yet;
+    # update this comment at registration time if any land late).
+    # ------------------------------------------------------------------
+    # r11-late heads (the whole debt):
+    "ivf_arrow_assign", "simhash_wide_pairs", "quantile_sketch_audit",
+    # r12 flagship: the sketch-maintenance E2E (gate from merged state)
+    "percentile_gate_sketch",
+    # changed this round (60-bit simhash branch -> results changed):
+    "detector_agreement",
+    # oldest-green: last driver row r6
+    "filter_predicates", "dim_preserving_join", "first_per_group",
+    "explode_tokens", "json_props_extract", "record_text_parse",
+    # oldest-green: last driver row r7
+    "union_dedup", "contamination_safe_split", "curation_funnel",
+    "dsir_select", "token_budget_report", "winnow_near_pairs",
+    "stupid_backoff_lm", "kneser_ney_lm",
+    # oldest-green: last driver row r8 (first 31 in registration order)
+    "pricing_summary", "experiment_join", "null_counts",
+    "harmonize_contract", "clamp_recode", "composite_key_join",
+    "fk_remap_dense", "update_join_coalesce", "melt_unpivot",
+    "regex_kit", "window_tumbling", "multimodal_features", "asof_join",
+    "range_join", "cube_stats", "glob_union_shards",
+    "api_connector_enrich", "csv_na_roundtrip", "surrogate_key_fact",
+    "catalog_scan", "fk_unmatched_audit", "ann_ivf_pq_topk",
+    "vocab_token_count", "ingest_pipeline", "pagerank_dangling",
+    "semantic_dedup_pipeline", "bm25_topk", "ann_int8_l2_topk",
+    "training_shuffle_shards", "auto_salted_join_equiv",
+    "incremental_curation",
+]
+
+#: the r11 steady-state window, kept for its rotation rationale — every
+#: entry here has a driver-green CORRECTNESS row from r11.
+_DRIVER_WINDOW_R11 = [
+    # ------------------------------------------------------------------
     # r11 rotation — first steady-state round of the documented policy
     # (plans/__init__.py r10 comment; VERDICT r10 items 2/8): the window
     # = this round's flagships + every never-driver-verified registration
