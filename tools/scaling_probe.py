@@ -654,6 +654,136 @@ def pruning(spark, mult: int) -> dict[str, float]:
     return out
 
 
+def ivf_tiers(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """Measure the three IVF-assignment tiers at production k (VERDICT
+    r11 item 2): the r11 flagship claimed "constant plan at any k"
+    (broadcast-centroid-table) and "GEMM wins past k≈1e4" from plan
+    shape alone — this times them. Two sweeps:
+
+    - k-sweep at fixed n: literal (k=128 cap), table and Arrow-GEMM at
+      k = 1e3 / 1e4 (+ arrow at 1e5). Per-row table cost is k·dim
+      interpreted higher-order-function multiplies, so its wall should
+      grow ~linearly in k while arrow pays one BLAS matmul per batch +
+      a fixed Arrow-transfer toll — the measured crossover is the
+      number the ivf_assign_table/ivf_assign_arrow docstrings assert.
+      table@1e5 is omitted DELIBERATELY: its projected wall (linear
+      extrapolation from 1e3/1e4) is the blocker the GEMM tier exists
+      for — recorded as a note, not silently skipped.
+    - n-growth under the k = n div 256 blocking rule: total assignment
+      FLOPs are n·k·dim = n²·dim/256 — intrinsically superlinear for
+      ANY exact nearest-centroid method (the standard IVF build cost),
+      so the honest scale statement is which TIER holds the best
+      constant, not a linear ratio. Measured on the arrow tier (the
+      production path at that k) with the table tier at the small leg
+      for the constant comparison.
+
+    Vectors are integer-valued (xxhash64 % 2001), so every distance /
+    GEMM partial sum is an exact float64 integer — the cross-tier
+    equivalence contract (pytest-proven) holds for the probe data too."""
+    from pharmacodi_spark.text.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_assign_table,
+    )
+
+    dim = 32
+
+    def synth(n: int, tag: str):
+        path = f"{BASE}/ivf_vecs_{tag}"
+        if not os.path.exists(path):
+            df = spark.range(n).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda j: (
+                        F.xxhash64(F.col("id") * dim + j) % 2001
+                    ).cast("double"),
+                ).alias("qe"),
+            )
+            df.repartition(32).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def cdf_of(src, k: int):
+        return src.where(F.col("vec_id") < k).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("qe").alias("cvec"),
+        )
+
+    def rollup(assigned):
+        return assigned.groupBy("cid").count()
+
+    n_fixed = 20_000
+    corpus = synth(n_fixed, f"{n_fixed}")
+    cent_src = synth(100_000, "100000")  # centroid pool for every k
+
+    sweep: dict[str, float] = {}
+    # warm codegen/JIT on a throwaway table run
+    timed(
+        lambda: rollup(
+            ivf_assign_table(
+                corpus, cdf_of(cent_src, 128), vec_col="qe", out_col="cid"
+            )
+        )
+    )
+    lits = [
+        list(r["qe"])
+        for r in sorted(
+            cdf_of(cent_src, 128).collect(), key=lambda r: r["cid"]
+        )
+    ]
+    sweep["literal_k128"] = timed(
+        lambda: rollup(
+            ivf_assign(
+                corpus, lits, vec_col="qe", out_col="cid", literal_max=128
+            )
+        )
+    )
+    for k in (128, 1_000, 10_000):
+        sweep[f"table_k{k}"] = timed(
+            lambda: rollup(
+                ivf_assign_table(
+                    corpus, cdf_of(cent_src, k), vec_col="qe", out_col="cid"
+                )
+            )
+        )
+    for k in (128, 1_000, 10_000, 100_000):
+        cents = [
+            list(r["cvec"])
+            for r in sorted(
+                cdf_of(cent_src, k).collect(), key=lambda r: r["cid"]
+            )
+        ]
+        sweep[f"arrow_k{k}"] = timed(
+            lambda: rollup(
+                ivf_assign_arrow(corpus, cents, vec_col="qe", out_col="cid")
+            )
+        )
+
+    growth: dict[str, float] = {}
+    for n, k in ((128_000, 500), (1_280_000, 5_000)):
+        c = synth(n, f"{n}")
+        cents = [
+            list(r["cvec"])
+            for r in sorted(
+                cdf_of(cent_src, k).collect(), key=lambda r: r["cid"]
+            )
+        ]
+        growth[f"arrow_n{n}_k{k}"] = timed(
+            lambda: rollup(
+                ivf_assign_arrow(c, cents, vec_col="qe", out_col="cid")
+            )
+        )
+    small = synth(128_000, "128000")
+    growth["table_n128000_k500"] = timed(
+        lambda: rollup(
+            ivf_assign_table(
+                small, cdf_of(cent_src, 500), vec_col="qe", out_col="cid"
+            )
+        )
+    )
+    return sweep, growth
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -780,6 +910,61 @@ def main() -> None:
             f"| {label} (at 10x) | — | — | "
             f"{p10[num] / p10[den]:.2f} of baseline |"
         )
+    sweep, growth = ivf_tiers(spark)
+    lines += [
+        "",
+        "## IVF assignment tiers at production k (r12)",
+        "",
+        "20,000 × 32-dim integer-valued vectors (xxhash64-synthesized, so",
+        "every distance/GEMM partial sum is an exact float64 integer and",
+        "the three tiers are bit-equivalent — the pytest contract holds on",
+        "the probe data). literal = plan-literal argmin (k ≤ 128 by the",
+        "janino ceiling); table = broadcast-centroid-table (constant PLAN,",
+        "per-row cost k·dim interpreted HOF multiplies); arrow = one",
+        "float64 GEMM per Arrow batch. `table_k100000` is omitted",
+        "deliberately: linear extrapolation from the measured 1e3/1e4 legs",
+        "puts it 10× the k=1e4 wall — that projected cost IS the reason",
+        "the GEMM tier exists, not a gap in coverage.",
+        "",
+        "| tier @ k (n=20k, dim=32) | sec |",
+        "|---|---|",
+    ]
+    for name, sec in sweep.items():
+        lines.append(f"| {name} | {sec:.2f} |")
+    kx = sweep["table_k10000"] / sweep["table_k1000"]
+    ax = sweep["arrow_k10000"] / sweep["arrow_k1000"]
+    lines += [
+        "",
+        f"table k-scaling 1e3→1e4: {kx:.1f}× (per-row k·dim term);",
+        f"arrow k-scaling 1e3→1e4: {ax:.1f}× (BLAS amortizes the same",
+        "FLOPs). Crossover: compare table_k vs arrow_k rows above — the",
+        "arrow fixed toll (Arrow transfer + Python workers) buys in when",
+        "the k·dim-per-row interpreted cost exceeds it.",
+        "",
+        "### n-growth under the blocking rule k = n div 256",
+        "",
+        "Assignment FLOPs are n·k·dim = n²·dim/256 — intrinsically",
+        "superlinear for ANY exact nearest-centroid pass (the standard",
+        "IVF build cost; this is why coarse quantizers are trained on",
+        "samples and assignments are incremental in production). The",
+        "scale statement is which tier holds the best constant:",
+        "",
+        "| leg | sec |",
+        "|---|---|",
+    ]
+    for name, sec in growth.items():
+        lines.append(f"| {name} | {sec:.2f} |")
+    gx = growth["arrow_n1280000_k5000"] / growth["arrow_n128000_k500"]
+    lines += [
+        "",
+        f"arrow 10× n (⇒ 100× FLOPs under the rule): {gx:.1f}× wall —",
+        "the GEMM tier's BLAS constant absorbs part of the quadratic",
+        "term; the table tier at the SAME small leg",
+        f"({growth['table_n128000_k500']:.2f}s vs",
+        f"{growth['arrow_n128000_k500']:.2f}s) shows the interpreted-HOF",
+        "constant the arrow tier replaces.",
+    ]
+
     lines += [
         "",
         "## Stage barriers: local vs durable",
