@@ -178,8 +178,16 @@ def ivf_assign_table(
     bytes every ANN engine ships to every search node), zero shuffle of
     the corpus, all columns preserved, no groupBy/join-back. Ties break
     to the lower centroid id via the (d2, cid) struct ordering, exactly
-    like the literal path. For k past ~1e5·dim broadcast bytes, use
-    :func:`ivf_assign_arrow` (numpy GEMM per Arrow batch) instead."""
+    like the literal path.
+
+    Measured tiers (r12, SCALING.md "IVF assignment tiers"): per-row
+    cost here is k·dim interpreted HOF multiplies, so wall grows ~8.5×
+    per decade of k (5.65s @ k=1e3 → 48.1s @ k=1e4 on 20k×32-dim);
+    :func:`ivf_assign_arrow` TIES this path at k=128 and wins ~9× from
+    k≈1e3 — prefer the GEMM tier whenever its integer-exactness
+    contract (or a don't-care on last-ULP float ties) applies; this
+    path's niche is plan-native assignment (no Python workers) with a
+    never-collected centroid DataFrame at moderate k."""
     spark = df.sparkSession
     if isinstance(centroids, DataFrame):
         cdf = centroids.select(
@@ -324,9 +332,11 @@ def ivf_assign_arrow(
     out_col: str = "centroid_id",
 ) -> DataFrame:
     """Nearest-centroid assignment as one vectorized GEMM per Arrow batch
-    — the k ≥ ~1e4 tier above :func:`ivf_assign_table`, where evaluating
+    — the tier above :func:`ivf_assign_table` wherever evaluating
     k·dim interpreted higher-order-function multiplies per ROW loses to
-    BLAS. The centroid matrix ships once per executor via
+    BLAS — measured r12 (SCALING.md): that is already k ≈ 1e3 (9×
+    faster), with a tie at k=128; the table path keeps only the
+    no-Python-workers / never-collected-centroid-frame niches. The centroid matrix ships once per executor via
     ``SparkContext.broadcast`` (torrent protocol, NOT per-task
     serialization) and each batch computes
     ``argmin_k(|c_k|² − 2·X·Cᵀ)`` — dropping the per-row ``|x|²`` term,

@@ -726,7 +726,7 @@ def ivf_tiers(spark) -> tuple[dict[str, float], dict[str, float]]:
         )
     )
     lits = [
-        list(r["qe"])
+        list(r["cvec"])
         for r in sorted(
             cdf_of(cent_src, 128).collect(), key=lambda r: r["cid"]
         )
