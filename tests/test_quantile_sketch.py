@@ -276,3 +276,62 @@ def test_top_gate_from_merged_slices_equals_from_scan(spark):
     a = sorted(map(tuple, log2_hist_top_gate(merged, 10, by=["src"]).collect()))
     b = sorted(map(tuple, log2_hist_top_gate(once, 10, by=["src"]).collect()))
     assert a == b and len(a) == 3
+
+
+@pytest.mark.slow
+def test_streaming_gate_equals_batch_gate(spark, tmp_path):
+    # the maintenance story end to end: a percentile gate answered from
+    # STREAMING-maintained sketch state (per-batch-id partitions, keys
+    # inferred at fold time) equals the gate from one batch scan — no
+    # rescan of stream history, the log2_hist_top_gate contract over
+    # read_log2_hist_sketch
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pharmacodi_spark.operators.sketches import (
+        log2_hist_sketch,
+        log2_hist_top_gate,
+        read_log2_hist_sketch,
+        streaming_log2_hist_sketch,
+    )
+
+    rng = random.Random(61)
+    rows = [
+        {"src": f"s{i % 2}", "v": rng.randint(0, 10**6)} for i in range(90)
+    ]
+    src = str(tmp_path / "incoming")
+    _os.makedirs(src)
+    for i in range(3):
+        path = _os.path.join(src, f"b{i}.json")
+        with open(path, "w") as f:
+            for r in rows[i * 30 : (i + 1) * 30]:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(path, (_time.time() + i * 10, _time.time() + i * 10))
+
+    base = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("src string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = streaming_log2_hist_sketch(
+        stream, base, str(tmp_path / "ckpt"), col="v", by=["src"]
+    )
+    q.awaitTermination()
+    folded = read_log2_hist_sketch(spark, base)  # keys inferred
+    batch = log2_hist_sketch(
+        spark.createDataFrame(
+            [(r["src"], r["v"]) for r in rows], "src string, v long"
+        ),
+        "v",
+        by=["src"],
+    )
+    for pct in (10, 35):
+        a = sorted(
+            map(tuple, log2_hist_top_gate(folded, pct).collect())
+        )
+        b = sorted(
+            map(tuple, log2_hist_top_gate(batch, pct, by=["src"]).collect())
+        )
+        assert a == b and len(a) == 2
