@@ -189,6 +189,7 @@ HEADLINE = HEADLINE_R1 + [
     # and the production-width detector referee rides the existing
     # detector_agreement row (now 60-bit)
     "percentile_gate_sketch",
+    "bloom_decontam",
 ]
 
 

@@ -21,14 +21,16 @@ _DRIVER_WINDOW = [
     # ------------------------------------------------------------------
     # r12 rotation (steady-state policy, round 2): 3 r11-late heads
     # (pre-declared in the r11 window comment — local-mirror + vanilla-
-    # driver-sim green since r11, never had a driver row), 1 r12
-    # flagship (percentile_gate_sketch, registered this round — window
-    # slot decided at registration time), 14 oldest-green rows (r6: 6,
-    # r7: 8), and 32 from the r8 cohort in registration order INCLUDING
-    # detector_agreement out of order — its simhash branch moved to the
-    # production 60-bit width this round, so its oracle RESULTS changed
-    # and the driver must re-record it. Remaining r8 rows (18) plus the
-    # r9 cohort are the r13 rotation tail. Every rotated-out query keeps
+    # driver-sim green since r11, never had a driver row), 2 r12
+    # flagships (percentile_gate_sketch + bloom_decontam, registered
+    # this round — window slots decided at registration time), 14
+    # oldest-green rows (r6: 6, r7: 8), and 31 from the r8 cohort in
+    # registration order INCLUDING detector_agreement out of order —
+    # its simhash branch moved to the production 60-bit width this
+    # round, so its oracle RESULTS changed and the driver must
+    # re-record it. Remaining r8 rows (19, starting at
+    # incremental_curation) plus the r9 cohort are the r13 rotation
+    # tail. Every rotated-out query keeps
     # full coverage via the local driver-sim + the pytest oracle mirror.
     #
     # r13 rotation heads (none registered after this window froze yet;
@@ -36,8 +38,9 @@ _DRIVER_WINDOW = [
     # ------------------------------------------------------------------
     # r11-late heads (the whole debt):
     "ivf_arrow_assign", "simhash_wide_pairs", "quantile_sketch_audit",
-    # r12 flagship: the sketch-maintenance E2E (gate from merged state)
-    "percentile_gate_sketch",
+    # r12 flagships: the sketch-maintenance E2E (gate from merged
+    # state) and the bloom-prefiltered decontam equivalence
+    "percentile_gate_sketch", "bloom_decontam",
     # changed this round (60-bit simhash branch -> results changed):
     "detector_agreement",
     # oldest-green: last driver row r6
@@ -58,7 +61,6 @@ _DRIVER_WINDOW = [
     "vocab_token_count", "ingest_pipeline", "pagerank_dangling",
     "semantic_dedup_pipeline", "bm25_topk", "ann_int8_l2_topk",
     "training_shuffle_shards", "auto_salted_join_equiv",
-    "incremental_curation",
 ]
 
 #: the r11 steady-state window, kept for its rotation rationale — every

@@ -1559,3 +1559,57 @@ def percentile_gate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((strict <= exact) & (exact <= loose)).alias("in_envelope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered benchmark decontamination (round 12): exact results,
+# shuffle mass ∝ contamination instead of corpus grams
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "bloom_decontam",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 12),
+               i -> md5(array_to_string(toks[i:i+12], ' ')))) AS gh
+      FROM t WHERE len(toks) >= 13
+    ),
+    eg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_collisions
+      FROM tg WHERE gh IN (SELECT gh FROM eg) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_collisions, 0) AS BIGINT) AS n_collisions,
+           coalesce(n_collisions, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through the Bloom-prefiltered path
+    (text/cleaning.py::bloom_decontaminate_against) — the oracle is the
+    SAME SQL as ``benchmark_decontam``, which is the point: the bitmap
+    prefilter changes the physical plan, not one output row. The eval
+    slice's distinct 13-gram hashes pack into a 2^20-bit bitmap
+    (operators/bloom.py, k=3 xxhash64 probes, all codegen); train gram
+    hashes failing any bit test die INSIDE the scan projection, so the
+    per-(id, gram) distinct — the exact path's dominant exchange, all
+    corpus grams — carries only true collisions plus the ~1% fp band;
+    the broadcast semi-join referee then removes the false positives
+    (false negatives are impossible). At 100 TB the bitmap is the
+    persisted benchmark sidecar (save_bloom_bitmap): 1.25 MB per
+    million eval grams, rebuilt only when the benchmark suite changes,
+    while every corpus refresh re-screens at scan speed."""
+    from pharmacodi_spark.text.cleaning import bloom_decontaminate_against
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 97 != 0)
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    return bloom_decontaminate_against(train, ev, n=13)

@@ -212,6 +212,32 @@ def repeated_span_stats(
     )
 
 
+def _ngram_hash_rows(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int,
+    tokens_col: str | None,
+) -> DataFrame:
+    """(id, gh) rows: one md5 hash per ``n``-gram window — the shared
+    gram stage of the decontamination family (bodies never leave the
+    projection; only 32-byte hashes flow downstream)."""
+    toks = (
+        F.filter(F.col(tokens_col), lambda x: x != "")
+        if tokens_col is not None
+        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    )
+    g = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice("__toks", i, n), " ")),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select(id_col, F.explode(g).alias("gh"))
+    )
+
+
 def decontaminate_against(
     train: DataFrame,
     eval_df: DataFrame,
@@ -237,22 +263,8 @@ def decontaminate_against(
     benchmark contamination passes silently (the r8 silent-degradation
     class; VERDICT r10 item 4 ranked this op highest-stakes).
     """
-    toks = (
-        F.filter(F.col(tokens_col), lambda x: x != "")
-        if tokens_col is not None
-        else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
-    )
-
     def gram_rows(df: DataFrame) -> DataFrame:
-        g = F.transform(
-            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-            lambda i: F.md5(F.array_join(F.slice("__toks", i, n), " ")),
-        )
-        return (
-            df.select(F.col(id_col), toks.alias("__toks"))
-            .where(F.size("__toks") >= n)
-            .select(id_col, F.explode(g).alias("gh"))
-        )
+        return _ngram_hash_rows(df, content_col, id_col, n, tokens_col)
 
     # the eval gram set is benchmark-sized by definition — hint it so the
     # semi-join stays broadcast even when the eval frame has no stats
@@ -271,6 +283,67 @@ def decontaminate_against(
         .select(
             id_col,
             F.coalesce("n_collisions", F.lit(0)).cast("long").alias("n_collisions"),
+            (F.coalesce("n_collisions", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def bloom_decontaminate_against(
+    train: DataFrame,
+    eval_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    tokens_col: str | None = None,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate_against` with a Bloom prefilter on the train
+    gram stream — EXACTLY the same output (oracle-certified), different
+    physical shape for the 100 TB leg: the eval gram set packs into an
+    ``n_bits``-bit bitmap sidecar (operators/bloom.py — build once per
+    benchmark refresh, persist next to the eval set via
+    save_bloom_bitmap), and every train gram hash failing any of the k
+    bit tests is dropped INSIDE the scan stage, before the
+    per-(id, gram) distinct. That distinct's exchange is the query's
+    dominant shuffle — all corpus grams in the exact form — and under
+    the prefilter it carries only true collisions plus the ~1% false-
+    positive band, i.e. mass ∝ contamination, not corpus size. False
+    negatives are impossible (a Bloom property), so the surviving
+    candidates' broadcast semi-join against the real eval hashes
+    restores exactness — the bloom_prefilter_semi_join contract, applied
+    to the highest-stakes filter in the curation family.
+
+    Sizing: ~10 bits per distinct eval gram for a ~1% fp rate at k=3;
+    a 1M-gram benchmark suite fits in 1.25 MB of bitmap literal."""
+    from pharmacodi_spark.operators.bloom import (
+        bloom_condition,
+        build_bloom_bitmap,
+    )
+
+    eval_grams = (
+        _ngram_hash_rows(eval_df, content_col, id_col, n, tokens_col)
+        .select("gh")
+        .distinct()
+    )
+    words = build_bloom_bitmap(eval_grams, "gh", n_bits, n_hashes)
+    cand = _ngram_hash_rows(train, content_col, id_col, n, tokens_col).where(
+        bloom_condition(words, F.col("gh"), n_hashes)
+    )
+    hits = (
+        cand.distinct()
+        .join(F.broadcast(eval_grams), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_collisions", F.lit(0))
+            .cast("long")
+            .alias("n_collisions"),
             (F.coalesce("n_collisions", F.lit(0)) > 0).alias("contaminated"),
         )
     )

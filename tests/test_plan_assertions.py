@@ -268,6 +268,14 @@ CASES = [
      "the corpus — per-source metadata, never shuffled corpus-side"),
     ("percentile_gate_sketch", r"SortMergeJoin", False,
      "both joins are per-source 1-row-ish metadata: broadcast only"),
+    ("bloom_decontam", r"getbit", True,
+     "the bitmap prefilter compiled into the gram projection — train "
+     "grams failing a bit test never reach the distinct's exchange"),
+    ("bloom_decontam", r"LeftSemi", True,
+     "the exact referee: surviving candidates semi-join the real eval "
+     "hashes, removing the fp band"),
+    ("bloom_decontam", r"SortMergeJoin", False,
+     "eval side is benchmark-sized: broadcast joins only"),
 ]
 
 

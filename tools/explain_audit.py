@@ -926,6 +926,15 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False,
          "per-source metadata joins: broadcast only"),
     ],
+    "bloom_decontam": [
+        (r"getbit", True,
+         "the bitmap prefilter lives in the scan-side projection — the "
+         "distinct exchange carries collisions + the fp band only"),
+        (r"LeftSemi", True,
+         "exact broadcast semi-join referee over the survivors"),
+        (r"SortMergeJoin", False,
+         "benchmark-sized eval side: broadcast only"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
