@@ -297,6 +297,7 @@ def bloom_decontaminate_against(
     tokens_col: str | None = None,
     n_bits: int = 1 << 20,
     n_hashes: int = 3,
+    bitmap: "tuple[list[int], int] | None" = None,
 ) -> DataFrame:
     """:func:`decontaminate_against` with a Bloom prefilter on the train
     gram stream — EXACTLY the same output (oracle-certified), different
@@ -315,7 +316,15 @@ def bloom_decontaminate_against(
     to the highest-stakes filter in the curation family.
 
     Sizing: ~10 bits per distinct eval gram for a ~1% fp rate at k=3;
-    a 1M-gram benchmark suite fits in 1.25 MB of bitmap literal."""
+    a 1M-gram benchmark suite fits in 1.25 MB of bitmap literal.
+
+    ``bitmap``: a pre-built ``(words, n_hashes)`` pair — pass
+    ``load_bloom_bitmap`` output to reuse the persisted sidecar instead
+    of re-aggregating the eval grams per corpus refresh (build once
+    when the benchmark suite changes, screen every refresh); it MUST
+    have been built over the same ``n``-gram md5 hashes
+    (``_ngram_hash_rows`` of the same eval set), since a mismatched
+    bitmap silently filters the wrong key space."""
     from pharmacodi_spark.operators.bloom import (
         bloom_condition,
         build_bloom_bitmap,
@@ -326,7 +335,10 @@ def bloom_decontaminate_against(
         .select("gh")
         .distinct()
     )
-    words = build_bloom_bitmap(eval_grams, "gh", n_bits, n_hashes)
+    if bitmap is not None:
+        words, n_hashes = bitmap
+    else:
+        words = build_bloom_bitmap(eval_grams, "gh", n_bits, n_hashes)
     cand = _ngram_hash_rows(train, content_col, id_col, n, tokens_col).where(
         bloom_condition(words, F.col("gh"), n_hashes)
     )

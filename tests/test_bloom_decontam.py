@@ -79,3 +79,31 @@ def test_bloom_tokens_col_seam(spark):
     )
     assert bloom == exact
     assert exact[0][1] is True and exact[1][1] is False
+
+
+def test_bloom_persisted_sidecar_roundtrip(spark, tmp_path):
+    # the production loop: build the bitmap once when the benchmark
+    # changes, persist it, and screen later corpus refreshes from the
+    # LOADED sidecar — identical rows to the rebuild-every-time path
+    from pharmacodi_spark.operators.bloom import (
+        build_bloom_bitmap,
+        load_bloom_bitmap,
+        save_bloom_bitmap,
+    )
+    from pharmacodi_spark.text.cleaning import _ngram_hash_rows
+
+    train, ev = _corpus(spark, seed=79)
+    eval_grams = (
+        _ngram_hash_rows(ev, "text", "doc_id", 13, None)
+        .select("gh")
+        .distinct()
+    )
+    words = build_bloom_bitmap(eval_grams, "gh", 1 << 16, 3)
+    path = str(tmp_path / "decontam_bloom")
+    save_bloom_bitmap(spark, words, 3, path)
+    loaded = load_bloom_bitmap(spark, path)
+    fresh = _rowmap(bloom_decontaminate_against(train, ev, n=13))
+    reused = _rowmap(
+        bloom_decontaminate_against(train, ev, n=13, bitmap=loaded)
+    )
+    assert reused == fresh == _rowmap(decontaminate_against(train, ev, n=13))
