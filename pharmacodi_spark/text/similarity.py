@@ -590,6 +590,14 @@ def lsh_bucket_topk(
     return cosine_topk(candidates, query, k, vec_col, id_col)
 
 
+#: auto-dispatch floor for the Arrow GEMM pair-scoring tier: vectors at
+#: least this wide route to cell_cosine_pairs_arrow (the zip_with fold
+#: pays dim interpreted lambda steps PER PAIR; BLAS pays one fused
+#: multiply-add — the same crossover logic SCALING.md measured for
+#: ivf_assign_arrow, here per candidate pair instead of per row)
+CELL_PAIRS_ARROW_MIN_DIM = 256
+
+
 def cell_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -598,6 +606,7 @@ def cell_cosine_pairs(
     threshold: float = 0.8,
     max_cell_size: int | None = None,
     flatten_max_dim: int = 128,
+    method: str | None = None,
 ) -> DataFrame:
     """Within-cell cosine-similar pairs (doc_a < doc_b, cosine >= threshold)
     — the scoring stage of SemDeDup-style blocking (assign cells with
@@ -618,8 +627,20 @@ def cell_cosine_pairs(
     (text/dedup.py::triangle_blocks): same pair set, per-task work bounded
     under cell skew. Both paths and both guard settings produce identical
     results; only the physical plan differs.
+
+    ``method``: None (auto) / "codegen" / "arrow". Auto routes vectors at
+    least ``CELL_PAIRS_ARROW_MIN_DIM`` wide to
+    :func:`cell_cosine_pairs_arrow` (one numpy GEMM per cell block instead
+    of a dim-step interpreted fold per pair); narrower vectors keep the
+    JVM codegen paths above. The Arrow tier is bit-identical for
+    integer-valued vectors (the ivf_assign_arrow exactness contract) and
+    may differ in the last ULP for float inputs — quantize first when
+    cross-engine determinism matters.
     """
     from pharmacodi_spark.text.dedup import triangle_blocks, triangle_pair_cond
+
+    if method not in (None, "codegen", "arrow"):
+        raise ValueError(f"method must be None/'codegen'/'arrow', got {method!r}")
 
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim is None:
@@ -630,13 +651,29 @@ def cell_cosine_pairs(
             )
         )
     dim = dim.d
+    if method == "arrow" or (
+        method is None and dim >= CELL_PAIRS_ARROW_MIN_DIM
+    ):
+        return cell_cosine_pairs_arrow(
+            df,
+            vec_col=vec_col,
+            id_col=id_col,
+            cell_col=cell_col,
+            threshold=threshold,
+            max_cell_size=max_cell_size,
+        )
     v = _as_double(F.col(vec_col))
     withn = df.select(
         F.col(id_col),
         F.col(cell_col),
         v.alias("__v"),
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x).alias("__n2"),
-    )
+    # zero-norm vectors have no cosine: exclude them EXPLICITLY rather
+    # than inherit the session's division semantics (ANSI — Spark 4's
+    # default — raises DIVIDE_BY_ZERO on the pair expression; legacy
+    # mode yields NULL and silently drops). Both tiers share this rule,
+    # so the arrow path is equivalent row-for-row (r12).
+    ).where(F.col("__n2") > 0)
     flatten = dim <= flatten_max_dim
     if flatten:
         base = withn.select(
@@ -675,6 +712,126 @@ def cell_cosine_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
     )
+
+
+def cell_cosine_pairs_arrow(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "centroid_id",
+    threshold: float = 0.8,
+    max_cell_size: int | None = None,
+    slab_rows: int = 1024,
+) -> DataFrame:
+    """Within-cell cosine pairs scored as ONE numpy GEMM per cell block —
+    the wide-embedding tier of :func:`cell_cosine_pairs` (auto-dispatched
+    past ``CELL_PAIRS_ARROW_MIN_DIM``). The zip_with fold pays ``dim``
+    interpreted lambda steps per candidate PAIR; at 1k-dim embeddings
+    that is the semantic-dedup floor (ROADMAP r11: 12 s for 6.4M candidate
+    dots at sf1). Here each cell block becomes one ``applyInPandas`` group
+    and all its pair dots are a single BLAS matmul.
+
+    Same pair set as the join path, both guard settings:
+
+    - ``max_cell_size=None``: one group per cell; the GEMM is slabbed
+      (``slab_rows`` × m) so memory stays bounded even on a hot cell —
+      but TIME is still O(m²) in one task, so at scale arm the guard;
+    - ``max_cell_size=k``: the cell is decomposed by
+      text/dedup.py::triangle_blocks and each (bi, bj) block is one
+      group — the diagonal blocks score their subgroup's triangle, the
+      off-diagonal blocks score only CROSS-subgroup pairs (the
+      triangle diagonal rule), so every within-cell pair is emitted
+      exactly once and per-task work is bounded at (2k)² regardless of
+      skew.
+
+    Exactness contract (the ivf_assign_arrow clause): the comparison is
+    the SAME IEEE expression as the join path —
+    ``dot / sqrt(n2_a · n2_b) >= threshold`` with the norm product
+    multiplied in float64 BEFORE the sqrt — so for INTEGER-valued vectors
+    with ``dim · max|x|² < 2⁵³`` every dot and norm is an exact float64
+    integer and the emitted pairs are bit-identical to the codegen paths
+    (pytest-proven). Float inputs may differ in the last ULP across paths
+    (GEMM reassociates the sum); quantize first (int8_quantize / the qe
+    convention) when cross-engine determinism matters.
+
+    Scale shape (100 TB): vectors shuffle ONCE keyed by (cell, block) —
+    the same exchange the join path pays — then never again; no pair-
+    blowup ever reaches an exchange (pairs materialize inside the Arrow
+    worker and only id pairs leave). ``id_col`` must be numeric (ids
+    travel through numpy min/max).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("doc_a", id_type, False),
+            StructField("doc_b", id_type, False),
+        ]
+    )
+    thr = float(threshold)
+
+    # the shared zero-norm rule (see cell_cosine_pairs): excluded BEFORE
+    # the triangle decomposition so block counts match the codegen path
+    v = _as_double(F.col(vec_col))
+    base = df.select(id_col, cell_col, vec_col).where(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x) > 0
+    )
+    if max_cell_size is not None:
+        from pharmacodi_spark.text.dedup import triangle_blocks
+
+        blk = triangle_blocks(base, [cell_col], id_col, max_cell_size)
+        group_keys = [cell_col, "__bi", "__bj"]
+    else:
+        blk = base
+        group_keys = [cell_col]
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        n2 = (x * x).sum(axis=1)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        cross = (
+            "__g" in pdf.columns
+            and int(pdf["__bi"].iat[0]) != int(pdf["__bj"].iat[0])
+        )
+        if cross:
+            ga = pdf["__g"].to_numpy() == int(pdf["__bi"].iat[0])
+            ia = np.flatnonzero(ga)
+            ib = np.flatnonzero(~ga)
+            for s in range(0, len(ia), slab_rows):
+                sl = ia[s : s + slab_rows]
+                den = np.sqrt(n2[sl][:, None] * n2[ib][None, :])
+                cos = (x[sl] @ x[ib].T) / den
+                r, c = np.nonzero(cos >= thr)
+                u, v = ids[sl[r]], ids[ib[c]]
+                out_a.append(np.minimum(u, v))
+                out_b.append(np.maximum(u, v))
+        else:
+            for s in range(0, len(ids), slab_rows):
+                sl = slice(s, s + slab_rows)
+                den = np.sqrt(n2[sl][:, None] * n2[None, :])
+                cos = (x[sl] @ x.T) / den
+                r, c = np.nonzero(cos >= thr)
+                u, v = ids[sl][r], ids[c]
+                keep = u < v
+                out_a.append(u[keep])
+                out_b.append(v[keep])
+        if out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                }
+            )
+        return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+
+    return blk.groupBy(*group_keys).applyInPandas(score, schema=out_schema)
 
 
 def int8_quantize(

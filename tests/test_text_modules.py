@@ -523,9 +523,14 @@ def test_cell_cosine_pairs_high_dim_path_matches_flattened(spark):
             ).collect()
         }
 
-    hof = pairs()  # dim 256 > default flatten_max_dim=128 → zip_with path
-    flat = pairs(flatten_max_dim=512)  # force the flattened path
-    guarded = pairs(max_cell_size=8)  # hof + triangle-block guard
+    # dim 256 ≥ CELL_PAIRS_ARROW_MIN_DIM auto-routes to the Arrow GEMM
+    # tier (r12); pin method="codegen" to keep exercising the zip_with
+    # path this test exists for, and assert the auto (= arrow) path too
+    hof = pairs(method="codegen")  # dim 256 > flatten_max_dim → zip_with
+    flat = pairs(flatten_max_dim=512, method="codegen")  # flattened path
+    guarded = pairs(max_cell_size=8, method="codegen")  # + triangle guard
+    arrow = pairs()  # auto → Arrow GEMM tier at dim 256
+    arrow_guarded = pairs(max_cell_size=8, method="arrow")
     # NumPy oracle
     a = np.array(vecs, dtype=np.float64)
     norm = np.sqrt((a * a).sum(axis=1))
@@ -539,6 +544,8 @@ def test_cell_cosine_pairs_high_dim_path_matches_flattened(spark):
     assert want and hof == want
     assert flat == want
     assert guarded == want
+    assert arrow == want
+    assert arrow_guarded == want
 
 
 def test_repetition_metrics_hand_fixture(spark):
