@@ -617,3 +617,253 @@ def read_log2_hist_sketch(
     summing across groups; pass an explicit coarser list to roll up."""
     parts = spark.read.parquet(f"{base_dir}/log2_hist").drop("batch_id")
     return log2_hist_merge(parts, by=by)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) bottom-k sketch (round 12): the fourth leg of
+# the mergeable-sketch family — distinct (md5-HLL), frequency
+# (count-min), quantiles (log2 histogram), SET OPERATIONS (this). The
+# bottom-k of a uniform hash is a fixed-size uniform sample of the
+# DISTINCT key space, so two corpus snapshots' sketches answer
+# union / intersection / Jaccard questions — "how much does the new
+# crawl's vocabulary overlap the old?" — from ≤k longs per group
+# without ever joining the corpora. Deterministic (md5-hashed like the
+# HLL leg) → exactly oracle-able; merge = union ∘ re-bottom-k
+# (idempotent, commutative, associative). Beyer et al., "On synopses
+# for distinct-value estimation under multiset operations" (SIGMOD'07).
+# ---------------------------------------------------------------------------
+
+KMV_BITS = 60  #: md5 15-hex-char slice → uniform on [0, 2^60)
+KMV_K = 256  #: default sketch size (σ ≈ 1/√(k−2) ≈ 6.3% on distincts)
+
+
+def _kmv_hash(col: str, salt: str) -> Column:
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = KMV_K,
+    by: list[str] | None = None,
+    salt: str = "kmv",
+    fan_in: int = 16,
+) -> DataFrame:
+    """The sketch STATE: ``(by..., __kmv array<long>)`` — the k smallest
+    distinct 60-bit md5 hashes of ``col`` per group, sorted ascending
+    (shorter than k when the group has fewer distincts — then the
+    sketch IS the exact distinct set and estimates degrade to exact).
+    NULLs mint no hash (the r11 sketch-hygiene rule shared with the
+    HLL/CM/log2 legs).
+
+    Scale shape (100 TB): two map-side-combining aggregates. Phase 1
+    keys on ``(by..., hash mod fan_in)`` and keeps each salt lane's
+    bottom-k, so AT MOST ``fan_in · k`` longs per group reach the
+    second exchange no matter how many rows were scanned (the lane
+    dedup itself is a hash aggregate — spillable, the same class as any
+    distinct); phase 2 folds the lanes. The exact alternative shuffles
+    every distinct value to one task per group; this shuffles ≤
+    ``fan_in·k`` longs and no group ever lands on a single straggler
+    task with its full distinct set."""
+    assert k >= 2, "KMV needs k >= 2 (the k-th order statistic)"
+    keys = by or []
+    hashed = (
+        df.where(F.col(col).isNotNull())
+        .select(*keys, _kmv_hash(col, salt).alias("__h"))
+        .withColumn("__lane", F.pmod(F.col("__h"), F.lit(fan_in)))
+    )
+    lanes = hashed.groupBy(*keys, "__lane").agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__p")
+    )
+    # lanes hold disjoint hash residues → the flatten is already
+    # duplicate-free; one sort + slice finishes the bottom-k
+    return lanes.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__p"))), 1, k
+        ).alias("__kmv")
+    )
+
+
+def kmv_merge(
+    *sketches: DataFrame, k: int = KMV_K, by: list[str] | None = None
+) -> DataFrame:
+    """Union sketch states and re-bottom-k — set-union then k smallest
+    is idempotent/commutative/associative, so merging ANY partition of
+    the input rows (per-shard, per-day, replayed batches) sketches
+    exactly like one pass over the union (pytest-proven). Also the
+    regroup point: pass coarser ``by`` keys EXPLICITLY (``by=[]`` for a
+    global roll-up). With ``by=None`` the keys are INFERRED from the
+    stored schema — every column that isn't sketch state — so folding a
+    per-source sketch without naming the keys can never silently pool
+    hashes across sources (the ADVICE r11 rule)."""
+    if by is None:
+        keys = [
+            c for c in sketches[0].columns if c not in ("__kmv", "batch_id")
+        ]
+    else:
+        keys = list(by)
+        missing = [k_ for k_ in keys if k_ not in sketches[0].columns]
+        if missing:
+            raise ValueError(
+                f"kmv_merge: by names columns absent from the sketch "
+                f"state: {missing} (have {sketches[0].columns})"
+            )
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("__kmv")))
+            ),
+            1,
+            k,
+        ).alias("__kmv")
+    )
+
+
+def _kmv_est(arr: Column, k: int) -> Column:
+    """Distinct estimate from a bottom-k array: exact size when the
+    sketch is unsaturated, else ``floor((k−1)·2^60 / h_k)`` (Beyer et
+    al.'s unbiased KMV estimator). Every step is deterministic IEEE —
+    ``(k−1)·2^60`` is an exact double (mantissa k−1 < 2^53), the
+    long→double cast of ``h_k`` and the division are correctly rounded
+    identically in Spark and DuckDB. ``h_k = 0`` is impossible: the
+    k-th smallest of k DISTINCT non-negative hashes is ≥ k−1 ≥ 1."""
+    n = F.size(arr)
+    hk = F.element_at(arr, k).cast("double")
+    return (
+        F.when(n < k, n.cast("long"))
+        .otherwise(
+            F.floor(F.lit(float((k - 1) * (1 << KMV_BITS))) / hk).cast(
+                "long"
+            )
+        )
+    )
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, k: int = KMV_K, by: list[str] | None = None
+) -> DataFrame:
+    """Fold sketch state into ``(by..., n_kept, n_est)``. ``by=None``
+    infers keys from the schema (the kmv_merge rule)."""
+    if by is None:
+        keys = [c for c in sketch.columns if c not in ("__kmv", "batch_id")]
+    else:
+        keys = list(by)
+    return sketch.select(
+        *keys,
+        F.size("__kmv").cast("long").alias("n_kept"),
+        _kmv_est(F.col("__kmv"), k).alias("n_est"),
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = KMV_K,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Set-operation estimates between two sketches (per shared group):
+    ``(by..., n_a_est, n_b_est, union_est, inter_est, jaccard_ppm)``.
+
+    The bottom-k of the UNION of the two hash sets is itself the KMV
+    sketch of A ∪ B (computable from the two sketches alone — the KMV
+    closure property), and within that combined bottom-k the fraction
+    of hashes present in BOTH sketches is an unbiased Jaccard estimate;
+    ``inter_est = union_est · n_common div n_u`` and ``jaccard_ppm``
+    (parts-per-million, integer fixed point) follow deterministically.
+    With ``by=None`` both sides must be GLOBAL (one-row) sketches —
+    they join as 1×1 broadcast relations; grouped sketches join on the
+    inferred keys (inner: a group absent from either side has no
+    overlap question to answer)."""
+    if by is None:
+        keys = [c for c in a.columns if c not in ("__kmv", "batch_id")]
+    else:
+        keys = list(by)
+    left = a.select(*keys, F.col("__kmv").alias("__ka"))
+    right = b.select(*keys, F.col("__kmv").alias("__kb"))
+    j = left.crossJoin(right) if not keys else left.join(right, keys)
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__ka", "__kb"))), 1, k
+    )
+    j = (
+        j.withColumn("__u", u)
+        .withColumn("__n_u", F.size("__u").cast("long"))
+        .withColumn(
+            "__n_common",
+            F.size(
+                F.array_intersect(F.array_intersect("__u", "__ka"), "__kb")
+            ).cast("long"),
+        )
+        .withColumn("union_est", _kmv_est(F.col("__u"), k))
+    )
+    # integer `div` (not double /) so the fixed-point results are exact
+    # and identical to the oracle's `//`
+    return j.select(
+        *keys,
+        _kmv_est(F.col("__ka"), k).alias("n_a_est"),
+        _kmv_est(F.col("__kb"), k).alias("n_b_est"),
+        F.col("union_est"),
+        F.expr("(union_est * __n_common) div __n_u").alias("inter_est"),
+        F.expr("(__n_common * 1000000) div __n_u").alias("jaccard_ppm"),
+    )
+
+
+def streaming_kmv_sketch(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    k: int = KMV_K,
+    by: list[str] | None = None,
+):
+    """Maintain the KMV sketch over a stream — the set-operations twin
+    of :func:`streaming_log2_hist_sketch` with the identical
+    replay-idempotence pattern: each micro-batch's ≤k-longs-per-group
+    state lands in its OWN ``batch_id=N`` partition (dynamic partition
+    overwrite ⇒ a replayed batch rewrites its partition; and because
+    merge is set-union ∘ bottom-k, even double-counting would be
+    harmless — KMV merge is fully idempotent, unlike the counting
+    sketches). :func:`read_kmv_sketch` folds partitions with
+    :func:`kmv_merge` at question time — "how much does today's crawl
+    overlap yesterday's?" from KB-scale state."""
+    keys = by or []
+
+    def do_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            kmv_sketch(batch, col, k=k, by=keys)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{base_dir}/kmv")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_sketch(
+    spark, base_dir: str, k: int = KMV_K, by: list[str] | None = None
+) -> DataFrame:
+    """Fold the per-batch sketch partitions into ONE queryable state.
+
+    ``by=None`` infers the group keys from the stored schema (all
+    columns except ``__kmv``/``batch_id``) — the ADVICE r11 rule: a
+    sketch built per-source folds per-source unless the caller
+    EXPLICITLY rolls up with a coarser list."""
+    parts = spark.read.parquet(f"{base_dir}/kmv").drop("batch_id")
+    return kmv_merge(parts, k=k, by=by)
