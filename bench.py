@@ -190,6 +190,10 @@ HEADLINE = HEADLINE_R1 + [
     # detector_agreement row (now 60-bit)
     "percentile_gate_sketch",
     "bloom_decontam",
+    # r12 late batch: the Arrow GEMM pair-scoring tier and the KMV
+    # bottom-k corpus-overlap sketch
+    "cell_pairs_arrow",
+    "kmv_overlap",
 ]
 
 

@@ -33,8 +33,12 @@ _DRIVER_WINDOW = [
     # tail. Every rotated-out query keeps
     # full coverage via the local driver-sim + the pytest oracle mirror.
     #
-    # r13 rotation heads (none registered after this window froze yet;
-    # update this comment at registration time if any land late).
+    # r13 rotation heads (registered after this window froze; each is
+    # local-mirror green at registration time, no driver row yet):
+    # cell_pairs_arrow (the Arrow GEMM pair-scoring tier's exactness
+    # row — integer-quantized cosine pairs under the triangle guard),
+    # kmv_overlap (the KMV bottom-k set-operations sketch — corpus
+    # shingle-space overlap from ≤k-row state, saturated regime).
     # ------------------------------------------------------------------
     # r11-late heads (the whole debt):
     "ivf_arrow_assign", "simhash_wide_pairs", "quantile_sketch_audit",

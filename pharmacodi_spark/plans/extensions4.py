@@ -1613,3 +1613,177 @@ def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.where(F.col("doc_id") % 97 != 0)
     ev = d.where(F.col("doc_id") % 97 == 0)
     return bloom_decontaminate_against(train, ev, n=13)
+
+
+# ---------------------------------------------------------------------------
+# Arrow GEMM per-cell pair scoring (round 12): the wide-embedding tier of
+# cell_cosine_pairs — pair dots as one BLAS matmul per triangle block
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "cell_pairs_arrow",
+    """
+    WITH un AS (
+      SELECT vec_id, vec_id % 4 AS cell,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS qv,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+      FROM un a JOIN un b
+        ON a.pos = b.pos AND a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n2 FROM un GROUP BY 1
+    )
+    SELECT d.doc_a, d.doc_b
+    FROM dots d
+    JOIN norms na ON d.doc_a = na.vec_id
+    JOIN norms nb ON d.doc_b = nb.vec_id
+    WHERE CAST(d.dot AS DOUBLE)
+          / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.3
+    """,
+)
+def cell_pairs_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell cosine pairs through the Arrow GEMM tier
+    (text/similarity.py::cell_cosine_pairs_arrow, r12) — the
+    wide-embedding path where the per-pair zip_with fold loses to one
+    numpy matmul per triangle block. This driver row certifies the
+    tier's EXACTNESS contract cross-engine: quantized integer-valued
+    vectors make every GEMM dot and norm an exact float64 integer, and
+    the comparison is the identical IEEE expression the codegen join
+    path and the oracle compute (``dot / sqrt(n2_a · n2_b) ≥ t`` with
+    the norm product multiplied BEFORE the sqrt), so the emitted pair
+    set is bit-identical. max_cell_size=64 forces the triangle-block
+    decomposition (125-row cells at sf0.01 → s = 2 subgroups), so the
+    off-diagonal cross-block diagonal rule is exercised under the
+    oracle gate, not just in pytest.
+
+    Scale shape: vectors shuffle once keyed by (cell, block) and pairs
+    materialize inside the Arrow worker — only id pairs leave; per-task
+    work is bounded at (2·max_cell_size)² under any cell skew."""
+    from pharmacodi_spark.text.similarity import cell_cosine_pairs_arrow
+
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(4)).cast("long").alias("cell"),
+        F.transform(
+            "embedding", lambda x: _rnd(x.cast("double") * 10000)
+        ).alias("qe"),
+    )
+    return cell_cosine_pairs_arrow(
+        qe,
+        vec_col="qe",
+        id_col="vec_id",
+        cell_col="cell",
+        threshold=0.3,
+        max_cell_size=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k corpus-overlap sketch (round 12): the set-operations leg
+# of the mergeable-sketch family (distinct=HLL, frequency=CM,
+# quantiles=log2 hist, SET OPS=this)
+# ---------------------------------------------------------------------------
+
+_KMV_Q_K = 128
+
+
+def _kmv_overlap_sql() -> str:
+    # floor((k−1)·2^60 / h_k): both factors exact in double (mantissa
+    # k−1; 2^60 a power of two), division/floor correctly rounded —
+    # bit-identical to the Spark side's _kmv_est
+    k = _KMV_Q_K
+    est = (
+        "CASE WHEN {n} < "
+        + str(k)
+        + " THEN {n} ELSE CAST(floor("
+        + f"{float(k - 1)} * 1152921504606846976.0"
+        + " / CAST({hk} AS DOUBLE)) AS BIGINT) END"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id % 3 AS m,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT m,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    ha AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5('kmv:' || sh), 1, 15)) AS BIGINT) AS h
+           FROM g WHERE m IN (0, 1)),
+    hb AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5('kmv:' || sh), 1, 15)) AS BIGINT) AS h
+           FROM g WHERE m IN (1, 2)),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+    un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT {k}),
+    s AS (
+      SELECT (SELECT count(*) FROM ka) AS na, (SELECT max(h) FROM ka) AS hka,
+             (SELECT count(*) FROM kb) AS nb, (SELECT max(h) FROM kb) AS hkb,
+             (SELECT count(*) FROM un) AS nu, (SELECT max(h) FROM un) AS hku,
+             (SELECT count(*) FROM un
+              WHERE h IN (SELECT h FROM ka)
+                AND h IN (SELECT h FROM kb)) AS ncom
+    )
+    SELECT
+      CAST({est.format(n="na", hk="hka")} AS BIGINT) AS n_a_est,
+      CAST({est.format(n="nb", hk="hkb")} AS BIGINT) AS n_b_est,
+      CAST({est.format(n="nu", hk="hku")} AS BIGINT) AS union_est,
+      CAST(({est.format(n="nu", hk="hku")} * ncom) // nu AS BIGINT)
+        AS inter_est,
+      CAST((ncom * 1000000) // nu AS BIGINT) AS jaccard_ppm
+    FROM s
+    """
+
+
+@q("kmv_overlap", _kmv_overlap_sql())
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation from KMV bottom-k sketches
+    (operators/sketches.py::kmv_sketch/kmv_set_ops, r12) — "how much of
+    the new crawl's shingle space overlaps the old?" answered from two
+    ≤k-long sketches, never joining the corpora. Two document slices
+    (doc_id % 3 ∈ {0,1} vs {1,2} — a real planted overlap) shingle into
+    3-token windows (~13k distinct per slice at sf0.01, saturating
+    k=128 so the ORDER-STATISTIC estimator — not the exact fallback —
+    is what the oracle certifies); the combined bottom-k is itself the
+    union's KMV sketch (the closure property), its in-both fraction the
+    Jaccard estimate, everything deterministic md5 + integer/IEEE
+    fixed-point.
+
+    Scale shape (100 TB): each sketch is two map-side-combining
+    aggregates — ≤ fan_in·k longs per group reach the exchange no
+    matter the corpus size — and the overlap math joins two ONE-ROW
+    relations. The exact alternative (bloom_decontam's semi-join or a
+    distinct-distinct join) shuffles the full shingle space."""
+    from pharmacodi_spark.operators.sketches import kmv_set_ops, kmv_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = d.select((F.col("doc_id") % 3).alias("m"), toks.alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    sh = t.select(
+        "m",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.array_join(F.slice("toks", i, 3), " "),
+            )
+        ).alias("sh"),
+    )
+    ska = kmv_sketch(sh.where(F.col("m").isin(0, 1)), "sh", k=_KMV_Q_K)
+    skb = kmv_sketch(sh.where(F.col("m").isin(1, 2)), "sh", k=_KMV_Q_K)
+    return kmv_set_ops(ska, skb, k=_KMV_Q_K)

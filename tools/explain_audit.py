@@ -935,6 +935,25 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
         (r"SortMergeJoin", False,
          "benchmark-sized eval side: broadcast only"),
     ],
+    "cell_pairs_arrow": [
+        (r"FlatMapGroupsInPandas", True,
+         "pair dots are one GEMM per triangle block inside the Arrow "
+         "worker — the pair blowup never reaches an exchange, only id "
+         "pairs leave"),
+        (r"BroadcastHashJoin", True,
+         "the triangle guard's cell-count side broadcasts — the vector "
+         "frame shuffles ONCE, keyed by (cell, block)"),
+        (r"SortMergeJoin", False, "no sort-merge anywhere"),
+    ],
+    "kmv_overlap": [
+        (r"ObjectHashAggregate", True,
+         "lane bottom-k collapses map-side — ≤ fan_in·k longs per group "
+         "reach each exchange regardless of corpus size"),
+        (r"BroadcastNestedLoopJoin Cross", True,
+         "the overlap math joins two ONE-ROW sketch relations; the "
+         "corpora themselves never join"),
+        (r"SortMergeJoin", False, "no sort-merge anywhere"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
