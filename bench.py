@@ -190,10 +190,11 @@ HEADLINE = HEADLINE_R1 + [
     # detector_agreement row (now 60-bit)
     "percentile_gate_sketch",
     "bloom_decontam",
-    # r12 late batch: the Arrow GEMM pair-scoring tier and the KMV
-    # bottom-k corpus-overlap sketch
+    # r12 late batch: the Arrow GEMM pair-scoring tier, the KMV
+    # bottom-k corpus-overlap sketch, and sorted-neighborhood blocking
     "cell_pairs_arrow",
     "kmv_overlap",
+    "snm_candidate_pairs",
 ]
 
 

@@ -38,7 +38,9 @@ _DRIVER_WINDOW = [
     # cell_pairs_arrow (the Arrow GEMM pair-scoring tier's exactness
     # row — integer-quantized cosine pairs under the triangle guard),
     # kmv_overlap (the KMV bottom-k set-operations sketch — corpus
-    # shingle-space overlap from ≤k-row state, saturated regime).
+    # shingle-space overlap from ≤k-row state, saturated regime),
+    # snm_candidate_pairs (sorted-neighborhood blocking — the
+    # linear-mass sort-order complement to the hash bucket families).
     # ------------------------------------------------------------------
     # r11-late heads (the whole debt):
     "ivf_arrow_assign", "simhash_wide_pairs", "quantile_sketch_audit",

@@ -1787,3 +1787,48 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ska = kmv_sketch(sh.where(F.col("m").isin(0, 1)), "sh", k=_KMV_Q_K)
     skb = kmv_sketch(sh.where(F.col("m").isin(1, 2)), "sh", k=_KMV_Q_K)
     return kmv_set_ops(ska, skb, k=_KMV_Q_K)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood candidate pairs (round 12): the sort-order
+# complement to hash blocking — linear candidate mass by construction
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "snm_candidate_pairs",
+    """
+    WITH k AS (
+      SELECT doc_id, substr(text, 1, 16) AS sk FROM documents
+    ),
+    p AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS pos FROM k
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.pos - a.pos AS BIGINT) AS pos_gap
+    FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 2
+    """,
+)
+def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (text/dedup.py::
+    sorted_neighborhood_pairs, r12 — Hernández & Stolfo SIGMOD'95): sort
+    by the classic normalized-prefix key (first 16 chars) and emit rows
+    within 2 positions. The sort-order complement to the LSH/SimHash
+    bucket families: prefix-sharing near-dups that hash apart are
+    adjacent here, and the candidate mass is EXACTLY (window−1)·n —
+    linear by construction, the one blocking scheme with no hot-bucket
+    quadratic term to guard.
+
+    Scale shape: positions via surrogate_key (dense_global=True at fact
+    scale: range-partition + broadcast offset fixup, no single-task
+    window); then ONE position equi-join over (id, pos) tuples — bodies
+    never shuffle; the window fan-out is a bounded constant."""
+    from pharmacodi_spark.text.dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.substring("text", 1, 16).alias("sk")
+    )
+    return sorted_neighborhood_pairs(
+        keyed, sort_key="sk", id_col="doc_id", window=3
+    )

@@ -953,3 +953,61 @@ def soft_dedup_weights(
         "cluster_size",
         F.expr("(1000000) div cluster_size").cast("long").alias("weight_ppm"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key: str,
+    id_col: str = "doc_id",
+    window: int = 4,
+    dense_global: bool = False,
+    barrier: str | None = "local",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95):
+    sort the corpus by a blocking key and emit every pair of rows within
+    ``window − 1`` positions — ``(doc_a, doc_b, pos_gap)`` with ``doc_a``
+    the LOWER-position row. The classic complement to hash blocking
+    (LSH/SimHash buckets): a sliding window over a sort order catches
+    near-dups that share a key PREFIX but land in different hash buckets,
+    and its candidate count is exactly ``(window−1)·n`` — linear by
+    construction, no hot-bucket quadratic term to guard.
+
+    The sort order is ``(sort_key, id)`` — tie-broken, so positions are
+    deterministic and the pair set is reproducible cross-engine.
+
+    Scale shape (100 TB): positions come from
+    :func:`~pharmacodi_spark.operators.keys.surrogate_key` — pass
+    ``dense_global=True`` at fact scale for the range-partition +
+    offset-fixup path (no single-task global window); the window join is
+    then ONE equi-join on position over (id, pos) tuples — bodies never
+    shuffle, and the ``window−1`` offset explode is a bounded constant
+    fan-out. The position frame feeds BOTH join sides, so it is
+    stage-barrier-pinned (the r11 consumed-twice rule): the sort/window
+    pass runs once, both sides read the pin. ``barrier=None`` opts out;
+    "durable" survives executor preemption (barrier.py)."""
+    assert window >= 2, "window must cover at least adjacent rows"
+    from pharmacodi_spark.operators.keys import surrogate_key
+
+    pos = surrogate_key(
+        df.select(id_col, sort_key),
+        order_by=[sort_key, id_col],
+        id_col="__pos",
+        dense_global=dense_global,
+    ).select(id_col, "__pos")
+    if barrier is not None:
+        from pharmacodi_spark.barrier import stage_barrier
+
+        pos = stage_barrier(pos, mode=barrier, name="snm_positions")
+    probes = pos.select(
+        F.col(id_col).alias("doc_a"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(window - 1))
+        ).alias("pos_gap"),
+        (F.col("__pos") + F.col("pos_gap")).alias("__pb"),
+    )
+    right = pos.select(
+        F.col(id_col).alias("doc_b"), F.col("__pos").alias("__pb")
+    )
+    return probes.join(right, "__pb").select(
+        "doc_a", "doc_b", F.col("pos_gap").cast("long").alias("pos_gap")
+    )

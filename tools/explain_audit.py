@@ -954,6 +954,18 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "corpora themselves never join"),
         (r"SortMergeJoin", False, "no sort-merge anywhere"),
     ],
+    "snm_candidate_pairs": [
+        (r"Scan ExistingRDD", True,
+         "positions are stage-barrier-pinned (the r11 consumed-twice "
+         "rule): the sort/window pass runs ONCE, both join sides read "
+         "the pin"),
+        (r"Scan parquet", False,
+         "documents scanned once, at pin time — not per join side"),
+        (r"BroadcastHashJoin", True,
+         "the (id, pos) side broadcasts — bodies never shuffle for the "
+         "window join"),
+        (r"SortMergeJoin", False, "no sort-merge anywhere"),
+    ],
 }
 
 # post-execution audits: properties only visible in the FINAL adaptive plan
