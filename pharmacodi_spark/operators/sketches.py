@@ -703,7 +703,13 @@ def kmv_merge(
     global roll-up). With ``by=None`` the keys are INFERRED from the
     stored schema — every column that isn't sketch state — so folding a
     per-source sketch without naming the keys can never silently pool
-    hashes across sources (the ADVICE r11 rule)."""
+    hashes across sources (the ADVICE r11 rule).
+
+    Caller contract (the cm_merge identical-(depth,width,salt) rule):
+    every input must be built with the SAME ``k`` and ``salt`` — a
+    sketch saturated at a smaller k merged under a larger one reads as
+    unsaturated-exact, and different salts make the hash spaces
+    incomparable. Neither is detectable from the state alone."""
     if by is None:
         keys = [
             c for c in sketches[0].columns if c not in ("__kmv", "batch_id")

@@ -591,11 +591,14 @@ def lsh_bucket_topk(
 
 
 #: auto-dispatch floor for the Arrow GEMM pair-scoring tier: vectors at
-#: least this wide route to cell_cosine_pairs_arrow (the zip_with fold
-#: pays dim interpreted lambda steps PER PAIR; BLAS pays one fused
-#: multiply-add — the same crossover logic SCALING.md measured for
-#: ivf_assign_arrow, here per candidate pair instead of per row)
-CELL_PAIRS_ARROW_MIN_DIM = 256
+#: least this wide route to cell_cosine_pairs_arrow. Set just above the
+#: flatten ceiling (128) so auto NEVER picks the zip_with fold — the
+#: fold pays dim interpreted lambda steps PER PAIR and loses to BLAS
+#: everywhere measured (SCALING.md r12: 2.1x at dim 256, 3.4x at 512 on
+#: 780k candidate dots), while the flattened <=128 path keeps the hot
+#: loop whole-stage codegen and JVM-only (no Python workers). The fold
+#: remains reachable via method="codegen" for >128-dim.
+CELL_PAIRS_ARROW_MIN_DIM = 129
 
 
 def cell_cosine_pairs(
@@ -612,16 +615,22 @@ def cell_cosine_pairs(
     — the scoring stage of SemDeDup-style blocking (assign cells with
     :func:`ivf_assign`, then only same-cell pairs are compared).
 
-    Two physical paths for the hot loop (pairs x dim multiplies), picked by
-    the vector width:
+    Three physical paths for the hot loop (pairs x dim multiplies), picked
+    by the vector width:
 
     - dim <= ``flatten_max_dim``: the vector is flattened to scalar columns
       so the dot product is straight-line whole-stage codegen (~2x over the
       per-element path at 64-dim);
-    - wider: stay on the array column with ``zip_with`` + ``aggregate`` —
-      janino-compiled straight-line expressions degrade (and eventually
-      fail to compile / fall back to interpreted) in the thousands of
-      operators, so 1k+-dim embeddings must NOT be flattened (VERDICT r4).
+    - dim >= ``CELL_PAIRS_ARROW_MIN_DIM`` (auto): one numpy GEMM per cell
+      block (:func:`cell_cosine_pairs_arrow`) — measured 2.1x/3.4x over
+      the fold at dim 256/512 (SCALING.md r12);
+    - ``method="codegen"`` above the flatten ceiling: stay on the array
+      column with ``zip_with`` + ``aggregate`` — janino-compiled
+      straight-line expressions degrade (and eventually fail to compile /
+      fall back to interpreted) in the thousands of operators, so 1k+-dim
+      embeddings must NOT be flattened (VERDICT r4). Auto no longer picks
+      this fold (it loses to BLAS everywhere measured); it remains the
+      JVM-only fallback when Python workers are unavailable.
 
     ``max_cell_size`` arms the exact triangle-block hot-cell guard
     (text/dedup.py::triangle_blocks): same pair set, per-task work bounded

@@ -88,7 +88,7 @@ def test_auto_dispatch_by_width(spark):
     """dim ≥ CELL_PAIRS_ARROW_MIN_DIM routes to the Arrow tier
     (FlatMapGroupsInPandas in the physical plan); narrow vectors stay on
     the JVM join paths (no Python node)."""
-    assert CELL_PAIRS_ARROW_MIN_DIM == 256
+    assert CELL_PAIRS_ARROW_MIN_DIM == 129  # just above the flatten ceiling
     df, _ = _fixture(spark, dim=8, n=12)
     narrow = cell_cosine_pairs(
         df, vec_col="embedding", id_col="vec_id", cell_col="cell"

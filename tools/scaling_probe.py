@@ -784,6 +784,59 @@ def ivf_tiers(spark) -> tuple[dict[str, float], dict[str, float]]:
     return sweep, growth
 
 
+def cell_pair_tiers(spark) -> dict[str, float]:
+    """Measure the cell_cosine_pairs scoring tiers (r12): codegen
+    (zip_with fold / flattened scalar columns, picked by width) vs the
+    Arrow GEMM tier, at the widths that decide the auto-dispatch
+    constant CELL_PAIRS_ARROW_MIN_DIM. The fold pays dim interpreted
+    lambda steps per candidate PAIR; BLAS pays one fused multiply-add —
+    per-pair cost is where the semantic-dedup floor lives (ROADMAP r11:
+    12 s for 6.4M candidate dots at sf1, dim 64).
+
+    10k integer-valued vectors in 64 cells (~156 rows/cell → ~780k
+    candidate pair dots), triangle guard armed at 256 on every leg
+    (the production shape); threshold 0.8 keeps output tiny so the
+    wall is pure scoring. Integer vectors ⇒ the tiers are
+    bit-equivalent (the pytest contract) on the probe data too."""
+    from pharmacodi_spark.text.similarity import cell_cosine_pairs
+
+    n = 10_000
+    out: dict[str, float] = {}
+    for dim in (64, 128, 256, 512):
+        path = f"{BASE}/cellpair_vecs_{dim}"
+        if not os.path.exists(path):
+            df = spark.range(n).select(
+                F.col("id").alias("vec_id"),
+                (F.col("id") % 64).cast("int").alias("cell"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda j: (
+                        F.xxhash64(F.col("id") * dim + j) % 2001
+                    ).cast("double"),
+                ).alias("qe"),
+            )
+            df.repartition(32).write.mode("overwrite").parquet(path)
+        src = spark.read.parquet(path)
+        for method in ("codegen", "arrow"):
+            # warm then measure (JIT / Python worker pool both amortize
+            # in steady state)
+            for leg in ("warm", f"{method}_d{dim}"):
+                sec = timed(
+                    lambda m=method: cell_cosine_pairs(
+                        src,
+                        vec_col="qe",
+                        id_col="vec_id",
+                        cell_col="cell",
+                        threshold=0.8,
+                        max_cell_size=256,
+                        method=m,
+                    )
+                )
+                if leg != "warm":
+                    out[leg] = sec
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -963,6 +1016,39 @@ def main() -> None:
         f"({growth['table_n128000_k500']:.2f}s vs",
         f"{growth['arrow_n128000_k500']:.2f}s) shows the interpreted-HOF",
         "constant the arrow tier replaces.",
+    ]
+
+    cp = cell_pair_tiers(spark)
+    lines += [
+        "",
+        "## cell_cosine_pairs scoring tiers by vector width (r12)",
+        "",
+        "10k integer-valued vectors, 64 cells (~780k candidate pair",
+        "dots), triangle guard at 256 on every leg, warm min-of-2nd-run.",
+        "codegen = the JVM join paths (flattened scalars ≤128-dim,",
+        "zip_with fold above); arrow = one numpy GEMM per triangle block",
+        "(cell_cosine_pairs_arrow). Per-pair fold cost grows linearly in",
+        "dim; the GEMM amortizes it — the measured ratios set the",
+        "auto-dispatch floor CELL_PAIRS_ARROW_MIN_DIM.",
+        "",
+        "| tier @ dim (n=10k, 64 cells) | sec |",
+        "|---|---|",
+    ]
+    for name, sec in cp.items():
+        lines.append(f"| {name} | {sec:.2f} |")
+    lines += [
+        "",
+        f"dim ≤128 rows are the flattened whole-stage-codegen path"
+        f" (JVM-only); dim 256: fold {cp['codegen_d256']:.2f}s vs arrow"
+        f" {cp['arrow_d256']:.2f}s"
+        f" ({cp['codegen_d256'] / cp['arrow_d256']:.1f}×);"
+        f" dim 512: fold {cp['codegen_d512']:.2f}s vs arrow"
+        f" {cp['arrow_d512']:.2f}s"
+        f" ({cp['codegen_d512'] / cp['arrow_d512']:.1f}×). The fold"
+        " loses to BLAS everywhere measured, so the auto dispatch floor"
+        " CELL_PAIRS_ARROW_MIN_DIM sits just above the flatten ceiling"
+        " (129): auto never picks the fold; ≤128-dim stays JVM-only"
+        " codegen, wider goes GEMM.",
     ]
 
     lines += [
