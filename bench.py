@@ -195,6 +195,7 @@ HEADLINE = HEADLINE_R1 + [
     "cell_pairs_arrow",
     "kmv_overlap",
     "snm_candidate_pairs",
+    "kmv_source_matrix",
 ]
 
 

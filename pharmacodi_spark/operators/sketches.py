@@ -798,10 +798,22 @@ def kmv_set_ops(
     left = a.select(*keys, F.col("__kmv").alias("__ka"))
     right = b.select(*keys, F.col("__kmv").alias("__kb"))
     j = left.crossJoin(right) if not keys else left.join(right, keys)
+    return _kmv_pair_estimates(j, k).select(
+        *keys, "n_a_est", "n_b_est", "union_est", "inter_est", "jaccard_ppm"
+    )
+
+
+def _kmv_pair_estimates(j: DataFrame, k: int) -> DataFrame:
+    """Append the set-operation estimate columns to a frame carrying
+    ``__ka``/``__kb`` sketch arrays — shared by :func:`kmv_set_ops`
+    (two sketch tables joined on group keys) and
+    :func:`kmv_overlap_matrix` (one grouped sketch self-paired).
+    Integer ``div`` (not double ``/``) keeps the fixed-point results
+    exact and identical to the oracle's ``//``."""
     u = F.slice(
         F.array_sort(F.array_distinct(F.concat("__ka", "__kb"))), 1, k
     )
-    j = (
+    return (
         j.withColumn("__u", u)
         .withColumn("__n_u", F.size("__u").cast("long"))
         .withColumn(
@@ -811,16 +823,53 @@ def kmv_set_ops(
             ).cast("long"),
         )
         .withColumn("union_est", _kmv_est(F.col("__u"), k))
+        .withColumn("n_a_est", _kmv_est(F.col("__ka"), k))
+        .withColumn("n_b_est", _kmv_est(F.col("__kb"), k))
+        .withColumn(
+            "inter_est", F.expr("(union_est * __n_common) div __n_u")
+        )
+        .withColumn(
+            "jaccard_ppm", F.expr("(__n_common * 1000000) div __n_u")
+        )
     )
-    # integer `div` (not double /) so the fixed-point results are exact
-    # and identical to the oracle's `//`
-    return j.select(
-        *keys,
-        _kmv_est(F.col("__ka"), k).alias("n_a_est"),
-        _kmv_est(F.col("__kb"), k).alias("n_b_est"),
-        F.col("union_est"),
-        F.expr("(union_est * __n_common) div __n_u").alias("inter_est"),
-        F.expr("(__n_common * 1000000) div __n_u").alias("jaccard_ppm"),
+
+
+def kmv_overlap_matrix(
+    sketch: DataFrame, key: str, k: int = KMV_K, barrier: str | None = "local"
+) -> DataFrame:
+    """All-pairs overlap surface between per-group sketches — "which
+    sources duplicate each other?" as one row per unordered group pair
+    ``(key_a < key_b)`` with the :func:`kmv_set_ops` estimate columns.
+
+    Scale shape: the sketch table IS the input (S rows of ≤k longs —
+    KB-scale state, typically read back from the persisted per-slice
+    partitions), so the S·(S−1)/2 pair expansion is a broadcast-size
+    self-join over index metadata; the corpora are never touched. When
+    the sketch comes in as an unmaterialized plan over the corpus, it
+    feeds BOTH self-join sides, so it is stage-barrier-pinned first
+    (the consumed-twice rule): the corpus scan + sketch aggregate run
+    ONCE, both sides read the KB-scale pin. ``barrier=None`` opts out
+    (e.g. when the input is already a read-back parquet). The caller
+    contract is kmv_merge's: one sketch table, one (k, salt)."""
+    if barrier is not None:
+        from pharmacodi_spark.barrier import stage_barrier
+
+        sketch = stage_barrier(sketch, mode=barrier, name="kmv_matrix")
+    a = sketch.select(
+        F.col(key).alias(f"{key}_a"), F.col("__kmv").alias("__ka")
+    )
+    b = sketch.select(
+        F.col(key).alias(f"{key}_b"), F.col("__kmv").alias("__kb")
+    )
+    j = a.join(b, F.col(f"{key}_a") < F.col(f"{key}_b"))
+    return _kmv_pair_estimates(j, k).select(
+        f"{key}_a",
+        f"{key}_b",
+        "n_a_est",
+        "n_b_est",
+        "union_est",
+        "inter_est",
+        "jaccard_ppm",
     )
 
 

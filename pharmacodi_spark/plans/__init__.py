@@ -40,7 +40,9 @@ _DRIVER_WINDOW = [
     # kmv_overlap (the KMV bottom-k set-operations sketch — corpus
     # shingle-space overlap from ≤k-row state, saturated regime),
     # snm_candidate_pairs (sorted-neighborhood blocking — the
-    # linear-mass sort-order complement to the hash bucket families).
+    # linear-mass sort-order complement to the hash bucket families),
+    # kmv_source_matrix (the all-pairs source-overlap surface from
+    # per-source KMV sketches — 190 rows at any sf).
     # ------------------------------------------------------------------
     # r11-late heads (the whole debt):
     "ivf_arrow_assign", "simhash_wide_pairs", "quantile_sketch_audit",

@@ -1832,3 +1832,111 @@ def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         keyed, sort_key="sk", id_col="doc_id", window=3
     )
+
+
+_KMV_MX_K = 64
+
+
+def _kmv_matrix_sql() -> str:
+    k = _KMV_MX_K
+    est = (
+        "CASE WHEN {n} < "
+        + str(k)
+        + " THEN {n} ELSE CAST(floor("
+        + f"{float(k - 1)} * 1152921504606846976.0"
+        + " / CAST({hk} AS DOUBLE)) AS BIGINT) END"
+    )
+    return f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    hh AS (SELECT DISTINCT source,
+             CAST(('0x' || substr(md5('kmv:' || sh), 1, 15)) AS BIGINT) AS h
+           FROM g),
+    ks AS (SELECT source, h FROM (
+             SELECT source, h,
+                    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM hh) WHERE rn <= {k}),
+    srcs AS (SELECT DISTINCT source FROM ks),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    uh AS (
+      SELECT DISTINCT p.source_a, p.source_b, k1.h
+      FROM pairs p JOIN ks k1
+        ON k1.source = p.source_a OR k1.source = p.source_b
+    ),
+    ub AS (SELECT source_a, source_b, h FROM (
+             SELECT source_a, source_b, h,
+                    row_number() OVER (PARTITION BY source_a, source_b
+                                       ORDER BY h) AS rn
+             FROM uh) WHERE rn <= {k}),
+    st AS (
+      SELECT u.source_a, u.source_b, count(*) AS nu, max(u.h) AS hku,
+             sum(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS ncom
+      FROM ub u
+      LEFT JOIN ks ka ON ka.source = u.source_a AND ka.h = u.h
+      LEFT JOIN ks kb ON kb.source = u.source_b AND kb.h = u.h
+      GROUP BY 1, 2
+    ),
+    sa AS (SELECT source, count(*) AS n, max(h) AS hk FROM ks GROUP BY 1),
+    fin AS (
+      SELECT st.source_a, st.source_b, st.nu, st.ncom,
+             CAST({est.format(n="a.n", hk="a.hk")} AS BIGINT) AS n_a_est,
+             CAST({est.format(n="b.n", hk="b.hk")} AS BIGINT) AS n_b_est,
+             CAST({est.format(n="st.nu", hk="st.hku")} AS BIGINT)
+               AS union_est
+      FROM st
+      JOIN sa a ON a.source = st.source_a
+      JOIN sa b ON b.source = st.source_b
+    )
+    SELECT source_a, source_b, n_a_est, n_b_est, union_est,
+           CAST((union_est * ncom) // nu AS BIGINT) AS inter_est,
+           CAST((ncom * 1000000) // nu AS BIGINT) AS jaccard_ppm
+    FROM fin
+    """
+
+
+@q("kmv_source_matrix", _kmv_matrix_sql())
+def kmv_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs source-overlap surface from per-source KMV sketches
+    (operators/sketches.py::kmv_overlap_matrix, r12) — "which sources
+    duplicate each other?" as one row per unordered source pair with
+    distinct/union/intersection/Jaccard estimates. 20 sources at any sf
+    → a fixed 190-row matrix, every estimate deterministic md5 +
+    integer/IEEE fixed-point (bit-identical to the oracle's
+    row_number-bottom-k + `//` arithmetic).
+
+    Scale shape (100 TB): the per-source sketches are ONE bounded
+    aggregate over the corpus (≤ fan_in·k longs per source reach the
+    exchange); the S·(S−1)/2 pair expansion then runs on S rows of ≤k
+    longs — index metadata, broadcast-size — so the overlap surface
+    costs one corpus scan regardless of S, where the exact alternative
+    is S² corpus self-joins."""
+    from pharmacodi_spark.operators.sketches import (
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = d.select("source", toks.alias("toks")).where(F.size("toks") >= 3)
+    sh = t.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.array_join(F.slice("toks", i, 3), " "),
+            )
+        ).alias("sh"),
+    )
+    sk = kmv_sketch(sh, "sh", k=_KMV_MX_K, by=["source"])
+    return kmv_overlap_matrix(sk, key="source", k=_KMV_MX_K)

@@ -184,3 +184,31 @@ def test_streaming_kmv_replay_idempotent(spark, tmp_path):
         ).collect()
     }
     assert folded == batch and set(folded) == {"s0", "s1"}
+
+
+def test_kmv_overlap_matrix_exact_when_unsaturated(spark):
+    """Three groups with known pairwise overlaps, k large enough that
+    every sketch is the full hash set → the matrix is EXACT: one row
+    per unordered pair, kmv_set_ops-identical columns."""
+    from pharmacodi_spark.operators.sketches import kmv_overlap_matrix
+
+    rows = (
+        [(f"x{i}", "a") for i in range(40)]
+        + [(f"x{i}", "b") for i in range(20, 60)]  # |a∩b|=20, |b|=40
+        + [(f"y{i}", "c") for i in range(10)]  # disjoint from both
+    )
+    df = spark.createDataFrame(rows, "t string, g string")
+    sk = kmv_sketch(df, "t", k=256, by=["g"])
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_overlap_matrix(sk, key="g", k=256).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_a_est"], ab["n_b_est"]) == (40, 40)
+    assert ab["union_est"] == 60 and ab["inter_est"] == 20
+    assert ab["jaccard_ppm"] == 20 * 1000000 // 60
+    for pair in (("a", "c"), ("b", "c")):
+        assert out[pair]["inter_est"] == 0
+        assert out[pair]["jaccard_ppm"] == 0
+        assert out[pair]["union_est"] == 50

@@ -954,6 +954,18 @@ AUDITS: dict[str, list[tuple[str, bool, str]]] = {
          "corpora themselves never join"),
         (r"SortMergeJoin", False, "no sort-merge anywhere"),
     ],
+    "kmv_source_matrix": [
+        (r"Scan ExistingRDD", True,
+         "the per-source sketch table is stage-barrier-pinned (the "
+         "consumed-twice rule): the corpus scan + sketch aggregate run "
+         "ONCE, both self-join sides read the KB-scale pin"),
+        (r"Scan parquet", False,
+         "documents scanned once, at pin time — not per matrix side"),
+        (r"BroadcastNestedLoopJoin", True,
+         "the S·(S−1)/2 pair expansion is a broadcast-size self-join "
+         "over ≤k-long index metadata"),
+        (r"SortMergeJoin", False, "no sort-merge anywhere"),
+    ],
     "snm_candidate_pairs": [
         (r"Scan ExistingRDD", True,
          "positions are stage-barrier-pinned (the r11 consumed-twice "
