@@ -973,7 +973,9 @@ def sorted_neighborhood_pairs(
     construction, no hot-bucket quadratic term to guard.
 
     The sort order is ``(sort_key, id)`` — tie-broken, so positions are
-    deterministic and the pair set is reproducible cross-engine.
+    deterministic and the pair set is reproducible cross-engine
+    (``id_col`` must be unique: two rows identical in BOTH key and id
+    would take arbitrary relative positions in any engine).
 
     Scale shape (100 TB): positions come from
     :func:`~pharmacodi_spark.operators.keys.surrogate_key` — pass

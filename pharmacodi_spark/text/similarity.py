@@ -773,6 +773,7 @@ def cell_cosine_pairs_arrow(
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
+    assert slab_rows >= 1, "slab_rows must be positive"
     id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
