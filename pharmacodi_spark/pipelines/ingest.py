@@ -99,7 +99,9 @@ def dedup_batch(
 
     # 2. within-batch near-dup: pairs → components → min-id keeper
     pairs = pairs_from_cells(cells, id_col, max_cell_size)
-    keep = near_dup_droplist(survivors.select(id_col), pairs, id_col=id_col)
+    keep = near_dup_droplist(
+        survivors.select(id_col), pairs, id_col=id_col, edges_canonical=True
+    )
     survivors = survivors.join(
         keep.where(F.col("keep")).select(id_col), id_col, "left_semi"
     )

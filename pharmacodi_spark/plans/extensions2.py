@@ -812,7 +812,7 @@ def near_dup_droplist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("doc_id").alias("v")), "v")
         .select(F.col("doc_id").alias("doc_a"), F.col("v").alias("doc_b"))
     )
-    return near_dup_droplist(ids, pairs)
+    return near_dup_droplist(ids, pairs, edges_canonical=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1566,7 +1566,7 @@ def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_band_pairs(spark, sf_dir)
-    return near_dup_droplist(ids, pairs)
+    return near_dup_droplist(ids, pairs, edges_canonical=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2778,7 +2778,9 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b").distinct()
-    keep = near_dup_droplist(s1.select("doc_id"), pairs)
+    keep = near_dup_droplist(
+        s1.select("doc_id"), pairs, edges_canonical=True
+    )
     s2 = s1.join(
         keep.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
@@ -2993,7 +2995,9 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.40,
         max_cell_size=256,
     )
-    out = near_dup_droplist(qe.select("vec_id"), pairs, id_col="vec_id")
+    out = near_dup_droplist(
+        qe.select("vec_id"), pairs, id_col="vec_id", edges_canonical=True
+    )
     return out.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("component").cast("long").alias("component"),
@@ -3118,7 +3122,9 @@ def contamination_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("doc_id").alias("v")), "v")
         .select(F.col("doc_id").alias("doc_a"), F.col("v").alias("doc_b"))
     )
-    splits = contamination_safe_splits(ids, pairs, [0.8, 0.1, 0.1])
+    splits = contamination_safe_splits(
+        ids, pairs, [0.8, 0.1, 0.1], edges_canonical=True
+    )
     labeled = [
         s.select("doc_id", F.col("component").cast("long").alias("component"),
                  F.lit(name).alias("split"))

@@ -645,7 +645,7 @@ def dup_cluster_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("doc_id").alias("v")), "v")
         .select(F.col("doc_id").alias("doc_a"), F.col("v").alias("doc_b"))
     )
-    return dup_cluster_histogram(ids, pairs)
+    return dup_cluster_histogram(ids, pairs, edges_canonical=True)
 
 
 @q(
@@ -1704,18 +1704,23 @@ def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated_spans' window table)."""
     from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.text.winnow import (
-        winnow_fingerprints,
+        winnow_fp_sets,
         winnow_overlap_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    fp = stage_barrier(
-        winnow_fingerprints(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
+    # r12: pin the per-doc distinct HASH-SET frame instead of exploded
+    # (id, pos, h) rows — the pair expansion gets already-unique (id, h)
+    # rows from one explode (no distinct exchange) and the containment
+    # denominators are a row-local ``size(hs)`` (was distinct + groupBy)
+    fps = stage_barrier(
+        winnow_fp_sets(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
     )
-    pairs = winnow_overlap_pairs(fp, min_shared=2, max_cell_size=256)
-    nf = fp.select("doc_id", "h").distinct().groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n")
+    fp = fps.select("doc_id", F.explode("hs").alias("h"))
+    pairs = winnow_overlap_pairs(
+        fp, min_shared=2, max_cell_size=256, hashes_distinct=True
     )
+    nf = fps.select("doc_id", F.size("hs").alias("n"))
     na = nf.alias("na")
     nb = nf.alias("nb")
     return (
@@ -2317,15 +2322,22 @@ def incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence the whole-doc minhash flags miss. Bodies never rejoin; the
     index side is exactly the table the streaming upsert maintains."""
     from pharmacodi_spark.text.winnow import (
-        winnow_fingerprints,
+        winnow_fp_sets,
         winnow_incremental_flags,
     )
 
     d = _t(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(d, k=_WIN_K, w=_WIN_W)
+    # r12: per-doc-distinct hash sets from the row-local winnow — both
+    # sides arrive (id, h)-unique so the flags join skips its two dedup
+    # exchanges; the %11 slice predicates push into the parquet scan
+    fp = winnow_fp_sets(d, k=_WIN_K, w=_WIN_W).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
     new_fp = fp.where(F.col("doc_id") % 11 == 0)
     idx_fp = fp.where(F.col("doc_id") % 11 != 0)
-    return winnow_incremental_flags(new_fp, idx_fp, min_shared=2)
+    return winnow_incremental_flags(
+        new_fp, idx_fp, min_shared=2, hashes_distinct=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2467,7 +2479,7 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pharmacodi_spark.plans.queries import fan_out
     from pharmacodi_spark.text.dedup import simhash_near_pairs as _snp
     from pharmacodi_spark.text.winnow import (
-        winnow_fingerprints,
+        winnow_fp_sets,
         winnow_overlap_pairs,
     )
 
@@ -2495,8 +2507,12 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(1).alias("s"),
         F.lit(0).alias("w"),
     )
-    fp = winnow_fingerprints(toks, k=_WIN_K, w=_WIN_W, tokens_col="__tk")
-    wn = winnow_overlap_pairs(fp, min_shared=2, max_cell_size=256).select(
+    fp = winnow_fp_sets(toks, k=_WIN_K, w=_WIN_W, tokens_col="__tk").select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    wn = winnow_overlap_pairs(
+        fp, min_shared=2, max_cell_size=256, hashes_distinct=True
+    ).select(
         "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(0).alias("s"),
         F.lit(1).alias("w"),
     )
@@ -2558,18 +2574,20 @@ def winnow_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.text.clusters import near_dup_droplist
     from pharmacodi_spark.text.winnow import (
-        winnow_fingerprints,
+        winnow_fp_sets,
         winnow_overlap_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
     fp = stage_barrier(
-        winnow_fingerprints(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
+        winnow_fp_sets(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
+    ).select("doc_id", F.explode("hs").alias("h"))
+    pairs = winnow_overlap_pairs(
+        fp, min_shared=2, max_cell_size=256, hashes_distinct=True
+    ).select("doc_a", "doc_b")
+    return near_dup_droplist(
+        d.select("doc_id"), pairs, edges_canonical=True
     )
-    pairs = winnow_overlap_pairs(fp, min_shared=2, max_cell_size=256).select(
-        "doc_a", "doc_b"
-    )
-    return near_dup_droplist(d.select("doc_id"), pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -4309,7 +4327,9 @@ def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.85,
         max_cell_size=256,
     )
-    out = near_dup_droplist(qe.select("vec_id"), pairs, id_col="vec_id")
+    out = near_dup_droplist(
+        qe.select("vec_id"), pairs, id_col="vec_id", edges_canonical=True
+    )
     return out.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("component").cast("long").alias("component"),

@@ -162,10 +162,15 @@ def repetition_metrics(
     - ``keep``: both fractions under their caps — evaluated as INTEGER
       cross-multiplications so the gate is exact in every engine.
 
-    Scale shape: two explode → (id, gram) count → per-doc aggregate
-    pipelines (shuffle keys are (id, gram) then id — no global state, no
-    window over the corpus), joined back on id. Fractions are exact IEEE
-    divisions of < 2^53 integers.
+    Scale shape (r12): ZERO exchanges — every metric is a per-document
+    function of the doc's own gram multiset, so both counts run inside one
+    row-local projection (sort the per-doc gram array, run-length scan via
+    ``aggregate``) instead of the previous two explode → Exchange(id, gram)
+    → Exchange(id) count pipelines joined back on id (guide §2.4: the
+    shuffles were structural, not incidental — the groupBy keys were
+    per-doc, never corpus-global). Fractions are exact IEEE divisions of
+    < 2^53 integers; the run-length counts equal the groupBy counts by
+    construction (equal grams are adjacent once sorted).
 
     ``tokens_col`` names a pre-tokenized array column (e.g. from
     :func:`unicode_tokens` for CJK/Thai corpora — the split-on-space
@@ -179,42 +184,72 @@ def repetition_metrics(
     )
     base = df.select(F.col(id_col), toks.alias("__toks"))
 
-    def grams(n: int) -> DataFrame:
+    def sorted_grams(n: int):
         g = F.transform(
             F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
             lambda i: F.array_join(F.slice("__toks", i, n), " "),
         )
-        return (
-            base.where(F.size("__toks") >= n)
-            .select(id_col, F.explode(g).alias("gram"))
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("c"))
+        return F.when(F.size("__toks") >= n, F.array_sort(g)).otherwise(
+            F.array().cast("array<string>")
         )
 
-    top = grams(top_gram).groupBy(id_col).agg(F.max("c").alias("top_cnt"))
-    dup = (
-        grams(dup_gram)
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
-                "dup_occ"
+    zero = F.lit(0).cast("long")
+
+    def run_init(out_field: str):
+        # grams are non-empty strings (tokens are filtered non-empty), so
+        # "" can never equal a real gram — a safe "no previous" sentinel
+        return F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias(out_field)
+        )
+
+    def next_run(acc, x):
+        return F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+
+    def max_run(arr):
+        # longest run in the sorted array == max per-gram count
+        return F.aggregate(
+            arr,
+            run_init("best"),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                next_run(acc, x).alias("run"),
+                F.greatest(acc["best"], next_run(acc, x)).alias("best"),
             ),
-            F.sum("c").alias("n_grams"),
+            lambda acc: acc["best"],
         )
-    )
-    n = base.select(
-        id_col, F.size("__toks").cast("long").alias("n_tokens")
-    )
-    out = (
-        n.join(top, id_col, "left")
-        .join(dup, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce("top_cnt", F.lit(0)).cast("long").alias("top_cnt"),
-            F.coalesce("dup_occ", F.lit(0)).cast("long").alias("dup_occ"),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+
+    def dup_run_sum(arr):
+        # total occurrences inside runs of length >= 2: the 2nd element of
+        # a run retro-counts the 1st (adds 2), later elements add 1
+        return F.aggregate(
+            arr,
+            run_init("dup"),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                next_run(acc, x).alias("run"),
+                (
+                    acc["dup"]
+                    + F.when(
+                        x == acc["prev"],
+                        F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("dup"),
+            ),
+            lambda acc: acc["dup"],
         )
+
+    out = base.select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        max_run(sorted_grams(top_gram)).alias("top_cnt"),
+        dup_run_sum(sorted_grams(dup_gram)).alias("dup_occ"),
+        F.greatest(F.size("__toks") - (dup_gram - 1), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
     )
     # integer cross-multiplied gates: frac <= cap without fp comparison
     top_scale = int(round(max_top_frac * 100))

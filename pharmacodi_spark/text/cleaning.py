@@ -109,70 +109,71 @@ def scrub_shared_spans(
     dedup (the ``repeated_span_stats`` signal turned into an edit). Returns
     (id, scrubbed, n_tokens, n_masked).
 
-    Shape: spans with start positions → md5 hash → cross-doc distinct count
-    (shuffle carries 32-byte hashes) → shared-span occurrences expand to a
-    covered-position set → tokens anti-join the mask → reassemble in order
-    inside one aggregation. No global window, no Python, and document text
-    never rides a shuffle — only (id, pos, token) rows do."""
+    Shape (r12): the only corpus-global fact is the SHARED span-hash set;
+    everything else is a per-document function, so it stays row-local.
+    Span hashes dedup inside the per-doc array (array_distinct) and one
+    map-side-combined groupBy(h) counts document frequency (the previous
+    shape paid distinct + groupBy = two full span-stream exchanges);
+    matching span STARTS come back as one collect_list per doc (hit mass
+    only); the covered-position mask, the token filter, the reassembly and
+    both counts happen inside one projection over the tokenized doc —
+    tokens never ride any shuffle (the previous shape shuffled the full
+    (id, pos, token) stream twice: the anti-join and the collect_list
+    reassembly). Guide §2.3/§2.4 + §8 (decide with small rows — hashes
+    and starts; never move the payload)."""
     toks_expr = F.split(F.col(content_col), r"\s+")
     docs = df.select(F.col(id_col), toks_expr.alias("toks"))
+    n = F.size("toks")
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size(F.col("toks")) - (span_len - 1), F.lit(1))
+        F.lit(1), F.greatest(n - (span_len - 1), F.lit(1))
     )
-    spans = docs.select(
-        F.col(id_col), F.explode(starts).alias("s"),
-        F.md5(
-            F.array_join(F.slice(F.col("toks"), F.col("s"), span_len), " ")
-        ).alias("h"),
+    span_arr = F.transform(
+        starts,
+        lambda s: F.md5(F.array_join(F.slice(F.col("toks"), s, span_len), " ")),
     )
+    # document frequency per span hash: per-doc distinct in-array, then ONE
+    # exchange with map-side partial counts (rows-per-doc = distinct spans)
     shared = (
-        spans.select("h", id_col)
-        .distinct()
+        docs.select(F.col(id_col), F.explode(F.array_distinct(span_arr)).alias("h"))
         .groupBy("h")
-        .agg(F.count("*").alias("span_df"))
+        .agg(F.count(F.lit(1)).alias("span_df"))
         .where(F.col("span_df") >= min_df)
         .select("h")
     )
-    covered = (
-        spans.join(shared, "h")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("s"), F.col("s") + (span_len - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+    # per-doc hit starts: spans that are shared, as ONE array per doc
+    spans = docs.select(
+        F.col(id_col), F.posexplode(span_arr).alias("s0", "h")
     )
-    tokens = df.select(
-        F.col(id_col), F.posexplode(toks_expr).alias("pos0", "tok")
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = tokens.join(covered, [id_col, "pos"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
+    hit_starts = (
+        spans.join(shared, "h")
+        .groupBy(id_col)
+        .agg(F.collect_list(F.col("s0") + 1).alias("__ss"))
+    )
+    # row-local scrub: covered mask from the hit starts, filter tokens by
+    # position, reassemble and count in the same projection
+    masked = docs.join(hit_starts, id_col, "left")
+    cov = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "__ss", lambda s: F.sequence(s, s + (span_len - 1))
+                )
+            )
+        ),
+        F.array().cast("array<int>"),
+    )
+    return masked.select(
+        F.col(id_col),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda st: st["tok"],
+            F.filter(
+                F.col("toks"), lambda t, i: ~F.array_contains(cov, i + 1)
             ),
             " ",
         ).alias("scrubbed"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = tokens.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
-    return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("scrubbed", F.lit("")).alias("scrubbed"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            (
-                F.coalesce("n_tokens", F.lit(0))
-                - F.coalesce("n_kept", F.lit(0))
-            )
-            .cast("long")
-            .alias("n_masked"),
-        )
+        n.cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(cov, lambda p: (p >= 1) & (p <= n))
+        ).cast("long").alias("n_masked"),
     )
 
 
@@ -186,29 +187,45 @@ def repeated_span_stats(
     """Per-document count/fraction of token spans (``span_len``-grams) that
     also occur in ≥ ``min_df`` documents — the exact-substring duplication
     signal used for contamination checks and boilerplate scoring when the
-    corpus has no line structure. All counting on md5 span hashes."""
-    spans = df.select(
-        F.col(id_col), F.explode(ngram_col(content_col, span_len)).alias("span")
-    ).withColumn("h", F.md5("span"))
+    corpus has no line structure. All counting on md5 span hashes.
+
+    Shape (r12): document frequency comes from per-doc in-array distinct
+    hashes through ONE map-side-combined groupBy(h) (was distinct +
+    groupBy — two full span-stream exchanges); the per-doc totals are
+    row-local (``size``), so the only other exchanges are the shared-span
+    join and a hit-mass groupBy(id) — the full span stream never pays a
+    per-(id, h) exchange (guide §2.3/§2.4)."""
+    docs = df.select(
+        F.col(id_col),
+        F.transform(ngram_col(content_col, span_len), F.md5).alias("__hs"),
+    )
     # shared spans only (df ≥ min_df); joined by shuffle, not broadcast —
     # unlike line boilerplate, the shared-span set of a web corpus can be
     # a large fraction of the span vocabulary
     shared = (
-        spans.select("h", id_col)
-        .distinct()
+        docs.select(F.col(id_col), F.explode(F.array_distinct("__hs")).alias("h"))
         .groupBy("h")
-        .agg(F.count("*").alias("span_df"))
+        .agg(F.count(F.lit(1)).alias("span_df"))
         .where(F.col("span_df") >= min_df)
         .select("h")
     )
-    tagged = spans.join(shared.withColumn("__shared", F.lit(1)), "h", "left")
-    return tagged.groupBy(id_col).agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.coalesce("__shared", F.lit(0)).cast("long")).alias("n_shared"),
-        (
-            F.sum(F.coalesce("__shared", F.lit(0)).cast("long")).cast("double")
-            / F.count("*")
-        ).alias("shared_frac"),
+    hits = (
+        docs.select(F.col(id_col), F.explode("__hs").alias("h"))
+        .join(shared, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        docs.select(F.col(id_col), F.size("__hs").cast("long").alias("n_spans"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("n_spans")
+            ).alias("shared_frac"),
+        )
     )
 
 
@@ -218,10 +235,18 @@ def _ngram_hash_rows(
     id_col: str,
     n: int,
     tokens_col: str | None,
+    distinct_per_doc: bool = False,
 ) -> DataFrame:
     """(id, gh) rows: one md5 hash per ``n``-gram window — the shared
     gram stage of the decontamination family (bodies never leave the
-    projection; only 32-byte hashes flow downstream)."""
+    projection; only 32-byte hashes flow downstream).
+
+    ``distinct_per_doc`` dedups the grams INSIDE the per-doc array
+    (``array_distinct``) before the explode — row-for-row identical to
+    ``.distinct()`` on the output (the id is part of every row, so the
+    global distinct was always per-doc), WITHOUT the full (id, gh)
+    exchange that distinct pays (r12, guide §2.4). Callers that count
+    gram multiplicity must leave it off."""
     toks = (
         F.filter(F.col(tokens_col), lambda x: x != "")
         if tokens_col is not None
@@ -231,6 +256,8 @@ def _ngram_hash_rows(
         F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
         lambda i: F.md5(F.array_join(F.slice("__toks", i, n), " ")),
     )
+    if distinct_per_doc:
+        g = F.array_distinct(g)
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .where(F.size("__toks") >= n)
@@ -270,9 +297,15 @@ def decontaminate_against(
     # semi-join stays broadcast even when the eval frame has no stats
     # (a literal/derived frame statically plans SortMergeJoin otherwise)
     eval_grams = F.broadcast(gram_rows(eval_df).select("gh").distinct())
+    # r12: the train-side dedup happens INSIDE the per-doc gram array
+    # (distinct_per_doc) instead of a corpus-wide (id, gh) distinct — the
+    # query's dominant exchange disappears; the broadcast semi-join runs
+    # map-side and only ~1 partial-count row per colliding doc reaches
+    # the groupBy exchange (guide §2.3/2.4)
     hits = (
-        gram_rows(train)
-        .distinct()
+        _ngram_hash_rows(
+            train, content_col, id_col, n, tokens_col, distinct_per_doc=True
+        )
         .join(eval_grams, "gh", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_collisions"))
@@ -339,11 +372,14 @@ def bloom_decontaminate_against(
         words, n_hashes = bitmap
     else:
         words = build_bloom_bitmap(eval_grams, "gh", n_bits, n_hashes)
-    cand = _ngram_hash_rows(train, content_col, id_col, n, tokens_col).where(
-        bloom_condition(words, F.col("gh"), n_hashes)
-    )
+    # r12: per-doc array_distinct replaces the corpus-wide candidate
+    # distinct (same rows — the id rides every row), so under the bloom
+    # prefilter NO full gram exchange remains at all
+    cand = _ngram_hash_rows(
+        train, content_col, id_col, n, tokens_col, distinct_per_doc=True
+    ).where(bloom_condition(words, F.col("gh"), n_hashes))
     hits = (
-        cand.distinct()
+        cand
         .join(F.broadcast(eval_grams), "gh", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_collisions"))

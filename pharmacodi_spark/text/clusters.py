@@ -33,6 +33,7 @@ def connected_components(
     max_iter: int = 50,
     barrier: str = "local",
     barrier_dir: str | None = None,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component is
     the min node id reachable — deterministic, engine-independent labels.
@@ -53,7 +54,19 @@ def connected_components(
     the CC stage dominated text_semantic_dedup's sf1 wall at ~40s of
     54s). Labels stay exactly the min reachable id — contraction onto
     the min preserves min-reachability, pytest + every recursive-CTE
-    oracle unchanged."""
+    oracle unchanged.
+
+    ``edges_canonical=True`` declares the input edge set already DISTINCT
+    with ``src < dst`` on every row (true for every groupBy-built pair
+    producer in this engine). r12 (guide §2.4): it drops BOTH edge-dedup
+    exchanges — the directed ``distinct`` (input already unique) and the
+    post-mirror ``distinct`` (the two halves of ``union(e, reversed(e))``
+    are disjoint when u < v and individually distinct) — so the edge pin
+    is a plain projection and the mirror is a lazy union over the pinned
+    blocks. The per-round label fold is also deferred (r12): each round
+    only pins its contraction map; the |V|-row label table is folded
+    through the ≤rounds maps ONCE at the end instead of paying a
+    |V|-shuffle + materialization every round."""
     _b = lambda df, name: stage_barrier(
         df, mode=barrier, name=name, barrier_dir=barrier_dir
     )
@@ -62,15 +75,12 @@ def connected_components(
     # expensive unpinned subplan (the within-cell cosine pair join) — the
     # r11 sf1 profile measured the un-pinned version re-paying the 12s
     # pair stage twice inside this function
-    ded = _b(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct(),
-        "cc-edges0",
+    sel = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ded = _b(sel if edges_canonical else sel.distinct(), "cc-edges0")
+    mirrored = ded.union(
+        ded.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    sym = _b(
-        ded.union(ded.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct(),
-        "cc-edges",
-    )
+    sym = mirrored if edges_canonical else _b(mirrored.distinct(), "cc-edges")
 
     labels = _b(
         sym.select(F.col("u").alias("node"))
@@ -78,13 +88,16 @@ def connected_components(
         .withColumn("lab", F.col("node")),
         "cc-labels0",
     )
+    maps: list[DataFrame] = []
     e = sym
+    done = False
     for _ in range(max_iter):
         # empty super-graph = every component fully contracted: done.
-        # e is barrier-pinned (sym round 0, _b below after), so this is
-        # a metadata-cheap count on materialized data
+        # e is barrier-pinned (or a lazy union over the pinned directed
+        # set in round 0), so this is a metadata-cheap count
         if e.limit(1).count() == 0:
-            return labels.select("node", F.col("lab").alias("component"))
+            done = True
+            break
         # new super-label per super-node: min(self, min neighbor)
         upd = _b(
             e.groupBy("u")
@@ -95,18 +108,7 @@ def connected_components(
             ),
             "cc-upd",
         )
-        # fold the update into the original-node label map (nodes whose
-        # super-label had no edges keep their label)
-        labels = _b(
-            labels.join(
-                upd.hint("shuffle_hash"),
-                labels.lab == upd.old,
-                "left",
-            ).select(
-                "node", F.coalesce("new", "lab").alias("lab")
-            ),
-            "cc-labels",
-        )
+        maps.append(upd)
         # contract: rewrite edges onto the new super-labels, drop
         # self-loops and duplicates (symmetry is preserved by the
         # relabel). Every endpoint has edges, so the map join is inner.
@@ -120,7 +122,20 @@ def connected_components(
             .distinct(),
             "cc-contract",
         )
-    raise RuntimeError(f"connected_components: not converged after {max_iter} rounds")
+    if not done:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds"
+        )
+    # fold the per-round contraction maps into the original-node label map
+    # (nodes whose super-label had no edges keep their label). Executed
+    # once, lazily — the maps are pinned, the chain is <= rounds joins.
+    for upd in maps:
+        labels = labels.join(
+            upd.hint("shuffle_hash"),
+            labels["lab"] == upd["old"],
+            "left",
+        ).select("node", F.coalesce("new", "lab").alias("lab"))
+    return labels.select("node", F.col("lab").alias("component"))
 
 
 def near_dup_droplist(
@@ -129,14 +144,18 @@ def near_dup_droplist(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """(id, component, keep) for EVERY id in ``ids``: cluster the candidate
     pairs, keep the min id of each cluster (the reference-style
     deterministic keeper policy — cf. exact_dedup), mark everything else
     drop. Singletons (no pair) keep themselves. Filter ``keep = false`` for
     the drop list; semi-join ``keep = true`` against the corpus for the
-    surviving documents."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    surviving documents. ``edges_canonical`` as in
+    :func:`connected_components` (pairs already distinct with src < dst)."""
+    comp = connected_components(
+        pairs, src=src, dst=dst, edges_canonical=edges_canonical
+    )
     # the label attach: full id set LEFT JOIN the component table. Both
     # sides are barrier-pinned RDD scans in every caller, so the planner
     # has no stats and falls back to sort-merge — but the join is a plain
@@ -163,6 +182,7 @@ def contamination_safe_splits(
     src: str = "doc_a",
     dst: str = "doc_b",
     salt: str = "split",
+    edges_canonical: bool = False,
 ) -> list[DataFrame]:
     """Train/val/test splits that near-dup clusters can never straddle:
     label components over the candidate pairs (singletons keep their own
@@ -174,7 +194,10 @@ def contamination_safe_splits(
     returned frame carries a ``component`` column for audit."""
     from pharmacodi_spark.operators.sampling import hash_split
 
-    comp = near_dup_droplist(df.select(id_col), pairs, id_col=id_col, src=src, dst=dst)
+    comp = near_dup_droplist(
+        df.select(id_col), pairs, id_col=id_col, src=src, dst=dst,
+        edges_canonical=edges_canonical,
+    )
     keyed = df.join(comp.select(id_col, "component"), id_col)
     return hash_split(keyed, "component", fractions, salt)
 
@@ -185,6 +208,7 @@ def dup_cluster_histogram(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Cluster-size distribution of the near-dup graph: how much of the
     corpus sits in how-big duplicate clusters — the curation-report table
@@ -198,7 +222,10 @@ def dup_cluster_histogram(
     corpus).  Scale shape: the CC loop's shuffles are edge-scale; the two
     rollups (component → size, size → histogram) collapse map-side and
     end metadata-scale."""
-    keep = near_dup_droplist(ids, pairs, id_col=id_col, src=src, dst=dst)
+    keep = near_dup_droplist(
+        ids, pairs, id_col=id_col, src=src, dst=dst,
+        edges_canonical=edges_canonical,
+    )
     sizes = keep.groupBy("component").agg(
         F.count("*").cast("long").alias("cluster_size")
     )

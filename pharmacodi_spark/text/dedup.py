@@ -146,12 +146,19 @@ def triangle_blocks(
     kill a quadratic straggler. Cells at or under the cap take s = 1 and
     degenerate to the plain path.
 
-    The per-cell count is computed with one extra aggregate on the same key
-    the pair join shuffles on (AQE coalesces; for few-cell keys like IVF
-    centroids the count side is broadcast-size)."""
+    The per-cell count rides a ``count(*) OVER (PARTITION BY key)`` window
+    on the SAME exchange the blocking needs anyway (r12 — the previous
+    groupBy + join-back paid two extra exchanges of the cell rows for the
+    same value; guide §2.4: two operations keyed the same way share one
+    exchange). Per-task row mass is unchanged: a hot cell's rows landed on
+    one task under the join too; the window only adds a local sort of the
+    cell key."""
     assert max_cell_size >= 1
-    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
-    d = df.join(cnt, key_cols)
+    from pyspark.sql import Window as _W
+
+    d = df.withColumn(
+        "__cnt", F.count(F.lit(1)).over(_W.partitionBy(*key_cols))
+    )
     s = F.ceil(F.col("__cnt") / F.lit(max_cell_size)).cast("int")
     d = d.withColumn("__s", s).withColumn(
         "__g", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")

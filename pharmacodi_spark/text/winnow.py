@@ -21,10 +21,12 @@ This complements the corpus's other near-dup families:
 
 Scale shape (100 TB): one repartition-guarded scan tokenizes and hashes
 (one md5 per k-gram, evaluated once — tokens materialized as a column
-first, the r5 lambda-re-evaluation lesson); the window-min selection is a
-per-doc ``ROWS BETWEEN CURRENT AND w-1 FOLLOWING`` frame — partitioned by
-id, embarrassingly parallel, no corpus-global state; fingerprints shuffle
-as (id, pos, 8-byte hash) at ``~2/(w+1)`` gram density. Pair expansion is
+first, the r5 lambda-re-evaluation lesson); the window-min selection runs
+ENTIRELY inside the per-doc hash array (``min(struct(h, -pos))`` over
+``slice(hs, s, w)`` per window start — r12: zero exchanges where the
+r11 shape paid an explode + Exchange(id) + sort for the frame and a
+second Exchange for the distinct); only the selected fingerprints ever
+become rows, at ``~2/(w+1)`` gram density. Pair expansion is
 bucket-local by hash with the exact triangle-block hot-cell guard
 (boilerplate fingerprints shared by thousands of docs become bounded
 parallel blocks, not an O(m²) straggler).
@@ -39,7 +41,53 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
+
+
+def _gram_hash_arrays(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int,
+    tokens_col: str | None,
+) -> DataFrame:
+    """(id, __hs): per-doc ARRAY of the 60-bit md5-derived k-gram hashes
+    (index i, 0-based, holds the hash of the gram at 1-based position
+    i + 1). Docs with fewer than ``k`` tokens are dropped. Shared substrate
+    of :func:`gram_hashes` (which explodes it) and
+    :func:`winnow_fingerprints` (which winnows it in-array, shuffle-free).
+    """
+    assert k >= 1
+    if tokens_col is not None:
+        base = df.select(
+            F.col(id_col),
+            F.filter(F.col(tokens_col), lambda x: x != "").alias("__tk"),
+        )
+    else:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        base = df.select(F.col(id_col), F.col(content_col))
+        # small-file scans can arrive as one partition and serialize the md5
+        # stream; at corpus scale the scan already has >= par splits and this
+        # no-ops (see dedup.repeated_spans for the measured rationale)
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par, F.col(id_col))
+        toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+        base = base.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    hs = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return base.select(
+        F.col(id_col), F.when(n >= k, hs).alias("__hs")
+    ).where(F.col("__hs").isNotNull())
 
 
 def gram_hashes(
@@ -60,53 +108,18 @@ def gram_hashes(
     all three near-dup families from it). The caller owns partitioning in
     that case (a pinned frame already carries the repartition guard).
     """
-    assert k >= 1
-    if tokens_col is not None:
-        base = df.select(
-            F.col(id_col),
-            F.filter(F.col(tokens_col), lambda x: x != "").alias("__tk"),
-        )
-    else:
-        par = df.sparkSession.sparkContext.defaultParallelism
-        base = df.select(F.col(id_col), F.col(content_col))
-        # small-file scans can arrive as one partition and serialize the md5
-        # stream; at corpus scale the scan already has >= par splits and this
-        # no-ops (see dedup.repeated_spans for the measured rationale)
-        if base.rdd.getNumPartitions() < par:
-            base = base.repartition(par, F.col(id_col))
-        toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
-        base = base.select(F.col(id_col), toks.alias("__tk"))
-    n = F.size("__tk")
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice(F.col("__tk"), i, k), " ")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
-        ),
-    )
+    g = _gram_hash_arrays(df, content_col, id_col, k, tokens_col)
     return (
-        base.select(F.col(id_col), F.when(n >= k, grams).alias("gs"))
-        .where(F.col("gs").isNotNull())
-        .select(
+        g.select(
             id_col,
-            F.size("gs").cast("long").alias("n_grams"),
-            F.explode("gs").alias("g"),
+            F.size("__hs").cast("long").alias("n_grams"),
+            F.posexplode("__hs").alias("p0", "h"),
         )
         .select(
             id_col,
             "n_grams",
-            F.col("g.pos").cast("long").alias("pos"),
-            F.col("g.h").alias("h"),
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            F.col("h"),
         )
     )
 
@@ -131,21 +144,68 @@ def winnow_fingerprints(
     the same gram; that collapse IS the 2/(w+1) density win).
     """
     assert w >= 1
-    g = gram_hashes(df, content_col, id_col, k, tokens_col=tokens_col)
-    frame = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
+    # r12 optimization: the windows of the winnow are PER-DOCUMENT, and the
+    # gram hashes already live in a per-doc array — so the whole selection
+    # (sliding min + rightmost tie-break + dedup) runs inside one row-local
+    # projection. The previous shape exploded every gram through an
+    # Exchange(id) + sort for the window frame and paid a second full
+    # Exchange for the final distinct; this shape has ZERO exchanges
+    # (guide §2.4 — remove shuffles outright). Results are identical:
+    # min(struct(h, -pos)) over slice(hs, s, w) IS the frame min of
+    # ROWS BETWEEN CURRENT AND w-1 FOLLOWING at start s, and
+    # array_distinct of the selected (h, -pos) structs IS the row-level
+    # distinct (fingerprints never collide across docs in one row).
+    g = _gram_hash_arrays(df, content_col, id_col, k, tokens_col)
+    ng = F.size("__hs")
+    starts = F.sequence(F.lit(1), F.greatest(ng - (w - 1), F.lit(1)))
+    sel = F.transform(
+        starts,
+        lambda s: F.array_min(
+            F.transform(
+                F.slice(F.col("__hs"), s, w),
+                lambda h, j: F.struct(h.alias("h"), (-(s + j)).alias("np")),
+            )
+        ),
     )
-    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(frame)
-    starts = g.select(
-        F.col(id_col), "n_grams", "pos", sel.alias("sel")
-    ).where(F.col("pos") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1)))
-    return starts.select(
-        id_col,
-        (-F.col("sel.np")).cast("long").alias("pos"),
-        F.col("sel.h").alias("h"),
-    ).distinct()
+    return (
+        g.select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("f"))
+        .select(
+            id_col,
+            (-F.col("f.np")).cast("long").alias("pos"),
+            F.col("f.h").alias("h"),
+        )
+    )
+
+
+def winnow_fp_sets(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """(id, hs): the DISTINCT winnowing fingerprint HASH set per document,
+    as one array column — the set :func:`winnow_fingerprints` explodes,
+    without positions. Built entirely row-locally (r12): downstream
+    set-keyed consumers (pair expansion, fingerprint counts, incremental
+    flags) get per-doc-distinct rows from ``explode`` with ZERO dedup
+    exchanges, and ``size(hs)`` replaces a distinct + groupBy count.
+    """
+    assert w >= 1
+    g = _gram_hash_arrays(df, content_col, id_col, k, tokens_col)
+    ng = F.size("__hs")
+    starts = F.sequence(F.lit(1), F.greatest(ng - (w - 1), F.lit(1)))
+    sel = F.transform(
+        starts,
+        lambda s: F.array_min(
+            F.transform(
+                F.slice(F.col("__hs"), s, w),
+                lambda h, j: F.struct(h.alias("h"), (-(s + j)).alias("np")),
+            )
+        )["h"],
+    )
+    return g.select(F.col(id_col), F.array_distinct(sel).alias("hs"))
 
 
 def winnow_overlap_pairs(
@@ -153,6 +213,7 @@ def winnow_overlap_pairs(
     id_col: str = "doc_id",
     min_shared: int = 2,
     max_cell_size: int | None = None,
+    hashes_distinct: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, shared) for every document pair sharing at least
     ``min_shared`` distinct fingerprint HASHES — positional near-dup /
@@ -164,10 +225,16 @@ def winnow_overlap_pairs(
     ``max_cell_size`` arms the exact triangle-block guard for hot hashes
     (site boilerplate shared corpus-wide): the pair SET and counts are
     unchanged, the per-task quadratic term is bounded.
+
+    ``hashes_distinct=True`` declares the input rows already unique on
+    (id, h) — e.g. the explode of :func:`winnow_fp_sets` — skipping the
+    full (id, h) distinct exchange (r12, guide §2.4).
     """
     from pharmacodi_spark.text.dedup import triangle_blocks
 
-    d = fp.select(F.col(id_col), "h").distinct()
+    d = fp.select(F.col(id_col), "h")
+    if not hashes_distinct:
+        d = d.distinct()
     if max_cell_size is None:
         grouped = d.groupBy("h")
         member = F.col(id_col)
@@ -220,6 +287,7 @@ def winnow_incremental_flags(
     index_fp: DataFrame,
     id_col: str = "doc_id",
     min_shared: int = 2,
+    hashes_distinct: bool = False,
 ) -> DataFrame:
     """Ingest-time positional dedup: flag arriving documents whose
     winnowing fingerprints overlap an EXISTING corpus fingerprint index —
@@ -240,9 +308,16 @@ def winnow_incremental_flags(
     micro-batch). The corpus index never rescans bodies — it is exactly
     the table the streaming upsert maintains.
     """
-    n = new_fp.select(F.col(id_col).alias("__nid"), "h").distinct()
+    # hashes_distinct: both inputs already unique on (id, h) — e.g. the
+    # explode of winnow_fp_sets — so the two (id, h) dedup exchanges
+    # vanish (r12, guide §2.4); the batch-side count keeps map-side
+    # partial aggregation either way
+    n = new_fp.select(F.col(id_col).alias("__nid"), "h")
+    idx = index_fp.select(F.col(id_col).alias("__cid"), "h")
+    if not hashes_distinct:
+        n = n.distinct()
+        idx = idx.distinct()
     nf = n.groupBy("__nid").agg(F.count(F.lit(1)).alias("__nfp"))
-    idx = index_fp.select(F.col(id_col).alias("__cid"), "h").distinct()
     shared = (
         n.join(idx, "h")
         # a re-processed document's own index entries are not evidence
