@@ -157,7 +157,10 @@ def unigram_surprisal(
     # n_words and enter the unigram distribution (ADVICE r4) — drop them,
     # matching the tokenizer module's split-then-filter convention
     counts = toks.groupBy("token").agg(F.count("*").alias("c"))
-    total = toks.agg(F.count("*").alias("n"))
+    # r12: the corpus total is the sum of the vocabulary counts — derive it
+    # from the (token, c) table instead of a second full tokenize+explode
+    # pass over the corpus (guide §1.2: don't compute things twice)
+    total = counts.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(counts, "token")
         .crossJoin(F.broadcast(total))

@@ -407,20 +407,30 @@ def passage_dedup_stats(
         idx,
         lambda i: F.md5(F.array_join(F.slice(toks, i * window + 1, window), " ")),
     )
-    ch = (
-        df.select(F.col(id_col), F.when(n > 0, chunks).alias("chunks"))
-        .where(F.col("chunks").isNotNull())
-        .select(id_col, F.explode("chunks").alias("h"))
+    # r12 (guide §2.3/2.4): the doc-frequency side dedups INSIDE the
+    # per-doc chunk array, so one map-side-combined groupBy(h) replaces
+    # the count_distinct two-phase aggregate; per-doc totals are row-local
+    # (size of the chunk array), so only instances of CROSS-DOC-duplicated
+    # hashes — the dup mass — reach the per-doc count exchange
+    base = df.select(
+        F.col(id_col), F.when(n > 0, chunks).alias("chunks")
+    ).where(F.col("chunks").isNotNull())
+    dup_h = (
+        base.select(F.col(id_col), F.explode(F.array_distinct("chunks")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
     )
-    cnt = ch.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("nd"))
-    per = (
-        ch.join(cnt, "h")
+    hits = (
+        base.select(F.col(id_col), F.explode("chunks").alias("h"))
+        .join(dup_h, "h")
         .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_passages"),
-            F.sum((F.col("nd") >= 2).cast("int")).alias("n_dup"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_dup"))
     )
+    per = base.select(
+        F.col(id_col), F.size("chunks").alias("n_passages")
+    ).join(hits, id_col, "left")
     return (
         df.select(id_col)
         .join(per, id_col, "left")
