@@ -393,35 +393,44 @@ def hashed_linear_score(
             F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 15), 16, 10
         ).cast("long") % dim
 
-    if weights is not None:
-        assert len(weights) == dim
-        warr = F.array(*[F.lit(int(w)) for w in weights])
-        weight_of = lambda tok: F.element_at(warr, (idx_of(tok) + 1).cast("int"))
-    else:
-        # derived weight in [-1000, 1000] centi-units from the index hash
-        weight_of = lambda tok: (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("w"), idx_of(tok).cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2001
+    if weights is None:
+        # r12 (guide §1.2): the derived weight is a fixed function of the
+        # feature index — dim md5s once at plan-build (hashlib bit-matches
+        # Spark's md5), not one EXTRA md5 per token occurrence at
+        # execution; the array constant-folds exactly like injected
+        # production weights and every emitted integer is unchanged
+        import hashlib
+
+        weights = [
+            int(hashlib.md5(f"w{i}".encode()).hexdigest()[:15], 16) % 2001
             - 1000
-        )
+            for i in range(dim)
+        ]
+    assert len(weights) == dim
+    warr = F.lit([int(w) for w in weights])
+    weight_of = lambda tok: F.element_at(  # noqa: E731
+        warr, (idx_of(tok) + 1).cast("int")
+    ).cast("long")
     score = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + weight_of(t)
     )
     n = F.size(toks)
-    return df.select(
+    # two-step projection: the md5 fold and size() evaluate ONCE and the
+    # keep gate reads the aliases — inlined in one select, CollapseProject
+    # would hand the non-cheap fold to both score_centi and keep (r12)
+    scored = df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         score.alias("score_centi"),
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "score_centi",
         F.when(
-            n > 0, 100 * score >= F.lit(int(threshold_centi)) * n
+            F.col("n_tokens") > 0,
+            100 * F.col("score_centi")
+            >= F.lit(int(threshold_centi)) * F.col("n_tokens"),
         )
         .otherwise(F.lit(False))
         .alias("keep"),
@@ -467,6 +476,26 @@ def hashed_lang_id(
     """
     assert langs == sorted(langs), "langs must be sorted (tie-break order)"
     assert dim >= 1
+    if weights is None:
+        # r12 (guide §1.2 per-task work): the deterministic stand-in
+        # weights are a fixed function of (lang, index) — |langs|·dim md5s
+        # computed ONCE at plan-build time (hashlib bit-matches Spark's
+        # md5), instead of one md5 per TOKEN per LANGUAGE at execution.
+        # The arrays constant-fold to literal ArrayData exactly like
+        # injected production weights; every emitted integer is unchanged.
+        import hashlib
+
+        weights = {
+            lang: [
+                int(
+                    hashlib.md5(f"w{lang}:{i}".encode()).hexdigest()[:15], 16
+                )
+                % 2001
+                - 1000
+                for i in range(dim)
+            ]
+            for lang in langs
+        }
     # tokens_col: pre-tokenized array seam (CJK via unicode_tokens) — on
     # space-split an unspaced CJK doc is ONE token, so lang-id sees a
     # single out-of-vocabulary feature and degenerates silently
@@ -486,37 +515,27 @@ def hashed_lang_id(
     )
 
     def weight_of(lang: str):
-        if weights is not None:
-            assert len(weights[lang]) == dim
-            warr = F.array(*[F.lit(int(w)) for w in weights[lang]])
-            return lambda i: F.element_at(warr, i + 1).cast("long")
-        return lambda i: (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"w{lang}:"), i.cast("string")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2001
-            - 1000
-        )
+        assert len(weights[lang]) == dim
+        # one py4j round-trip for the whole array literal — dim
+        # individual F.lit() columns cost ~dim driver calls (r12)
+        warr = F.lit([int(w) for w in weights[lang]])
+        return lambda i: F.element_at(warr, i + 1).cast("long")
 
-    scored = df.select(
+    # materialize the index array in its own projection so the |langs|
+    # folds + the size() reference share ONE evaluation — CollapseProject
+    # keeps a non-cheap alias referenced more than once in its own
+    # Project, so the md5 stream runs once per token, not once per
+    # consumer (r12; the r5 lambda-re-evaluation lesson applied here)
+    indexed = df.select("*", idx_arr.alias("__idx"))
+    scored = indexed.select(
         "*",
-        F.size(idx_arr).cast("long").alias("n_tokens"),
+        F.size(F.col("__idx")).cast("long").alias("n_tokens"),
         F.array(
             *[
                 F.struct(
                     (
                         -F.aggregate(
-                            idx_arr,
+                            F.col("__idx"),
                             F.lit(0).cast("long"),
                             lambda acc, i: acc + weight_of(lang)(i),
                         )

@@ -132,7 +132,9 @@ def dsir_score(
     join."""
     assert len(weights) == dim
     toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
-    warr = F.array(*[F.lit(int(w)) for w in weights])
+    # one py4j round-trip for the λ literal — dim individual F.lit()
+    # columns cost ~dim driver calls per plan build (r12)
+    warr = F.lit([int(w) for w in weights])
     score = F.aggregate(
         toks,
         F.lit(0).cast("long"),
