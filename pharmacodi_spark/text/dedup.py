@@ -412,9 +412,12 @@ def passage_dedup_stats(
     # the count_distinct two-phase aggregate; per-doc totals are row-local
     # (size of the chunk array), so only instances of CROSS-DOC-duplicated
     # hashes — the dup mass — reach the per-doc count exchange
-    base = df.select(
-        F.col(id_col), F.when(n > 0, chunks).alias("chunks")
-    ).where(F.col("chunks").isNotNull())
+    # r12: gate on the cheap token-count predicate BEFORE the chunk
+    # projection — the former `when(n > 0, chunks)` + isNotNull filter was
+    # pushed below the projection and re-evaluated the full md5 chunk
+    # transform per row just to test null-ness (guide §4.4's duplication
+    # in native form). Same rows: chunks is null exactly when n == 0.
+    base = df.where(n > 0).select(F.col(id_col), chunks.alias("chunks"))
     dup_h = (
         base.select(F.col(id_col), F.explode(F.array_distinct("chunks")).alias("h"))
         .groupBy("h")
@@ -494,10 +497,10 @@ def passage_first_owner_stats(
         idx,
         lambda i: F.md5(F.array_join(F.slice(toks, i * window + 1, window), " ")),
     )
-    ch = (
-        df.select(F.col(id_col), F.when(n > 0, chunks).alias("chunks"))
-        .where(F.col("chunks").isNotNull())
-        .select(id_col, F.explode("chunks").alias("h"))
+    # r12: cheap-predicate gate before the projection (see
+    # passage_dedup_stats — the pushed isNotNull re-ran the md5 transform)
+    ch = df.where(n > 0).select(
+        id_col, F.explode(chunks).alias("h")
     )
     owner = ch.groupBy("h").agg(F.min(F.col(id_col)).alias("owner"))
     if prior_owned is not None:
@@ -626,10 +629,13 @@ def repeated_spans(
             ).alias("h"),
         ),
     )
+    # r12: cheap-predicate gate before the projection (see
+    # passage_dedup_stats — the pushed isNotNull re-ran the md5 window
+    # transform per row); identical rows, ws is null exactly when
+    # n < min_len
     w = (
-        base.select(F.col(id_col), F.when(n >= min_len, win).alias("ws"))
-        .where(F.col("ws").isNotNull())
-        .select(id_col, F.explode("ws").alias("w"))
+        base.where(n >= min_len)
+        .select(F.col(id_col), F.explode(win).alias("w"))
         .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
     if sample_mod > 1:

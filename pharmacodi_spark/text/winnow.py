@@ -85,9 +85,15 @@ def _gram_hash_arrays(
             10,
         ).cast("long"),
     )
-    return base.select(
-        F.col(id_col), F.when(n >= k, hs).alias("__hs")
-    ).where(F.col("__hs").isNotNull())
+    # r12: gate on the CHEAP predicate (token count) before the hash
+    # projection. The previous `when(n >= k, hs)` + `isNotNull` filter was
+    # pushed below the projection as
+    # `CASE WHEN size(..) >= k THEN isnotnull(transform(.. md5 ..))` —
+    # every surviving doc evaluated the full md5 gram chain TWICE, once in
+    # the filter and once in the projection (guide §4.4's duplication in
+    # native-expression form). Row set is identical: hs is non-null exactly
+    # when n >= k.
+    return base.where(n >= k).select(F.col(id_col), hs.alias("__hs"))
 
 
 def gram_hashes(
