@@ -758,6 +758,9 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-row metadata aggregates (the top_component_projection shape);
     the drift combine is pure driver metadata math over two dim-length
     vectors — the emitted row is scalars only."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.text.similarity import (
         _trunc_div,
         top_component_projection,
@@ -771,11 +774,27 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: (_rnd(x.cast("double") * _KM_SCALE)).cast("long"),
         ).alias("qe"),
     )
+    # r12 (guide §2.6 + §5): ONE pin of the quantized frame — both
+    # snapshot chains and their counts re-read the pin instead of
+    # re-scanning parquet + re-quantizing per job
+    qe = stage_barrier(qe, name="drift_qe")
     old = qe.where(F.col("vec_id") % 2 == 0)
     new = qe.where(F.col("vec_id") % 2 == 1)
-    _po, vo, muo = top_component_projection(old, iterations=_ABTT_ITERS)
-    _pn, vn, mun = top_component_projection(new, iterations=_ABTT_ITERS)
-    n_old, n_new = old.count(), new.count()
+
+    # r12 (guide §2.6): the two snapshot power iterations are mutually
+    # independent driver-collect chains — overlap them so the second
+    # chain's jobs back-fill the first's stragglers. Results are
+    # byte-identical: each chain's integer math is untouched, threads
+    # share nothing but the SparkSession (actions are thread-safe).
+    def _chain(snap):
+        _p, v, mu = top_component_projection(snap, iterations=_ABTT_ITERS)
+        return v, mu, snap.count()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fo = pool.submit(_chain, old)
+        fn_ = pool.submit(_chain, new)
+        vo, muo, n_old = fo.result()
+        vn, mun, n_new = fn_.result()
     mean_shift2 = sum((a - b) * (a - b) for a, b in zip(muo, mun))
     dd = sum(a * b for a, b in zip(vo, vn))
     no2 = sum(x * x for x in vo)
