@@ -1704,6 +1704,7 @@ def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated_spans' window table)."""
     from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.text.winnow import (
+        winnow_fp_rows,
         winnow_fp_sets,
         winnow_overlap_pairs,
     )
@@ -1716,7 +1717,7 @@ def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = stage_barrier(
         winnow_fp_sets(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
     )
-    fp = fps.select("doc_id", F.explode("hs").alias("h"))
+    fp = winnow_fp_rows(fps)
     pairs = winnow_overlap_pairs(
         fp, min_shared=2, max_cell_size=256, hashes_distinct=True
     )
@@ -2322,6 +2323,7 @@ def incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence the whole-doc minhash flags miss. Bodies never rejoin; the
     index side is exactly the table the streaming upsert maintains."""
     from pharmacodi_spark.text.winnow import (
+        winnow_fp_rows,
         winnow_fp_sets,
         winnow_incremental_flags,
     )
@@ -2329,10 +2331,11 @@ def incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # r12: per-doc-distinct hash sets from the row-local winnow — both
     # sides arrive (id, h)-unique so the flags join skips its two dedup
-    # exchanges; the %11 slice predicates push into the parquet scan
-    fp = winnow_fp_sets(d, k=_WIN_K, w=_WIN_W).select(
-        "doc_id", F.explode("hs").alias("h")
-    )
+    # exchanges; the %11 slice predicates push into the parquet scan.
+    # winnow_fp_rows (not a bare explode) keeps the inferred size(hs)>0
+    # filter from dragging the whole winnow chain below the repartition
+    # exchange — the 19x single-task regression this round's bench caught
+    fp = winnow_fp_rows(winnow_fp_sets(d, k=_WIN_K, w=_WIN_W))
     new_fp = fp.where(F.col("doc_id") % 11 == 0)
     idx_fp = fp.where(F.col("doc_id") % 11 != 0)
     return winnow_incremental_flags(
@@ -2479,6 +2482,7 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pharmacodi_spark.plans.queries import fan_out
     from pharmacodi_spark.text.dedup import simhash_near_pairs as _snp
     from pharmacodi_spark.text.winnow import (
+        winnow_fp_rows,
         winnow_fp_sets,
         winnow_overlap_pairs,
     )
@@ -2507,8 +2511,8 @@ def detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(1).alias("s"),
         F.lit(0).alias("w"),
     )
-    fp = winnow_fp_sets(toks, k=_WIN_K, w=_WIN_W, tokens_col="__tk").select(
-        "doc_id", F.explode("hs").alias("h")
+    fp = winnow_fp_rows(
+        winnow_fp_sets(toks, k=_WIN_K, w=_WIN_W, tokens_col="__tk")
     )
     wn = winnow_overlap_pairs(
         fp, min_shared=2, max_cell_size=256, hashes_distinct=True
@@ -2574,14 +2578,17 @@ def winnow_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pharmacodi_spark.barrier import stage_barrier
     from pharmacodi_spark.text.clusters import near_dup_droplist
     from pharmacodi_spark.text.winnow import (
+        winnow_fp_rows,
         winnow_fp_sets,
         winnow_overlap_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    fp = stage_barrier(
-        winnow_fp_sets(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
-    ).select("doc_id", F.explode("hs").alias("h"))
+    fp = winnow_fp_rows(
+        stage_barrier(
+            winnow_fp_sets(d, k=_WIN_K, w=_WIN_W), name="winnow_fp"
+        )
+    )
     pairs = winnow_overlap_pairs(
         fp, min_shared=2, max_cell_size=256, hashes_distinct=True
     ).select("doc_a", "doc_b")

@@ -214,6 +214,25 @@ def winnow_fp_sets(
     return g.select(F.col(id_col), F.array_distinct(sel).alias("hs"))
 
 
+def winnow_fp_rows(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, h) rows from a :func:`winnow_fp_sets` frame, already unique on
+    (id, h). Uses ``explode_outer`` + an ``isNotNull`` filter instead of a
+    plain ``explode``: the non-outer explode makes the optimizer infer a
+    ``size(hs) > 0`` filter (InferFiltersFromGenerate) and push it below
+    the repartition guard with ``hs`` substituted by the ENTIRE md5/winnow
+    expression chain — the whole winnow then executes inside the Filter on
+    the (single-partition) scan side of the exchange. Measured: 19x wall
+    regression on incremental_winnow at sf0.1 (110 s one-task filter
+    stage). The outer explode emits one null-h row per empty/NULL set,
+    removed by the filter — row set identical (hash elements are never
+    null). Barrier-pinned callers are immune either way; this is the safe
+    spelling for both.
+    """
+    return fps.select(
+        F.col(id_col), F.explode_outer("hs").alias("h")
+    ).where(F.col("h").isNotNull())
+
+
 def winnow_overlap_pairs(
     fp: DataFrame,
     id_col: str = "doc_id",
