@@ -45,3 +45,20 @@ def clamp_expr(col: Column | str, upper: float) -> Column:
 def round8(col: Column | str) -> Column:
     """F7: dose/response rounding (build_experiment_tables.py:136-137)."""
     return F.round(col, 8)
+
+
+def int_array_lit(vals) -> Column:
+    """Single-NODE integer array literal (guide §1.2 plan-build cost).
+
+    ``F.lit(list)`` builds a ``CreateArray`` with one child Literal per
+    element, and every analyzer/optimizer rule walks all of them on every
+    plan build — measured +2.4 s of pure ``explain()`` time at dim=4096.
+    One string literal split + cast is 3 nodes at analysis and folds to a
+    single ArrayData Literal in ConstantFolding: same values, same
+    execution, constant plan-walk cost at any dim.
+    """
+    vals = [int(v) for v in vals]
+    assert len(vals) > 0, "int_array_lit: empty array would cast to [null]"
+    return F.split(F.lit(",".join(str(v) for v in vals)), ",").cast(
+        "array<long>"
+    )

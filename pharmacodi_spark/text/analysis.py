@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.functions.scalar import int_array_lit
+
 #: space-free-script char class — scripts whose words are NOT whitespace
 #: delimited, so splitting on spaces collapses a whole line to one "word"
 #: (the silent-degrade VERDICT r8 flagged for CJK/Thai corpora). Hangul is
@@ -407,7 +409,9 @@ def hashed_linear_score(
             for i in range(dim)
         ]
     assert len(weights) == dim
-    warr = F.lit([int(w) for w in weights])
+    # single-node literal: F.lit(list) is a dim-child CreateArray that
+    # every optimizer rule re-walks per plan build (r12, guide §1.2)
+    warr = int_array_lit(weights)
     weight_of = lambda tok: F.element_at(  # noqa: E731
         warr, (idx_of(tok) + 1).cast("int")
     ).cast("long")
@@ -516,9 +520,9 @@ def hashed_lang_id(
 
     def weight_of(lang: str):
         assert len(weights[lang]) == dim
-        # one py4j round-trip for the whole array literal — dim
-        # individual F.lit() columns cost ~dim driver calls (r12)
-        warr = F.lit([int(w) for w in weights[lang]])
+        # single-node literal per language — F.lit(list) is a dim-child
+        # CreateArray every optimizer rule re-walks (r12, guide §1.2)
+        warr = int_array_lit(weights[lang])
         return lambda i: F.element_at(warr, i + 1).cast("long")
 
     # materialize the index array in its own projection so the |langs|

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.functions.scalar import int_array_lit
 from pharmacodi_spark.text.retrieval import FP_BITS, ilog2_fp
 
 
@@ -132,9 +133,9 @@ def dsir_score(
     join."""
     assert len(weights) == dim
     toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
-    # one py4j round-trip for the λ literal — dim individual F.lit()
-    # columns cost ~dim driver calls per plan build (r12)
-    warr = F.lit([int(w) for w in weights])
+    # single-node λ literal — F.lit(list) is a dim-child CreateArray that
+    # every optimizer rule re-walks per plan build (r12, guide §1.2)
+    warr = int_array_lit(weights)
     score = F.aggregate(
         toks,
         F.lit(0).cast("long"),
