@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.functions.scalar import int_array_lit
+
 
 def build_bloom_bitmap(
     dim: DataFrame,
@@ -79,7 +81,12 @@ def bloom_condition(
     """The membership predicate for a built bitmap: AND of k single-bit
     tests. Reusable against a freshly built or loaded-from-disk bitmap."""
     n_bits = len(words) * 64
-    bitmap = F.lit(words).cast("array<long>")
+    # single-node literal (r12, guide §1.2): F.lit(list) is a CreateArray
+    # with one child Literal per word — 16384 children at the default
+    # 2^20-bit map, and the tree repeats per probe, so every optimizer
+    # rule walked ~n_hashes·16384 nodes per plan build. int_array_lit
+    # folds to ONE ArrayData Literal; bit tests are unchanged.
+    bitmap = int_array_lit(words)
     cond = None
     for i in range(n_hashes):
         t = _bit_test(bitmap, key, i, n_bits)

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pharmacodi_spark.functions.scalar import int_array_lit
+from pharmacodi_spark.operators.partitioning import spread_small_scan
 
 #: space-free-script char class — scripts whose words are NOT whitespace
 #: delimited, so splitting on spaces collapses a whole line to one "word"
@@ -184,7 +185,11 @@ def repetition_metrics(
         if tokens_col is not None
         else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
     )
-    base = df.select(F.col(id_col), toks.alias("__toks"))
+    # gram build + sort + two run-length folds are all scan-side CPU;
+    # spread a single-split scan first (no-op at corpus scale, r12 §2.5)
+    base = spread_small_scan(
+        df.select(F.col(id_col), toks.alias("__toks")), id_col
+    )
 
     def sorted_grams(n: int):
         g = F.transform(
@@ -244,15 +249,29 @@ def repetition_metrics(
             lambda acc: acc["dup"],
         )
 
+    # the metric struct rides a 1:1 explode(array(struct(...))) — a
+    # Generate is a predicate-pushdown barrier, so a downstream
+    # .where("keep") can NOT sink below the spread exchange with the whole
+    # run-length fold substituted into the filter (the r12 curation-s1
+    # profile showed exactly that: a 4.7 s single-task stage). The
+    # inferred generate filters fold away (size(array(x)) = 1, array()
+    # never null), so the plan carries no residue — one parallel
+    # evaluation of the fold in every composition.
     out = base.select(
-        id_col,
-        F.size("__toks").cast("long").alias("n_tokens"),
-        max_run(sorted_grams(top_gram)).alias("top_cnt"),
-        dup_run_sum(sorted_grams(dup_gram)).alias("dup_occ"),
-        F.greatest(F.size("__toks") - (dup_gram - 1), F.lit(0))
-        .cast("long")
-        .alias("n_grams"),
-    )
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.size("__toks").cast("long").alias("n_tokens"),
+                    max_run(sorted_grams(top_gram)).alias("top_cnt"),
+                    dup_run_sum(sorted_grams(dup_gram)).alias("dup_occ"),
+                    F.greatest(F.size("__toks") - (dup_gram - 1), F.lit(0))
+                    .cast("long")
+                    .alias("n_grams"),
+                )
+            )
+        ).alias("__m"),
+    ).select(id_col, "__m.*")
     # integer cross-multiplied gates: frac <= cap without fp comparison
     top_scale = int(round(max_top_frac * 100))
     dup_scale = int(round(max_dup_frac * 100))
@@ -422,7 +441,11 @@ def hashed_linear_score(
     # two-step projection: the md5 fold and size() evaluate ONCE and the
     # keep gate reads the aliases — inlined in one select, CollapseProject
     # would hand the non-cheap fold to both score_centi and keep (r12)
-    scored = df.select(
+    # one md5 + element_at per token, all scan-side: spread a single-split
+    # scan before scoring (no-op at corpus scale, r12 §2.5)
+    scored = spread_small_scan(
+        df.select(F.col(id_col), F.col(tokens_col or content_col)), id_col
+    ).select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         score.alias("score_centi"),
@@ -530,7 +553,12 @@ def hashed_lang_id(
     # keeps a non-cheap alias referenced more than once in its own
     # Project, so the md5 stream runs once per token, not once per
     # consumer (r12; the r5 lambda-re-evaluation lesson applied here)
-    indexed = df.select("*", idx_arr.alias("__idx"))
+    # one md5 per token + |langs| folds, all scan-side: spread a
+    # single-split scan first (no-op at corpus scale, r12 §2.5); every
+    # input column rides through (the contract returns *df.columns)
+    indexed = spread_small_scan(df, id_col).select(
+        "*", idx_arr.alias("__idx")
+    )
     scored = indexed.select(
         "*",
         F.size(F.col("__idx")).cast("long").alias("n_tokens"),

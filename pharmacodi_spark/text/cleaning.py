@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.operators.partitioning import spread_small_scan
 from pharmacodi_spark.text.corpus import ngram_col
 
 # pattern, replacement — the common Java-regex/RE2 subset so the same
@@ -122,7 +123,12 @@ def scrub_shared_spans(
     reassembly). Guide §2.3/§2.4 + §8 (decide with small rows — hashes
     and starts; never move the payload)."""
     toks_expr = F.split(F.col(content_col), r"\s+")
-    docs = df.select(F.col(id_col), toks_expr.alias("toks"))
+    # spread a single-split scan before the span-hash work (no-op at
+    # corpus scale, §2.5); the identical exchange under the three docs
+    # consumers ReuseExchange-dedups into one scan + one shuffle (r12)
+    docs = spread_small_scan(
+        df.select(F.col(id_col), toks_expr.alias("toks")), id_col
+    )
     n = F.size("toks")
     starts = F.sequence(
         F.lit(1), F.greatest(n - (span_len - 1), F.lit(1))
@@ -195,7 +201,12 @@ def repeated_span_stats(
     row-local (``size``), so the only other exchanges are the shared-span
     join and a hit-mass groupBy(id) — the full span stream never pays a
     per-(id, h) exchange (guide §2.3/§2.4)."""
-    docs = df.select(
+    # spread a single-split scan below the span-md5 projection (no-op at
+    # corpus scale, §2.5); the exchange is shared by all three docs
+    # consumers via ReuseExchange, the projection above it parallelizes
+    docs = spread_small_scan(
+        df.select(F.col(id_col), F.col(content_col)), id_col
+    ).select(
         F.col(id_col),
         F.transform(ngram_col(content_col, span_len), F.md5).alias("__hs"),
     )
@@ -258,8 +269,14 @@ def _ngram_hash_rows(
     )
     if distinct_per_doc:
         g = F.array_distinct(g)
+    # the per-gram md5 stream is the family's dominant CPU term and sits
+    # directly on the scan — spread a single-split scan before it (no-op
+    # at corpus scale; guide §2.5, r12)
+    base = spread_small_scan(
+        df.select(F.col(id_col), F.col(tokens_col or content_col)), id_col
+    )
     return (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        base.select(F.col(id_col), toks.alias("__toks"))
         .where(F.size("__toks") >= n)
         .select(id_col, F.explode(g).alias("gh"))
     )

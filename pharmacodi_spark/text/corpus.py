@@ -18,8 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.operators.partitioning import spread_small_scan
+
 
 def _tokens(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    # NO spread guard (r12, measured): split+explode into a map-side
+    # partial agg is too light to pay for the exchange (tfidf 1.16→1.32 s
+    # with one); the guard only earns its shuffle above md5/score-fold
+    # grade per-row work
     return df.select(
         F.col(id_col), F.explode(F.split(F.col(content_col), r"\s+")).alias("token")
     ).where(F.col("token") != "")
@@ -150,7 +156,15 @@ def unigram_surprisal(
         if tokens_col is not None
         else F.split(F.col(content_col), " ")
     )
-    toks = df.select(
+    # spread guard KEPT here (r12, measured): unlike the count-only corpus
+    # walks (tfidf/vocab/top-ngrams — reverted), this token stream is
+    # consumed TWICE (count table + the scoring join probe) and the
+    # scoring side carries a broadcast-join probe + per-doc partial agg on
+    # the scan task — profiled 5.2 s single-task inside the curation s1
+    # pin without the guard (no-op at corpus scale, §2.5)
+    toks = spread_small_scan(
+        df.select(F.col(id_col), F.col(tokens_col or content_col)), id_col
+    ).select(
         F.col(id_col), F.explode(tok_src).alias("token")
     ).where(F.col("token") != "")
     # empty tokens from leading/trailing/repeated whitespace would inflate
@@ -367,7 +381,11 @@ def bigram_surprisal(
         if tokens_col is not None
         else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
     )
-    base = df.select(F.col(id_col), toks.alias("__tk"))
+    # spread a single-split scan before the gram build (no-op at corpus
+    # scale, r12 §2.5) — the pin materialization otherwise serializes
+    base = spread_small_scan(
+        df.select(F.col(id_col), F.col(tokens_col or content_col)), id_col
+    ).select(F.col(id_col), toks.alias("__tk"))
     grams = F.transform(
         F.sequence(F.lit(1), F.size("__tk") - 1),
         lambda i: F.struct(
@@ -804,6 +822,11 @@ def stupid_backoff_scores(
             if tokens_col is not None
             else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
         )
+        # NO spread guard here (r12, measured): each gram order's
+        # size(__tk) >= n filter pushes BELOW a repartition with the split
+        # substituted, so the per-order below-exchange subplans differ and
+        # ReuseExchange cannot dedup them — the guard cost 0.3 s at sf0.1
+        # while the heavy gram-count mass is already barrier-pinned
         return d.select(F.col(id_col), t.alias("__tk"))
 
     def grams(d: DataFrame, n: int, out: str) -> DataFrame:
@@ -963,6 +986,11 @@ def kneser_ney_scores(
             if tokens_col is not None
             else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
         )
+        # NO spread guard here (r12, measured): each gram order's
+        # size(__tk) >= n filter pushes BELOW a repartition with the split
+        # substituted, so the per-order below-exchange subplans differ and
+        # ReuseExchange cannot dedup them — the guard cost 0.3 s at sf0.1
+        # while the heavy gram-count mass is already barrier-pinned
         return d.select(F.col(id_col), t.alias("__tk"))
 
     def bigrams(d: DataFrame) -> DataFrame:
@@ -1107,6 +1135,11 @@ def kneser_ney3_scores(
             if tokens_col is not None
             else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
         )
+        # NO spread guard here (r12, measured): each gram order's
+        # size(__tk) >= n filter pushes BELOW a repartition with the split
+        # substituted, so the per-order below-exchange subplans differ and
+        # ReuseExchange cannot dedup them — the guard cost 0.3 s at sf0.1
+        # while the heavy gram-count mass is already barrier-pinned
         return d.select(F.col(id_col), t.alias("__tk"))
 
     def trigrams(d: DataFrame) -> DataFrame:

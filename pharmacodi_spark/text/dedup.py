@@ -16,6 +16,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.operators.partitioning import spread_small_scan
+
 
 def exact_dedup(
     df: DataFrame,
@@ -56,7 +58,12 @@ def minhash_signatures(
     Hash families: xxhash64(seed, shingle) — Spark's fastest 64-bit hash
     (the oracle-checked plans use md5 slices instead purely for DuckDB
     parity). One explode + one groupBy; shuffle rows are (id, k longs)."""
-    shingled = df.select(
+    # shingle build + k hashes per shingle is the CPU term and sits on the
+    # scan; spread a single-split scan before it (no-op at corpus scale),
+    # keyed by id so the groupBy(id) rides the same exchange (r12 §2.5)
+    shingled = spread_small_scan(
+        df.select(F.col(id_col), F.col(content_col)), id_col
+    ).select(
         F.col(id_col), F.explode(_shingle_col(content_col, shingle_len)).alias("sh")
     )
     aggs = [
@@ -281,7 +288,12 @@ def simhash(
 
     Expressed as one explode + one groupBy with ``bits`` conditional sums —
     all codegen'd; shuffle rows are (id, bits ints)."""
-    toks = df.select(
+    # the per-token hash + ``bits`` conditional partial sums run scan-side;
+    # spread a single-split scan first (no-op at corpus scale), keyed by id
+    # so the groupBy(id) rides the same exchange (r12 §2.5)
+    toks = spread_small_scan(
+        df.select(F.col(id_col), F.col(content_col)), id_col
+    ).select(
         F.col(id_col), F.explode(F.split(F.col(content_col), r"\s+")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     # 1<<j as a Python literal overflows signed-long at j=63; shiftleft on a
@@ -417,7 +429,19 @@ def passage_dedup_stats(
     # pushed below the projection and re-evaluated the full md5 chunk
     # transform per row just to test null-ness (guide §4.4's duplication
     # in native form). Same rows: chunks is null exactly when n == 0.
-    base = df.where(n > 0).select(F.col(id_col), chunks.alias("chunks"))
+    # Spread a single-split scan below the chunk projection (no-op at
+    # corpus scale) — the md5 chunk mass otherwise serializes on one task.
+    # The identical exchange under all three base consumers ReuseExchange-
+    # dedups (one scan, one shuffle); the chunk projection ABOVE it still
+    # evaluates per consumer, but in parallel — kept above deliberately:
+    # below the exchange it would run once yet inside the single scan task
+    # this guard exists to relieve (r12 §2.5)
+    base = spread_small_scan(
+        df.where(n > 0).select(
+            F.col(id_col), F.col(tokens_col or content_col)
+        ),
+        id_col,
+    ).select(F.col(id_col), chunks.alias("chunks"))
     dup_h = (
         base.select(F.col(id_col), F.explode(F.array_distinct("chunks")).alias("h"))
         .groupBy("h")
@@ -498,10 +522,15 @@ def passage_first_owner_stats(
         lambda i: F.md5(F.array_join(F.slice(toks, i * window + 1, window), " ")),
     )
     # r12: cheap-predicate gate before the projection (see
-    # passage_dedup_stats — the pushed isNotNull re-ran the md5 transform)
-    ch = df.where(n > 0).select(
-        id_col, F.explode(chunks).alias("h")
-    )
+    # passage_dedup_stats — the pushed isNotNull re-ran the md5 transform);
+    # spread a single-split scan below it (no-op at corpus scale, §2.5) —
+    # the two ch consumers then ReuseExchange-share one scan + shuffle
+    ch = spread_small_scan(
+        df.where(n > 0).select(
+            F.col(id_col), F.col(tokens_col or content_col)
+        ),
+        id_col,
+    ).select(id_col, F.explode(chunks).alias("h"))
     owner = ch.groupBy("h").agg(F.min(F.col(id_col)).alias("owner"))
     if prior_owned is not None:
         # hashes owned by earlier batches precede every current id

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pharmacodi_spark.operators.partitioning import spread_small_scan
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -132,6 +134,10 @@ def ivf_assign(
     and the two paths are bit-identical (pytest-proven literal≡table)."""
     if len(centroids) > literal_max:
         return ivf_assign_table(df, centroids, vec_col=vec_col, out_col=out_col)
+    # k·dim multiplies per row, scan-side: spread a single-split scan
+    # before the argmin (no-op at corpus scale / on pinned frames that
+    # already carry >= defaultParallelism partitions, r12 §2.5)
+    df = spread_small_scan(df)
     v = _as_double(F.col(vec_col))
     pairs = [
         F.struct(
@@ -223,8 +229,10 @@ def ivf_assign_table(
             c["__i"].alias("i"),
         ),
     )
+    # k·dim multiplies per row, scan-side: spread a single-split scan
+    # before the argmin (no-op at corpus scale, r12 §2.5)
     return (
-        df.crossJoin(F.broadcast(one))
+        spread_small_scan(df).crossJoin(F.broadcast(one))
         .withColumn(out_col, F.array_min(pairs)["i"])
         .drop("__cents")
     )
@@ -462,6 +470,9 @@ def pq_encode(
     replace 4·dim bytes per vector — a 64-dim float corpus compresses 64×
     at M=4, and the scan side of a probe reads only the code column.
     Native slice + array_min argmin; no UDF, no shuffle."""
+    # M·K·dsub multiplies per row, scan-side: spread a single-split scan
+    # before the argmin (no-op at corpus scale, r12 §2.5)
+    df = spread_small_scan(df)
     v = _as_double(F.col(vec_col))
     codes = []
     for m, book in enumerate(codebooks):
