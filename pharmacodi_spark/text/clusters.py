@@ -98,15 +98,21 @@ def connected_components(
         if e.limit(1).count() == 0:
             done = True
             break
-        # new super-label per super-node: min(self, min neighbor)
-        upd = _b(
+        # new super-label per super-node: min(self, min neighbor).
+        # NOT pinned (r12): the map is derived from the PINNED e by one
+        # groupBy, so (a) inside this round's contract pin its exchange is
+        # ReuseExchange-shared between the eu/ev legs, and (b) the final
+        # fold re-evaluates it from the still-pinned e inside ONE job —
+        # pinning it cost a full job + materialization per round in a
+        # query whose wall is job-count-bound (93 jobs, 8.6 s wall vs
+        # 0.86 s of perfectly-packed executor time, guide §1.1)
+        upd = (
             e.groupBy("u")
             .agg(F.min("v").alias("nlab"))
             .select(
                 F.col("u").alias("old"),
                 F.least(F.col("u"), F.col("nlab")).alias("new"),
-            ),
-            "cc-upd",
+            )
         )
         maps.append(upd)
         # contract: rewrite edges onto the new super-labels, drop
