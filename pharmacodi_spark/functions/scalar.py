@@ -62,3 +62,51 @@ def int_array_lit(vals) -> Column:
     return F.split(F.lit(",".join(str(v) for v in vals)), ",").cast(
         "array<long>"
     )
+
+
+def json_array_lit(vals, schema: str) -> Column:
+    """Single-NODE literal for NESTED arrays (guide §1.2 plan-build cost).
+
+    The :func:`int_array_lit` split+cast trick only folds one level; for a
+    matrix (e.g. a k×dim centroid table) ``transform`` over a folded split
+    does NOT constant-fold (ArrayTransform is never foldable), so the
+    splits would re-execute per ROW. ``from_json`` of a string literal IS
+    foldable: the whole value collapses to one nested ArrayData Literal in
+    ConstantFolding — verified on Spark 4.1 (optimized plan shows
+    ``[[1.0,2.0],[3.0,4.0]] AS m``). json.dumps round-trips longs exactly
+    and uses repr shortest-round-trip for doubles (Jackson parses back to
+    the identical bits); ``allow_nan=False`` raises loudly on non-finite
+    values instead of silently producing nulls.
+    """
+    import json as _json
+
+    s = _json.dumps(vals, allow_nan=False, separators=(",", ":"))
+    return F.from_json(F.lit(s), schema)
+
+
+def double_array_lit(vals) -> Column:
+    """Single-NODE ``array<double>`` literal (see :func:`json_array_lit`);
+    exact for every finite double (shortest-round-trip decimal both ways)."""
+    vals = [float(v) for v in vals]
+    assert len(vals) > 0, "double_array_lit: empty array"
+    return json_array_lit(vals, "array<double>")
+
+
+def long_matrix_lit(rows) -> Column:
+    """k×dim ``array<array<long>>`` literal as ONE plan node (see
+    :func:`json_array_lit`). Replaces the O(k·dim)-node
+    ``F.array(*[F.array(*[F.lit(x) ...]) ...])`` shape, whose per-element
+    Literals every analyzer/optimizer rule re-walks on every plan build —
+    and whose construction pays one py4j round trip per element
+    (measured ~1.6 s driver-side at k=8, dim=64 in kmeans_lloyd_int)."""
+    rows = [[int(x) for x in r] for r in rows]
+    assert rows and all(rows), "long_matrix_lit: empty matrix/row"
+    return json_array_lit(rows, "array<array<long>>")
+
+
+def double_matrix_lit(rows) -> Column:
+    """k×dim ``array<array<double>>`` literal as ONE plan node (see
+    :func:`json_array_lit`); exact for every finite double."""
+    rows = [[float(x) for x in r] for r in rows]
+    assert rows and all(rows), "double_matrix_lit: empty matrix/row"
+    return json_array_lit(rows, "array<array<double>>")

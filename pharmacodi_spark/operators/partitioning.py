@@ -31,3 +31,32 @@ def spread_small_scan(df: DataFrame, key: "Column | str | None" = None) -> DataF
     if key is None:
         return df.repartition(par)
     return df.repartition(par, F.col(key) if isinstance(key, str) else key)
+
+
+def pin_pair_parallelism(df: DataFrame, keys: list) -> DataFrame:
+    """Pin the parallelism of a pair-expansion exchange (guide §2.5).
+
+    AQE's partition coalescing sizes post-shuffle partitions by BYTES
+    (``minPartitionSize``, 1 MB) — correct for byte-bound stages, wrong for
+    the cell/bucket pair expansions: their input rows are a few id+hash
+    bytes while the downstream work is QUADRATIC in rows per cell (the
+    within-cell dot products / pair structs). Measured at sf0.1: the whole
+    semantic-dedup cosine pair stage (~125k pair dots) coalesced onto ONE
+    task — a 3.3 s straggler on a 32-core box (text_semantic_dedup's
+    single biggest stage).
+
+    The fix: hash-repartition by the expansion's own grouping/join keys to
+    ``defaultParallelism`` BEFORE the groupBy/self-join. The user exchange
+    (REPARTITION_BY_NUM) is not AQE-coalescible, replaces 1:1 the
+    ENSURE_REQUIREMENTS exchange the groupBy/join would have inserted (the
+    downstream op's distribution requirement is satisfied — same keys), and
+    is scale-adaptive (defaultParallelism = total executor cores on a
+    cluster). Pinning also forgoes AQE's skew-split on this exchange —
+    safe exactly because every caller keys by the triangle-block
+    coordinates, whose per-key row mass the hot-cell guard already bounds
+    to <= 2*max_cell_size.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(
+        par, *[F.col(k) if isinstance(k, str) else k for k in keys]
+    )

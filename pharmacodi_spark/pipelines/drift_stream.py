@@ -100,9 +100,12 @@ def batch_drift_stats(
     projection onto the frozen component, centered on the frozen mean,
     truncated by ``div 2^scale_bits`` exactly like
     top_component_projection's output units."""
+    from pharmacodi_spark.functions.scalar import int_array_lit
+
     scale = 1 << scale_bits
-    mu_arr = F.array(*[F.lit(int(m)).cast("long") for m in mu])
-    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    # single-node literals (r12, guide §1.2 — see int_array_lit)
+    mu_arr = int_array_lit(mu)
+    v_arr = int_array_lit(v)
     c = F.zip_with(
         F.transform(F.col(vec_col), lambda x: x.cast("long")),
         mu_arr,

@@ -604,9 +604,12 @@ def abtt_corrected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _proj, v, mu = top_component_projection(
         qe, iterations=_ABTT_ITERS, scale_bits=10, shift_bits=16
     )
+    from pharmacodi_spark.functions.scalar import int_array_lit
+
     vv2 = sum(x * x for x in v)
-    mu_arr = F.array(*[F.lit(int(m)).cast("long") for m in mu])
-    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    # single-node literals (r12, guide §1.2 — see int_array_lit)
+    mu_arr = int_array_lit(mu)
+    v_arr = int_array_lit(v)
     cent = qe.select(
         "vec_id",
         F.zip_with(
@@ -643,7 +646,7 @@ def abtt_corrected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="abtt_corrected",
     )
     probe_row = corrected.where(F.col("vec_id") == _ABTT_PROBE).collect()[0]
-    p_arr = F.array(*[F.lit(int(x)).cast("long") for x in probe_row["cc"]])
+    p_arr = int_array_lit(probe_row["cc"])
     dot_p = F.aggregate(
         F.zip_with("cc", p_arr, lambda c, pp: c * pp),
         F.lit(0).cast("long"),

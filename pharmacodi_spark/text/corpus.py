@@ -633,7 +633,10 @@ def apply_phrases(
     ``a + ' ' + b``; the merge is a native ``aggregate`` fold carrying a
     (output-array, pending-token) struct — ZERO shuffles, the corpus
     never leaves its scan partitions."""
-    keys = F.array(*[F.lit(f"{a} {b}") for a, b in phrases])
+    from pharmacodi_spark.functions.scalar import json_array_lit
+
+    # single-node literal (r12, guide §1.2 — see json_array_lit)
+    keys = json_array_lit([f"{a} {b}" for a, b in phrases], "array<string>")
     # tokens_col: pre-tokenized array seam (CJK via unicode_tokens); the
     # merged output is the token stream space-joined (token space, like
     # strip_source_boilerplate's seam mode)

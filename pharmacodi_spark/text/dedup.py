@@ -16,7 +16,10 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pharmacodi_spark.operators.partitioning import spread_small_scan
+from pharmacodi_spark.operators.partitioning import (
+    pin_pair_parallelism,
+    spread_small_scan,
+)
 
 
 def exact_dedup(
@@ -224,11 +227,20 @@ def pairs_from_cells(
     stay bounded by ~2*max_cell_size regardless of bucket skew. The pair SET
     is unchanged — the guard redistributes work, it does not drop candidates
     (results stay oracle-exact)."""
+    # pin the bucket-expansion exchange to defaultParallelism (r12, guide
+    # §2.5): AQE coalesces it by BYTES (ids + band/bucket ints) while the
+    # in-array pair expansion downstream is quadratic in rows per bucket —
+    # on small-byte inputs the whole expansion landed on ONE task. The
+    # repartition replaces the groupBy's own ENSURE_REQUIREMENTS exchange
+    # 1:1 (same keys); per-key mass is bounded by the triangle guard when
+    # armed, by the LSH bucket structure otherwise.
     if max_cell_size is None:
+        cells = pin_pair_parallelism(cells, ["band", "bucket"])
         grouped = cells.groupBy("band", "bucket")
         member = F.col(id_col)
     else:
         blk = triangle_blocks(cells, ["band", "bucket"], id_col, max_cell_size)
+        blk = pin_pair_parallelism(blk, ["band", "bucket", "__bi", "__bj"])
         grouped = blk.groupBy("band", "bucket", "__bi", "__bj")
         member = F.struct(F.col(id_col).alias("id"), F.col("__g").alias("g"))
     buckets = grouped.agg(
@@ -341,6 +353,9 @@ def simhash_near_pairs(
     )
     if max_cell_size is not None:
         blk = triangle_blocks(bucketed, ["bucket"], id_col, max_cell_size)
+        # pin the pair-join exchange parallelism (r12, guide §2.5 — see
+        # pairs_from_cells); the bit_count Hamming work is per-PAIR
+        blk = pin_pair_parallelism(blk, ["bucket", "__bi", "__bj"])
         a, b = blk.alias("a"), blk.alias("b")
         return (
             a.join(b, triangle_pair_cond(["bucket"], id_col))
@@ -354,7 +369,8 @@ def simhash_near_pairs(
             .where(F.col("hamming") <= max_hamming)
         )
     buckets = (
-        bucketed.groupBy("bucket")
+        pin_pair_parallelism(bucketed, ["bucket"])
+        .groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct(id_col, "simhash"))).alias("m"))
         .where(F.size("m") > 1)
     )

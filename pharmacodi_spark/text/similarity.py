@@ -18,7 +18,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pharmacodi_spark.operators.partitioning import spread_small_scan
+from pharmacodi_spark.functions.scalar import (
+    double_array_lit,
+    double_matrix_lit,
+    int_array_lit,
+    long_matrix_lit,
+)
+from pharmacodi_spark.operators.partitioning import (
+    pin_pair_parallelism,
+    spread_small_scan,
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -139,22 +148,27 @@ def ivf_assign(
     # already carry >= defaultParallelism partitions, r12 §2.5)
     df = spread_small_scan(df)
     v = _as_double(F.col(vec_col))
-    pairs = [
-        F.struct(
+    # r12 (guide §1.2): the centroid matrix is ONE folded literal and the
+    # per-centroid (d2, i) structs come from a transform index lambda —
+    # the previous shape built k separate CreateArray(dim)-literal
+    # subtrees (one py4j round trip per centroid, k·dim Literal nodes
+    # re-walked by every analyzer/optimizer rule on every plan build;
+    # measured ~0.9 s of pure driver time per ivf_assign call at k=8,
+    # dim=64 — kmeans builds THREE such plans per query). Math, tie-break
+    # (lower index wins the struct ordering) and results are identical.
+    mat = double_matrix_lit([[float(x) for x in c] for c in centroids])
+    pairs = F.transform(
+        mat,
+        lambda c, i: F.struct(
             F.aggregate(
-                F.zip_with(
-                    v,
-                    F.lit(c).cast("array<double>"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0),
                 lambda acc, d: acc + d,
             ).alias("d2"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return df.withColumn(out_col, F.array_min(F.array(*pairs))["i"])
+            i.alias("i"),
+        ),
+    )
+    return df.withColumn(out_col, F.array_min(pairs)["i"])
 
 
 def ivf_assign_table(
@@ -478,14 +492,15 @@ def pq_encode(
     for m, book in enumerate(codebooks):
         dsub = len(book[0])
         sub = F.slice(v, m * dsub + 1, dsub)
-        pairs = [
-            F.struct(
-                _sq_l2(sub, F.lit(entry).cast("array<double>")).alias("d2"),
-                F.lit(kk).alias("i"),
-            )
-            for kk, entry in enumerate(book)
-        ]
-        codes.append(F.array_min(F.array(*pairs))["i"])
+        # per-subspace codebook as ONE folded matrix literal + transform
+        # index argmin (r12, guide §1.2) — was K CreateArray(dsub)-literal
+        # struct subtrees per subspace; math/tie-break/results identical
+        mat = double_matrix_lit([[float(x) for x in entry] for entry in book])
+        pairs = F.transform(
+            mat,
+            lambda c, i: F.struct(_sq_l2(sub, c).alias("d2"), i.alias("i")),
+        )
+        codes.append(F.array_min(pairs)["i"])
     return df.withColumn(out_col, F.array(*codes))
 
 
@@ -523,9 +538,7 @@ def pq_adc_topk(
         code_col = "pq_code"
     d2 = None
     for m in range(m_subspaces):
-        term = F.get(
-            F.lit(tables[m]).cast("array<double>"), F.col(code_col)[m]
-        )
+        term = F.get(double_array_lit(tables[m]), F.col(code_col)[m])
         d2 = term if d2 is None else d2 + term
     return (
         df.select(F.col(id_col), d2.alias("d2_adc"))
@@ -706,6 +719,12 @@ def cell_cosine_pairs(
         base = withn
     if max_cell_size is not None:
         blk = triangle_blocks(base, [cell_col], id_col, max_cell_size)
+        # pin the pair-join exchange to defaultParallelism: AQE coalesces
+        # it by BYTES (a few id+vector KB) while the within-cell dot work
+        # is quadratic in rows — measured as a 3.3 s ONE-task straggler in
+        # text_semantic_dedup at sf0.1 (r12, guide §2.5); per-key mass is
+        # already bounded by the triangle guard, so no skew-split is lost
+        blk = pin_pair_parallelism(blk, [cell_col, "__bi", "__bj"])
         cond = triangle_pair_cond([cell_col], id_col)
     else:
         blk = base
@@ -944,7 +963,7 @@ def int8_weighted_topk(
     q8 = int8_quantize(
         df, vec_col=vec_col, id_col=id_col, l2_normalize=l2_normalize
     )
-    w = F.array(*[F.lit(int(x)).cast("long") for x in weights])
+    w = int_array_lit(weights)
     qdot = F.aggregate(
         F.zip_with(F.col("q8"), w, lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -996,7 +1015,7 @@ def mmr_topk(
     assert 1 <= lam_pct <= 100 and k >= 1
     q = [int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
          for x in query_vec]
-    qarr = F.array(*[F.lit(int(x)) for x in q])
+    qarr = int_array_lit(q)
     v = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
@@ -1016,8 +1035,7 @@ def mmr_topk(
     for _ in range(k):
         if chosen_vecs:
             sims = [
-                dot(F.col("__v"), F.array(*[F.lit(int(x)) for x in s]))
-                for s in chosen_vecs
+                dot(F.col("__v"), int_array_lit(s)) for s in chosen_vecs
             ]
             max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
         else:
@@ -1088,7 +1106,7 @@ def jl_project(
     )
     cols = [F.col(id_col)]
     for j, row in enumerate(signs):
-        sarr = F.array(*[F.lit(int(s)) for s in row])
+        sarr = int_array_lit(row)
         cols.append(
             F.aggregate(
                 F.zip_with(q, sarr, lambda x, s: x * s),
@@ -1382,9 +1400,9 @@ def kmeans_lloyd_int(
         ]
     assigned = ivf_assign(df, cents, vec_col=vec_col, out_col=out_col)
     if k <= IVF_LITERAL_MAX:
-        cent_arr = F.array(
-            *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in cents]
-        )
+        # r12: one folded matrix literal (was k·dim F.lit py4j calls —
+        # measured ~1.6 s of pure driver plan-build time at k=8, dim=64)
+        cent_arr = long_matrix_lit(cents)
         chosen = F.element_at(cent_arr, (F.col(out_col) + 1).cast("int"))
     else:
         # large k: the k·dim literal array is the same O(k) plan tree
@@ -1461,7 +1479,10 @@ def top_component_projection(
     mu = [0] * dim
     for r in sums:
         mu[int(r["pos"])] = _trunc_div(int(r["s"]), int(r["n"]))
-    mu_arr = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    # single-node literals (r12, guide §1.2): dim-length F.array(*[F.lit..])
+    # trees cost one py4j call per element at build and a per-element
+    # analyzer walk per plan — this loop builds one per power iteration
+    mu_arr = int_array_lit(mu)
 
     cent = stage_barrier(
         df.select(
@@ -1483,7 +1504,7 @@ def top_component_projection(
         )
 
     for _ in range(iterations):
-        v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        v_arr = int_array_lit(v)
         dot = F.aggregate(
             F.zip_with("__c", v_arr, lambda c, vv: c * vv),
             F.lit(0).cast("long"),
@@ -1507,7 +1528,7 @@ def top_component_projection(
             )
         v = [_trunc_div(x * scale, m) for x in w]
 
-    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    v_arr = int_array_lit(v)
     final_dot = F.aggregate(
         F.zip_with("__c", v_arr, lambda c, vv: c * vv),
         F.lit(0).cast("long"),

@@ -508,7 +508,11 @@ def decode_token_ids(
 
     Scale shape: the vocab rides as ONE array literal; decoding is a
     per-row ``transform`` + ``element_at`` — zero shuffles, no Python."""
-    varr = F.array(*[F.lit(str(p)) for p in vocab])
+    # single-node literal (r12, guide §1.2): one folded from_json node
+    # instead of a CreateArray with one child Literal per vocab piece
+    from pharmacodi_spark.functions.scalar import json_array_lit
+
+    varr = json_array_lit([str(p) for p in vocab], "array<string>")
     n = len(vocab)
     pieces = F.transform(
         F.col(ids_col),

@@ -255,16 +255,21 @@ def winnow_overlap_pairs(
     (id, h) — e.g. the explode of :func:`winnow_fp_sets` — skipping the
     full (id, h) distinct exchange (r12, guide §2.4).
     """
+    from pharmacodi_spark.operators.partitioning import pin_pair_parallelism
     from pharmacodi_spark.text.dedup import triangle_blocks
 
     d = fp.select(F.col(id_col), "h")
     if not hashes_distinct:
         d = d.distinct()
+    # pin the bucket-expansion exchange parallelism (r12, guide §2.5 —
+    # see dedup.pairs_from_cells): the in-array pair expansion is
+    # quadratic per bucket while the exchange bytes are tiny
     if max_cell_size is None:
-        grouped = d.groupBy("h")
+        grouped = pin_pair_parallelism(d, ["h"]).groupBy("h")
         member = F.col(id_col)
     else:
         blk = triangle_blocks(d, ["h"], id_col, max_cell_size)
+        blk = pin_pair_parallelism(blk, ["h", "__bi", "__bj"])
         grouped = blk.groupBy("h", "__bi", "__bj")
         member = F.struct(F.col(id_col).alias("id"), F.col("__g").alias("g"))
     buckets = grouped.agg(
