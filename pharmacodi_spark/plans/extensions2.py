@@ -43,17 +43,24 @@ def _simhash_spark(
     toks = base.withColumn(
         "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     )
+    # r12 (guide §1.2): build the per-bit aggregates and the fingerprint
+    # fold as SQL strings — ONE py4j round trip per expression instead of
+    # ~7 Column-API calls per bit (cProfile: the 60-bit builder spent
+    # 2.2 s of pure driver time, ~90% of it py4j socket wait). Exactly the
+    # _sim_sql twin's text, so values are unchanged by construction.
     bit_sums = [
-        F.sum(
-            F.when(F.col("th").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (th & {1 << j}) != 0 THEN 1 ELSE -1 END)"
         ).alias(f"b{j}")
         for j in range(bits)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_sums)
-    fp = None
-    for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        )
+    )
     return sums.select("doc_id", fp.cast("long").alias(out_col))
 
 
