@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 from pharmacodi_spark.barrier import stage_barrier
 
+#: a contraction map with at most this many rows rides broadcast joins in
+#: the CC loop (relabel legs + label fold). Maps are (old, new) long pairs
+#: (~16 B/row → ≤16 MB under the session's 64 MB broadcast budget); the
+#: bound comes from the edge count the convergence check already pays for.
+#: At corpus scale round 0 exceeds it and keeps the shuffle_hash path.
+CC_BROADCAST_MAX_ROWS = 1_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -88,14 +95,18 @@ def connected_components(
         .withColumn("lab", F.col("node")),
         "cc-labels0",
     )
-    maps: list[DataFrame] = []
+    maps: list[tuple[DataFrame, int]] = []
     e = sym
     done = False
     for _ in range(max_iter):
         # empty super-graph = every component fully contracted: done.
         # e is barrier-pinned (or a lazy union over the pinned directed
-        # set in round 0), so this is a metadata-cheap count
-        if e.limit(1).count() == 0:
+        # set in round 0), so this is a metadata-cheap count. The FULL
+        # count (r12; was limit(1).count() — same one cheap job) also
+        # bounds the round's contraction-map size (map rows = distinct u
+        # of e <= row count), which picks the join strategy below.
+        n_e = e.count()
+        if n_e == 0:
             done = True
             break
         # new super-label per super-node: min(self, min neighbor).
@@ -114,15 +125,27 @@ def connected_components(
                 F.least(F.col("u"), F.col("nlab")).alias("new"),
             )
         )
-        maps.append(upd)
+        maps.append((upd, n_e))
         # contract: rewrite edges onto the new super-labels, drop
         # self-loops and duplicates (symmetry is preserved by the
         # relabel). Every endpoint has edges, so the map join is inner.
+        # r12 (guide §3.1): on clique-heavy near-dup graphs the edge set
+        # collapses ~30x after round 0, so rounds 1+ relabel against a
+        # TINY map — broadcast it (both relabel legs and, below, the
+        # fold) instead of paying two shuffle exchanges per join. The
+        # row-count bound comes from the n_e already counted above;
+        # past the threshold (round 0 at corpus scale) the shuffle_hash
+        # path is unchanged.
+        small = n_e <= CC_BROADCAST_MAX_ROWS
         eu = upd.select(F.col("old").alias("u"), F.col("new").alias("nu"))
         ev = upd.select(F.col("old").alias("v"), F.col("new").alias("nv"))
+        if small:
+            eu, ev = F.broadcast(eu), F.broadcast(ev)
+        else:
+            eu, ev = eu.hint("shuffle_hash"), ev.hint("shuffle_hash")
         e = _b(
-            e.join(eu.hint("shuffle_hash"), "u")
-            .join(ev.hint("shuffle_hash"), "v")
+            e.join(eu, "u")
+            .join(ev, "v")
             .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct(),
@@ -134,10 +157,18 @@ def connected_components(
         )
     # fold the per-round contraction maps into the original-node label map
     # (nodes whose super-label had no edges keep their label). Executed
-    # once, lazily — the maps are pinned, the chain is <= rounds joins.
-    for upd in maps:
+    # once, lazily — the maps derive from their round's pinned edge frame,
+    # the chain is <= rounds joins. Small maps broadcast (r12): a LEFT
+    # join with a broadcast build-right removes both exchanges of the
+    # |V|-row label table per fold step.
+    for upd, n_e in maps:
+        right = (
+            F.broadcast(upd)
+            if n_e <= CC_BROADCAST_MAX_ROWS
+            else upd.hint("shuffle_hash")
+        )
         labels = labels.join(
-            upd.hint("shuffle_hash"),
+            right,
             labels["lab"] == upd["old"],
             "left",
         ).select("node", F.coalesce("new", "lab").alias("lab"))
