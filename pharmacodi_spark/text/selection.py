@@ -143,11 +143,7 @@ def dsir_score(
         lambda acc, t: acc
         + F.element_at(warr, (_bucket_of(t, dim, salt) + 1).cast("int")),
     )
-    # one md5 + element_at per token, all scan-side: spread a single-split
-    # scan before scoring (no-op at corpus scale, r12 §2.5)
-    return spread_small_scan(
-        df.select(F.col(id_col), *keep_cols, F.col(content_col)), id_col
-    ).select(
+    return df.select(F.col(id_col), *keep_cols, F.col(content_col)).select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.size(toks).cast("long").alias("n_tokens"),
