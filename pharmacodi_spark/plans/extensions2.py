@@ -2788,8 +2788,15 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = near_dup_droplist(
         s1.select("doc_id"), pairs, edges_canonical=True
     )
+    # the droplist side derives from barrier-pinned RDD scans (no stats),
+    # so the planner falls back to sort-merge for both semi-joins against
+    # it — hint shuffle_hash (guide §3.1: hash build of the smaller keeper
+    # set per partition, no sort of either side; scale-safe where a
+    # broadcast of the survivor set would not be)
     s2 = s1.join(
-        keep.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        keep.where(F.col("keep")).select("doc_id").hint("shuffle_hash"),
+        "doc_id",
+        "left_semi",
     )
 
     # 3. cross-corpus candidates: any band in an occupied corpus cell.
@@ -2797,7 +2804,7 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cells semi-joined by the surviving ids — no third signature pass
     corpus_cells = cells(_signature(corpus)).select("band", "v1", "v2").distinct()
     flagged = (
-        c1.join(s2.select("doc_id"), "doc_id", "left_semi")
+        c1.join(s2.select("doc_id").hint("shuffle_hash"), "doc_id", "left_semi")
         .join(corpus_cells, ["band", "v1", "v2"], "left_semi")
         .select("doc_id")
         .distinct()

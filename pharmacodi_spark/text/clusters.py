@@ -32,6 +32,34 @@ from pharmacodi_spark.barrier import stage_barrier
 #: At corpus scale round 0 exceeds it and keeps the shuffle_hash path.
 CC_BROADCAST_MAX_ROWS = 1_000_000
 
+#: pointer-jumping depth (r12): from round CC_COMPOSE_AFTER on, the round's
+#: contraction map is composed with itself this many times (upd → upd∘upd →
+#: (upd∘upd)∘(upd∘upd), i.e. up to 2^jumps+... hops) before the edges
+#: relabel through it. Plain min-contraction needs O(component diameter)
+#: rounds — a chain of k transitive near-dups costs k rounds, each a count
+#: job + a checkpoint materialization (the measured wall of the CC stage is
+#: JOB-count-bound, not data-bound, at bench scale); composition makes the
+#: residual round count O(log diameter). Guards (both measured, see
+#: OPTIMIZATION_r12.md entry 20):
+#:
+#: - composition starts only at round CC_COMPOSE_AFTER: dense near-dup
+#:   cliques collapse in the first two plain rounds, so early composition
+#:   is pure overhead (always-compose regressed ingest_pipeline 9.7→24 s —
+#:   each un-pinned composition nests broadcast builds whose children
+#:   re-evaluate the whole map plan per consumer); rounds that still have
+#:   edges after two contractions are chain-shaped, exactly the case
+#:   composition fixes;
+#: - the composed map is PINNED (one localCheckpoint job per composing
+#:   round) so eu/ev/fold read materialized blocks instead of re-running
+#:   the composed plan — the pin pays for itself precisely because
+#:   composing rounds replace several plain rounds' count+checkpoint jobs;
+#: - composition only runs when the map is broadcast-small (the
+#:   CC_BROADCAST_MAX_ROWS bound): the compositions are broadcast joins of
+#:   a metadata-scale map. At corpus scale round 0 both exceeds the bound
+#:   and precedes CC_COMPOSE_AFTER — unchanged from the r11 shape.
+CC_POINTER_JUMPS = 2
+CC_COMPOSE_AFTER = 2
+
 
 def connected_components(
     edges: DataFrame,
@@ -98,7 +126,7 @@ def connected_components(
     maps: list[tuple[DataFrame, int]] = []
     e = sym
     done = False
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         # empty super-graph = every component fully contracted: done.
         # e is barrier-pinned (or a lazy union over the pinned directed
         # set in round 0), so this is a metadata-cheap count. The FULL
@@ -125,6 +153,34 @@ def connected_components(
                 F.least(F.col("u"), F.col("nlab")).alias("new"),
             )
         )
+        small = n_e <= CC_BROADCAST_MAX_ROWS
+        if small and round_idx >= CC_COMPOSE_AFTER:
+            # pointer-jump (r12): compose the map with itself so this round
+            # contracts multi-hop paths instead of one hop — the residual
+            # rounds drop from O(diameter) to O(log diameter). Valid
+            # because composition preserves the contraction invariants:
+            # new <= old, new is in old's component, and the component
+            # minimum is a fixed point (upd(min) = min) — so the loop
+            # still terminates exactly when every component has collapsed
+            # to its min, and the label fold composes the same (old, new)
+            # maps it stores. The map is a FUNCTION (one row per old, from
+            # the groupBy); already-fixed labels fall through the left
+            # join unchanged. Pinned so consumers (eu/ev legs, the fold)
+            # read blocks, not the composed plan (see constant docstring).
+            for _ in range(CC_POINTER_JUMPS):
+                hop = upd.select(
+                    F.col("old").alias("__o"), F.col("new").alias("__n")
+                )
+                upd = (
+                    upd.join(
+                        F.broadcast(hop), F.col("new") == F.col("__o"), "left"
+                    )
+                    .select(
+                        "old",
+                        F.coalesce("__n", "new").alias("new"),
+                    )
+                )
+            upd = _b(upd, "cc-map")
         maps.append((upd, n_e))
         # contract: rewrite edges onto the new super-labels, drop
         # self-loops and duplicates (symmetry is preserved by the
@@ -136,7 +192,6 @@ def connected_components(
         # row-count bound comes from the n_e already counted above;
         # past the threshold (round 0 at corpus scale) the shuffle_hash
         # path is unchanged.
-        small = n_e <= CC_BROADCAST_MAX_ROWS
         eu = upd.select(F.col("old").alias("u"), F.col("new").alias("nu"))
         ev = upd.select(F.col("old").alias("v"), F.col("new").alias("nv"))
         if small:

@@ -115,6 +115,29 @@ def test_connected_components_and_droplist(spark):
     assert sum(1 for c, k in dl.values() if k) == 4  # one keeper per cluster + singleton
 
 
+def test_connected_components_long_path(spark):
+    """Pointer-jumping (r12): a PATH graph contracts by only ~1 node per
+    plain min-contraction round, so any >max_iter-long transitive chain
+    used to raise "not converged" — the composed contraction maps
+    (CC_POINTER_JUMPS from round CC_COMPOSE_AFTER) make the residual
+    round count O(log diameter). 24-node path under max_iter=12: raises
+    without composition, converges with it, labels = component min."""
+    from pyspark.sql import functions as F
+
+    from pharmacodi_spark.text.clusters import connected_components
+
+    edges = spark.range(23).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            edges, edges_canonical=True, max_iter=12
+        ).collect()
+    }
+    assert comp == {i: 0 for i in range(24)}
+
+
 def test_cosine_topk_and_lsh(spark):
     e = _emb(spark)
     rng = random.Random(7)
