@@ -430,7 +430,21 @@ def passage_dedup_stats(
         else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
     )
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(float(window))).cast("int"))
+    # the upper bound clamps at 0 so the expression stays TOTAL on n = 0
+    # rows: the `where(n > 0)` filter removes them, but an optimizer-
+    # inferred predicate (InferFiltersFromGenerate on the downstream
+    # explode, with `chunks` substituted) can evaluate the transform on
+    # such a row FIRST — and an unclamped bound of -1 makes
+    # sequence(0, -1) descend into i = -1, whose slice start of 0 is an
+    # ANSI error (caught by hypothesis: a single empty document raised
+    # INVALID_PARAMETER_VALUE.START). Real rows have n >= 1, bound >= 0:
+    # values unchanged.
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - 1) / F.lit(float(window))).cast("int"), F.lit(0)
+        ),
+    )
     chunks = F.transform(
         idx,
         lambda i: F.md5(F.array_join(F.slice(toks, i * window + 1, window), " ")),
@@ -532,7 +546,16 @@ def passage_first_owner_stats(
         else F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
     )
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(float(window))).cast("int"))
+    # bound clamped at 0: total on n = 0 rows (see passage_dedup_stats —
+    # the same inferred-predicate reordering evaluates the transform on
+    # filtered-out empty docs; unclamped, sequence(0, -1) descends into a
+    # slice start of 0, an ANSI error)
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - 1) / F.lit(float(window))).cast("int"), F.lit(0)
+        ),
+    )
     chunks = F.transform(
         idx,
         lambda i: F.md5(F.array_join(F.slice(toks, i * window + 1, window), " ")),
