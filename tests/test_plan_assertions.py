@@ -38,6 +38,9 @@ CASES = [
      "fact never shuffles for the remap"),
     ("bm25_topk", r"SortMergeJoin", False,
      "retrieval joins stay broadcast/hash"),
+    ("ingest_pipeline", r"SortMergeJoin", False,
+     "the droplist semi-joins ride shuffle_hash — no sort of either side "
+     "(the pinned droplist has no stats, so the planner fell to SMJ; r12)"),
     ("curation_pipeline", r"SortMergeJoin", False,
      "stage barriers keep the cascade broadcast-only"),
     ("curation_pipeline", r"Scan ExistingRDD", True,
