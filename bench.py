@@ -32,9 +32,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import queue
 import random
 import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -221,9 +223,25 @@ def _fresh_spark():
     return spark
 
 
-def run_only(name: str, sf_dir: str, runs: int) -> None:
-    """Single query in a fresh session: warm once, min of ``runs`` timed."""
+def run_only(name: str, sf_dir: str, runs: int, preboot: bool = False) -> None:
+    """Single query in a fresh session: warm once, min of ``runs`` timed.
+
+    ``preboot`` (used by the isolated suite runner): boot the session and
+    import the registry, then print READY and BLOCK until the parent writes
+    a line on stdin. This lets the suite overlap the NEXT query's JVM boot
+    with the CURRENT query's timed runs — the boot is driver-side JVM/class
+    loading, excluded from every timing either way (BENCH_r12 context: the
+    driver's 32-core leg timed out; per-query wall was ~60% JVM startup).
+    """
     spark = _fresh_spark()
+    if preboot:
+        from pharmacodi_spark.plans import QUERIES  # registry import off the timed path
+
+        assert name in QUERIES
+        print("READY", flush=True)
+        if not sys.stdin.readline():  # parent died or aborted the suite
+            spark.stop()
+            return
     run_query(spark, name, sf_dir)  # codegen/JIT/AQE warm
     best = round(min(run_query(spark, name, sf_dir) for _ in range(runs)), 3)
     print(
@@ -236,7 +254,8 @@ def run_only(name: str, sf_dir: str, runs: int) -> None:
                 "runs": runs,
                 "sf": _sf_of(sf_dir),
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 
@@ -262,6 +281,80 @@ def run_suite_inprocess(sf_dir: str, shuffle_seed: int | None) -> None:
     spark.stop()
 
 
+# per-child deadlines for the isolated suite (env-overridable). BOOT covers
+# JVM + session startup; QUERY covers warm + `runs` timed executions. A hung
+# child is killed and recorded as -1.0 instead of hanging the whole suite
+# (BENCH_r12: the driver's 32-core leg died at rc=124 with ZERO output —
+# isolated mode used to print nothing until the very end).
+BOOT_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BOOT_TIMEOUT", "300"))
+QUERY_TIMEOUT = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "600"))
+
+
+class _Child:
+    """One --only --preboot subprocess with line-queue readers."""
+
+    def __init__(self, name: str, sf_dir: str, runs: int):
+        self.name = name
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--only", name,
+             "--runs", str(runs), "--preboot"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, env=env,
+        )
+        self.lines: queue.Queue[str | None] = queue.Queue()
+        self.err_tail: list[str] = []
+        threading.Thread(target=self._pump, daemon=True).start()
+        threading.Thread(target=self._pump_err, daemon=True).start()
+
+    def _pump(self) -> None:
+        for line in self.proc.stdout:
+            self.lines.put(line.rstrip("\n"))
+        self.lines.put(None)  # EOF sentinel
+
+    def _pump_err(self) -> None:
+        for line in self.proc.stderr:
+            self.err_tail.append(line)
+            del self.err_tail[:-40]
+
+    def wait_line(self, pred, timeout: float):
+        """Next stdout line satisfying ``pred`` within ``timeout``; None on
+        timeout/EOF (JVM noise lines are skipped, the clock keeps running)."""
+        deadline = time.monotonic() + timeout
+        while True:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                return None
+            try:
+                line = self.lines.get(timeout=left)
+            except queue.Empty:
+                return None
+            if line is None:
+                return None
+            if pred(line):
+                return line
+
+    def go(self) -> bool:
+        try:
+            self.proc.stdin.write("GO\n")
+            self.proc.stdin.flush()
+            return True
+        except (BrokenPipeError, OSError):
+            return False
+
+    def kill(self) -> None:
+        if self.proc.poll() is None:
+            self.proc.kill()
+        try:
+            self.proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+
+
+def _is_result(line: str) -> bool:
+    return line.startswith("{") and '"single_query_sec"' in line
+
+
 def run_suite_isolated(sf_dir: str, runs: int) -> None:
     """Headline mode: every query in its own subprocess (fresh JVM).
 
@@ -269,23 +362,69 @@ def run_suite_isolated(sf_dir: str, runs: int) -> None:
     in a shared JVM) that round-3 measured at up to 2.4x on back-half
     queries. Costs one JVM+session startup per query, which is excluded from
     the timing (the subprocess times only the query actions).
+
+    r13 hardening (BENCH_r12 rc=124 postmortem):
+    - the NEXT query's JVM boots while the CURRENT query runs its timed
+      passes (the child blocks after session startup until it gets a GO
+      line) — boot wall (~11 s/JVM) no longer serializes with execution;
+      contamination of the timed runs by a concurrently booting JVM was
+      A/B-measured (see OPTIMIZATION_r13.md) before this became default;
+    - each child gets a boot deadline and a query deadline; a hung or
+      crashed child records -1.0 and the suite moves on;
+    - a compact PARTIAL summary line streams after every query, so a run
+      killed by an outer timeout still leaves a parseable final line with
+      every completed timing (the old code printed nothing until the end).
     """
     timings: dict[str, float] = {}
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    for name in HEADLINE:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--only", name,
-             "--runs", str(runs)],
-            capture_output=True, text=True, env=env, check=False,
-        )
-        line = (out.stdout.strip().splitlines() or [""])[-1]
+    # boot lookahead: how many FUTURE children may be booting while the
+    # current child runs. 1 balances the pipeline only when exec >= boot;
+    # boot is ~11 s vs ~5 s median exec here, so 2 keeps the boot pipeline
+    # from becoming the bottleneck on cheap queries. Contamination of the
+    # timed runs by concurrent boots was A/B-measured at 1 and 2 before
+    # this became default (OPTIMIZATION_r13.md).
+    ahead = max(0, int(os.environ.get("SPARK_GRAFT_BOOT_AHEAD", "2")))
+    booted: dict[int, _Child | None] = {}
+
+    def _boot(i: int) -> None:
+        if i >= len(HEADLINE) or i in booted:
+            return
         try:
-            timings[name] = float(json.loads(line)["value"])
-        except (ValueError, KeyError, json.JSONDecodeError):
+            booted[i] = _Child(HEADLINE[i], sf_dir, runs)
+        except OSError as exc:  # spawn failure: record, keep going
+            sys.stderr.write(f"bench: spawn {HEADLINE[i]} failed: {exc}\n")
+            booted[i] = None
+
+    _boot(0)
+    for i, name in enumerate(HEADLINE):
+        cur = booted.pop(i, None)
+        # future boots overlap this child's (untimed) boot wait + timed runs
+        for j in range(i + 1, i + 1 + ahead):
+            _boot(j)
+        if cur is None:  # spawn failed
+            timings[name] = -1.0
+            _emit_partial(timings, sf_dir, mode="isolated", n_total=len(HEADLINE))
+            continue
+        ready = cur.wait_line(lambda l: l.strip() == "READY", BOOT_TIMEOUT)
+        got = None
+        if ready is not None and cur.go():
+            got = cur.wait_line(_is_result, QUERY_TIMEOUT)
+        if got is not None:
+            try:
+                timings[name] = float(json.loads(got)["value"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                got = None
+        if got is None:
+            stage = "boot" if ready is None else "run"
             sys.stderr.write(
-                f"bench: {name} failed rc={out.returncode}\n{out.stderr[-2000:]}\n"
+                f"bench: {name} failed ({stage} timeout or crash, "
+                f"rc={cur.proc.poll()})\n{''.join(cur.err_tail)[-2000:]}\n"
             )
             timings[name] = -1.0
+        cur.kill()
+        _emit_partial(timings, sf_dir, mode="isolated", n_total=len(HEADLINE))
+    for child in booted.values():
+        if child is not None:
+            child.kill()
     _emit(timings, sf_dir, mode="isolated")
 
 
@@ -307,7 +446,8 @@ BENCH_FULL_PATH = os.path.join(
 )
 
 
-def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
+def _full_record(timings: dict[str, float], sf_dir: str, mode: str) -> dict:
+    """The complete results object (first stdout line / sidecar payload)."""
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # failed queries are recorded as -1.0 and excluded from the totals —
     # surface them in the JSON so consumers can tell a shrunken total from
@@ -357,27 +497,41 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
         "failed": failed,
         **({"sf1": sf1} if sf1 is not None else {}),
     }
-    # Full record: first stdout line + durable sidecar file.
+    return full
+
+
+def _sidecar_path(sf_dir: str) -> str:
     # only the driver-contract scale (sf0.1) owns BENCH_FULL.json — any
     # other scale writes its own sidecar, so an sf1 leg (tools/bench_sf1)
     # can never clobber the round's official sf0.1 record (r8 incident:
     # the committed BENCH_FULL briefly held sf1 timings)
     sf = _sf_of(sf_dir)
-    full_path = (
+    return (
         BENCH_FULL_PATH
         if sf == 0.1
         else BENCH_FULL_PATH.replace(".json", f"_sf{sf}.json")
     )
+
+
+def _write_sidecar(full: dict, full_path: str) -> None:
     try:
-        with open(full_path, "w") as fh:
+        tmp = full_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
+        os.replace(tmp, full_path)  # atomic: an outer kill never corrupts it
     except OSError:
         pass  # read-only checkout: the early stdout line still has it all
-    print(json.dumps(full))
-    # Final line: same object minus the full per-query dict; "queries" keeps
-    # the slowest entries that fit the budget (the ones worth triaging from
-    # the tail alone), largest-first, so truncation drops the cheap ones.
+
+
+def _compact_line(full: dict, full_path: str) -> str:
+    # Compact line: same object minus the full per-query dict; "queries"
+    # keeps the slowest entries that fit the budget (the ones worth triaging
+    # from the tail alone), largest-first, so truncation drops the cheap
+    # ones.
+    timings = full["queries"]
+    failed = full["failed"]
+    total = full["value"]
     compact = dict(full)
     # point at the file this run actually wrote (non-sf0.1 scales go to
     # BENCH_FULL_sf{X}.json — a hardcoded name left the pointer stale
@@ -422,8 +576,38 @@ def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
                 break
             fail_keep //= 2
     assert len(line.encode()) <= FINAL_LINE_BUDGET, len(line)
-    print(line)
-    if failed:
+    return line
+
+
+def _emit_partial(
+    timings: dict[str, float], sf_dir: str, mode: str, n_total: int
+) -> None:
+    """Stream a compact, parseable progress line after every query.
+
+    If the whole bench is killed by an outer timeout (BENCH_r12: rc=124,
+    empty tail), the driver's last-line parse now lands on the most recent
+    of these instead of nothing: totals and per-query seconds for every
+    COMPLETED query, marked "partial" with n_done/n_total so a truncated
+    run can never be mistaken for a fast one. The sidecar is refreshed
+    atomically on the same cadence.
+    """
+    full = _full_record(timings, sf_dir, mode)
+    full["partial"] = True
+    full["n_done"] = len(timings)
+    full["n_total"] = n_total
+    full_path = _sidecar_path(sf_dir)
+    _write_sidecar(full, full_path)
+    print(_compact_line(full, full_path), flush=True)
+
+
+def _emit(timings: dict[str, float], sf_dir: str, mode: str) -> None:
+    full = _full_record(timings, sf_dir, mode)
+    full_path = _sidecar_path(sf_dir)
+    # Full record: first stdout line + durable sidecar file.
+    _write_sidecar(full, full_path)
+    print(json.dumps(full), flush=True)
+    print(_compact_line(full, full_path), flush=True)
+    if full["failed"]:
         sys.exit(3)
 
 
@@ -431,6 +615,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--only", metavar="QUERY", help="run one query in isolation")
     ap.add_argument("--runs", type=int, default=3, help="timed runs for --only / isolated mode")
+    ap.add_argument("--preboot", action="store_true",
+                    help="with --only: boot the session, print READY, and "
+                         "wait for a stdin line before running (suite use)")
     ap.add_argument("--inprocess", action="store_true", help="legacy shared-JVM suite")
     ap.add_argument("--shuffle", type=int, metavar="SEED", default=None,
                     help="shared-JVM suite, timed pass in shuffled order")
@@ -438,7 +625,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if args.only:
-        run_only(args.only, sf_dir, args.runs)
+        run_only(args.only, sf_dir, args.runs, preboot=args.preboot)
     elif args.inprocess or args.shuffle is not None:
         run_suite_inprocess(sf_dir, args.shuffle)
     else:

@@ -151,3 +151,84 @@ def test_non_sf01_emit_never_clobbers_official_sidecar(tmp_path, monkeypatch):
     assert json.loads(official.read_text()) == {"sentinel": True}
     side = tmp_path / "BENCH_FULL_sf1.0.json"
     assert json.loads(side.read_text())["sf"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# r13: pipelined isolated-suite protocol (BENCH_r12 rc=124 postmortem).
+# Scripted stub children — no JVM — pin the control flow: overlap of the
+# next boot with the current query, -1.0 on boot-timeout/crash, partial
+# summary line after EVERY query, and every child killed.
+
+
+class _StubChild:
+    """Scripted stand-in for bench._Child. Behaviors by query name:
+    'ok' -> READY then a result line; 'boot_hang' -> no lines at all;
+    'run_crash' -> READY but no result."""
+
+    events: list = []  # shared log: ("boot"|"go"|"kill", name)
+    behaviors: dict = {}
+
+    def __init__(self, name, sf_dir, runs):
+        self.name = name
+        b = self.behaviors.get(name, "ok")
+        if b == "ok":
+            self._script = [
+                "READY",
+                json.dumps(
+                    {"metric": "single_query_sec", "query": name, "value": 2.5}
+                ),
+            ]
+        elif b == "run_crash":
+            self._script = ["READY"]
+        else:  # boot_hang
+            self._script = []
+        self.err_tail = []
+        self.proc = type("P", (), {"poll": staticmethod(lambda: None)})()
+        _StubChild.events.append(("boot", name))
+
+    def wait_line(self, pred, timeout):
+        while self._script:
+            line = self._script.pop(0)
+            if pred(line):
+                return line
+        return None  # timeout / EOF
+
+    def go(self):
+        _StubChild.events.append(("go", self.name))
+        return True
+
+    def kill(self):
+        _StubChild.events.append(("kill", self.name))
+
+
+def test_isolated_suite_pipeline_protocol(monkeypatch):
+    names = ["q_a", "q_b_hang", "q_c_crash", "q_d"]
+    _StubChild.events = []
+    _StubChild.behaviors = {"q_b_hang": "boot_hang", "q_c_crash": "run_crash"}
+    monkeypatch.setattr(bench, "HEADLINE", names)
+    monkeypatch.setattr(bench, "_Child", _StubChild)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(io.StringIO()):
+        with pytest.raises(SystemExit) as exc:  # failed queries -> exit 3
+            bench.run_suite_isolated("/root/testdata/sf0.1", runs=3)
+    assert exc.value.code == 3
+    stdout = buf.getvalue()
+    lines = [l for l in stdout.splitlines() if l.strip()]
+    # final full record: ok queries timed, hang and crash recorded as -1.0
+    final_full = json.loads(lines[-2])
+    assert final_full["queries"] == {
+        "q_a": 2.5, "q_b_hang": -1.0, "q_c_crash": -1.0, "q_d": 2.5
+    }
+    assert final_full["failed"] == ["q_b_hang", "q_c_crash"]
+    # a parseable PARTIAL line streamed after every query
+    partials = [
+        json.loads(l) for l in lines if '"partial": true' in l
+    ]
+    assert [p["n_done"] for p in partials] == [1, 2, 3, 4]
+    assert all(p["n_total"] == 4 for p in partials)
+    # pipeline overlap: the NEXT child boots before the CURRENT child's GO
+    ev = _StubChild.events
+    assert ev.index(("boot", "q_b_hang")) < ev.index(("go", "q_a"))
+    # every child is killed exactly once (no leaked JVMs)
+    kills = [e for e in ev if e[0] == "kill"]
+    assert sorted(k[1] for k in kills) == sorted(names)

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Dump ``explain("formatted")`` for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump ``explain("formatted")`` for named queries to plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/dump_plan.py <tag> <query> [<query> ...]
 Tag is typically "before" or "after". SPARK_GRAFT_SF_DIR picks the data
 (default sf0.1 — the bench scale, so plan shapes match the measured runs).
+PLANS_ROUND picks the output subdir (default r13).
 """
 
 from __future__ import annotations
@@ -20,7 +21,9 @@ from pharmacodi_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r13"),
 )
 
 
