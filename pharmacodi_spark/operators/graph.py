@@ -91,30 +91,45 @@ def pagerank_int(
         e.join(outdeg, "src"),
         mode=barrier, name="pagerank-edges", barrier_dir=barrier_dir,
     )
+    # the sink NODE SET is static across iterations — pin it once (r13).
+    # Unpinned, every iteration re-planned a src-distinct + anti-join of
+    # the full e_deg pin just to restate the same set; the pinned frame
+    # is node-scale metadata and the per-iteration dangling mass becomes
+    # one semi-join + 1-row aggregate.
+    sinks = None
+    if dangling == "redistribute":
+        sinks = stage_barrier(
+            nodes.join(
+                e_deg.select(F.col("src").alias("v")).distinct(),
+                "v",
+                "left_anti",
+            ),
+            mode=barrier, name="pagerank-sinks", barrier_dir=barrier_dir,
+        )
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("long"))
     converged = False
     iters_run = iterations
     for i in range(iterations):
         prev = ranks
         rank_src = ranks.select(F.col("v").alias("src"), "r")
-        contrib = e_deg.join(rank_src, "src").select(
+        # shuffle_hash on the node-scale side (guide §3.1): the pinned
+        # frames carry no usable stats, so the planner defaulted these
+        # per-iteration joins to sort-merge — paying a sort of BOTH sides
+        # every iteration. A hash build of the node-scale side needs no
+        # sort and is scale-safe where a broadcast of an evolving
+        # corpus-scale rank frame is not (r12 entry 19 measured the
+        # per-iteration-broadcast variant losing).
+        contrib = e_deg.join(rank_src.hint("shuffle_hash"), "src").select(
             F.col("dst").alias("v"), F.expr("r div outdeg").alias("c")
         )
         summed = contrib.groupBy("v").agg(F.sum("c").alias("s"))
         if dangling == "redistribute":
-            # sink set from the PIN (e_deg), not from outdeg's raw-edge
-            # subplan — otherwise the edge derivation re-expands here
-            # every iteration
             dang = (
-                ranks.join(
-                    e_deg.select("src").distinct(),
-                    ranks["v"] == F.col("src"),
-                    "left_anti",
-                )
+                ranks.join(sinks.hint("shuffle_hash"), "v", "left_semi")
                 .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("D"))
             )
             ranks = (
-                nodes.join(summed, "v", "left")
+                nodes.join(summed.hint("shuffle_hash"), "v", "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "v",
@@ -130,7 +145,7 @@ def pagerank_int(
                 )
             )
         else:
-            ranks = nodes.join(summed, "v", "left").select(
+            ranks = nodes.join(summed.hint("shuffle_hash"), "v", "left").select(
                 "v",
                 (
                     F.lit(base)

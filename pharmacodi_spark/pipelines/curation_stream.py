@@ -389,10 +389,15 @@ def incremental_curation_batch(
     eval_grams = _gram_hashes(eval_docs, content_col, id_col).select("gh").distinct()
     entrants = _gates_1_to_3(docs, lm, eval_grams, content_col, id_col)
     q3 = docs.join(entrants, id_col).localCheckpoint()
+    # keep4 is metadata-scale (ids) but its subplan carries the passage
+    # chunk-hash pass; q4 is consumed twice (keeper build + final join),
+    # so unpinned this evaluated the passage stats TWICE (r13 profile:
+    # two twin 3.7s-cpu chunk-md5 stages). Pin the id set once.
     keep4 = (
         passage_first_owner_stats(q3, _WINDOW, content_col, id_col)
         .where("keep")
         .select(id_col)
+        .localCheckpoint()
     )
     q4 = q3.join(keep4, id_col)
     keeper = (

@@ -2817,16 +2817,21 @@ def _pagerank_dangling_sql(iters: int = 6) -> str:
     algebra as _pagerank_sql plus the per-step dangling share
     D div N inside the damped term. Graph: src = custkey mod 50 →
     dst = orderkey mod 55, so nodes 50-54 are guaranteed pure sinks
-    (never a src) and the dangling term carries real mass."""
+    (never a src) and the dangling term carries real mass.
+
+    CTEs are ``AS MATERIALIZED`` (r13): each ``r{{i}}`` references
+    ``r{{i-1}}`` twice (join + dangling subquery), so DuckDB's default
+    inlining re-evaluated the chain 2^iters times (same defect as the
+    host-rank oracle; rows identical either way)."""
     n_nodes = "(SELECT count(*) FROM nodes)"
     base = "(SELECT (15000000000 // (100 * count(*))) FROM nodes)"
     parts = [
-        "edges AS (SELECT DISTINCT o_custkey % 50 AS src, "
+        "edges AS MATERIALIZED (SELECT DISTINCT o_custkey % 50 AS src, "
         "o_orderkey % 55 AS dst FROM orders)",
-        "nodes AS (SELECT DISTINCT v FROM "
+        "nodes AS MATERIALIZED (SELECT DISTINCT v FROM "
         "(SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))",
-        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
-        "r0 AS (SELECT v, (SELECT 1000000000 // count(*) FROM nodes) AS r "
+        "outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT v, (SELECT 1000000000 // count(*) FROM nodes) AS r "
         "FROM nodes)",
     ]
     for i in range(1, iters + 1):
@@ -2835,7 +2840,7 @@ def _pagerank_dangling_sql(iters: int = 6) -> str:
             f"WHERE r2.v NOT IN (SELECT src FROM outdeg))"
         )
         parts.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
       SELECT n.v,
              CAST({base}
                   + (85 * (coalesce(s.s, 0) + {dang} // {n_nodes})) // 100

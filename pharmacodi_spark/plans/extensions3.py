@@ -3127,16 +3127,23 @@ def hashed_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _host_rank_parts(iters: int = 6) -> list[str]:
     """The CTE list behind :func:`_host_rank_sql` — also reused as the
-    rank-prior sub-derivation of the authority_gate oracle."""
+    rank-prior sub-derivation of the authority_gate oracle.
+
+    Every CTE is ``AS MATERIALIZED`` (r13): each ``r{{i}}`` references
+    ``r{{i-1}}`` TWICE (contribution join + dangling-mass subquery), so
+    DuckDB's default CTE inlining re-evaluated the chain 2^iters times —
+    the authority_gate oracle alone took 280 s at sf0.01 (measured; the
+    r12 entry-22 "vanilla-session planning sensitivity" was in fact
+    mostly THIS, oracle-side). Materialized: 0.04 s, rows identical."""
     n_nodes = "(SELECT count(*) FROM nodes)"
     base = "(SELECT (15000000000 // (100 * count(*))) FROM nodes)"
     parts = [
-        """sn AS (
+        """sn AS MATERIALIZED (
       SELECT DISTINCT lower(source) AS sh,
              CAST(substr(source, 4) AS INT) AS n
       FROM documents
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT sh || '.example.com' AS src,
              'src' || CAST(n % 5 AS VARCHAR) || '.example.com' AS dst
       FROM sn
@@ -3148,10 +3155,10 @@ def _host_rank_parts(iters: int = 6) -> list[str]:
       SELECT sh || '.example.com', 'hub.example.com'
       FROM sn WHERE n % 3 = 0
     )""",
-        "nodes AS (SELECT DISTINCT v FROM "
+        "nodes AS MATERIALIZED (SELECT DISTINCT v FROM "
         "(SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))",
-        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
-        "r0 AS (SELECT v, (SELECT 1000000000 // count(*) FROM nodes) AS r "
+        "outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT v, (SELECT 1000000000 // count(*) FROM nodes) AS r "
         "FROM nodes)",
     ]
     for i in range(1, iters + 1):
@@ -3160,7 +3167,7 @@ def _host_rank_parts(iters: int = 6) -> list[str]:
             f"WHERE r2.v NOT IN (SELECT src FROM outdeg))"
         )
         parts.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
       SELECT n.v,
              CAST({base}
                   + (85 * (coalesce(s.s, 0) + {dang} // {n_nodes})) // 100
