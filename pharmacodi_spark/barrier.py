@@ -51,15 +51,27 @@ def stage_barrier(
     mode: str = "local",
     name: str = "stage",
     barrier_dir: str | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Materialize ``df`` as a stage barrier and return the pinned frame.
 
     See the module docstring for mode semantics. ``name`` labels the
     scratch file for operability (which stage wrote it); a uuid suffix
     keeps concurrent jobs and retries from colliding.
-    """
+
+    ``eager=False`` (local mode only; r13) defers materialization to the
+    frame's FIRST action — lineage is truncated and blocks are stored
+    exactly as in the eager form, but the standalone checkpoint job
+    disappears into the first consumer's job. Use it ONLY where the first
+    consumption is a synchronous driver-side action (e.g. the CC loop's
+    pin-then-count) or where a concurrent double-compute of the subplan
+    would be cheap and deterministic: two jobs racing to materialize a
+    lazy checkpoint may each compute a partition before one block wins,
+    so a frame whose physical evaluation must happen exactly once
+    (repartitionByRange id derivations) or whose subplan is expensive
+    must stay eager."""
     if mode == "local":
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     if mode == "durable":
         spark = df.sparkSession
         root = barrier_dir or spark.conf.get(BARRIER_DIR_CONF, None)

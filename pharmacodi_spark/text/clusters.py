@@ -117,11 +117,16 @@ def connected_components(
     )
     sym = mirrored if edges_canonical else _b(mirrored.distinct(), "cc-edges")
 
-    labels = _b(
+    # lazy pin (r13): the label table is consumed exactly once, by the
+    # end-of-loop fold job — an eager pin here paid a standalone job per
+    # CC call for blocks the fold could materialize itself. Lineage is
+    # truncated either way.
+    labels = stage_barrier(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node")),
-        "cc-labels0",
+        mode=barrier, name="cc-labels0", barrier_dir=barrier_dir,
+        eager=False,
     )
     maps: list[tuple[DataFrame, int]] = []
     e = sym
@@ -180,7 +185,15 @@ def connected_components(
                         F.coalesce("__n", "new").alias("new"),
                     )
                 )
-            upd = _b(upd, "cc-map")
+            # lazy pin (r13): materialized by whichever relabel-leg
+            # broadcast build runs first; a concurrent double-compute of
+            # this metadata-scale deterministic map is cheaper than the
+            # standalone checkpoint job the eager pin paid every
+            # composing round
+            upd = stage_barrier(
+                upd, mode=barrier, name="cc-map", barrier_dir=barrier_dir,
+                eager=False,
+            )
         maps.append((upd, n_e))
         # contract: rewrite edges onto the new super-labels, drop
         # self-loops and duplicates (symmetry is preserved by the
@@ -192,19 +205,41 @@ def connected_components(
         # row-count bound comes from the n_e already counted above;
         # past the threshold (round 0 at corpus scale) the shuffle_hash
         # path is unchanged.
-        eu = upd.select(F.col("old").alias("u"), F.col("new").alias("nu"))
-        ev = upd.select(F.col("old").alias("v"), F.col("new").alias("nv"))
         if small:
-            eu, ev = F.broadcast(eu), F.broadcast(ev)
+            # ONE broadcast, both relabel legs (r13): aliasing the same
+            # hinted frame keeps the BroadcastExchange child canonically
+            # identical, so the second leg plans as ReusedExchange — the
+            # old per-leg selects (old→u vs old→v) built the same 16-byte
+            # map twice per round
+            m = F.broadcast(upd)
+            rel = (
+                e.alias("__ce")
+                .join(m.alias("__cma"), F.col("__ce.u") == F.col("__cma.old"))
+                .join(m.alias("__cmb"), F.col("__ce.v") == F.col("__cmb.old"))
+                .select(
+                    F.col("__cma.new").alias("u"),
+                    F.col("__cmb.new").alias("v"),
+                )
+            )
         else:
-            eu, ev = eu.hint("shuffle_hash"), ev.hint("shuffle_hash")
-        e = _b(
-            e.join(eu, "u")
-            .join(ev, "v")
-            .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct(),
-            "cc-contract",
+            eu = upd.select(
+                F.col("old").alias("u"), F.col("new").alias("nu")
+            ).hint("shuffle_hash")
+            ev = upd.select(
+                F.col("old").alias("v"), F.col("new").alias("nv")
+            ).hint("shuffle_hash")
+            rel = (
+                e.join(eu, "u")
+                .join(ev, "v")
+                .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+            )
+        # lazy pin (r13): the NEXT round's convergence count is the first
+        # consumer and materializes the blocks in its own job — the eager
+        # form paid a checkpoint job AND a count job per round
+        e = stage_barrier(
+            rel.where(F.col("u") != F.col("v")).distinct(),
+            mode=barrier, name="cc-contract", barrier_dir=barrier_dir,
+            eager=False,
         )
     if not done:
         raise RuntimeError(
