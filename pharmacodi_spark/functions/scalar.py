@@ -110,3 +110,50 @@ def double_matrix_lit(rows) -> Column:
     rows = [[float(x) for x in r] for r in rows]
     assert rows and all(rows), "double_matrix_lit: empty matrix/row"
     return json_array_lit(rows, "array<array<double>>")
+
+
+def _sql_lit(v, typ: str | None = None) -> str:
+    """Render one Python literal as a Spark SQL literal (local_df)."""
+    if v is None:
+        return f"CAST(NULL AS {typ})" if typ else "NULL"
+    if typ is not None:
+        return f"CAST({_sql_lit(v)} AS {typ})"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"{v}L"  # BIGINT, matching createDataFrame's LongType
+    if isinstance(v, float):
+        # repr round-trips doubles exactly; parse via string cast so the
+        # SQL literal never lands in DECIMAL
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    if isinstance(v, (list, tuple)):
+        return "ARRAY(" + ", ".join(_sql_lit(x) for x in v) + ")"
+    raise TypeError(f"local_df: unsupported literal {type(v).__name__}")
+
+
+def local_df(spark, rows, cols, types: list[str | None] | None = None):
+    """Tiny driver-side literal frame as a VALUES LocalRelation.
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes the rows
+    through a PYTHON-serialized RDD: at execution every scan task blocks
+    ~100-150 ms on a Python worker round trip with near-zero CPU (r13
+    profile of crawl_permission_funnel: 3 such scans = 96 tasks of pure
+    wait), and the RDD relation carries no stats, so joins against it
+    can't auto-broadcast. A ``VALUES`` relation is a LocalRelation:
+    zero tasks, exact row-count stats, constant-foldable.
+
+    ``types``: optional per-column Spark DDL types; every value of a
+    typed column is wrapped in an explicit CAST. Untyped columns infer
+    from the Python value (int -> BIGINT, matching createDataFrame).
+    """
+    assert rows, "local_df needs at least one row"
+    types = types or [None] * len(cols)
+    body = ",\n".join(
+        "(" + ", ".join(_sql_lit(v, t) for v, t in zip(r, types)) + ")"
+        for r in rows
+    )
+    collist = ", ".join(f"`{c}`" for c in cols)
+    return spark.sql(f"SELECT * FROM VALUES\n{body}\nAS __t({collist})")

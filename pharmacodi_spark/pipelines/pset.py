@@ -26,7 +26,9 @@ from pharmacodi_spark.schema import col_q, harmonize
 
 def build_dataset_df(spark, pset_name: str) -> DataFrame:
     """1-row dataset dim (build_primary_pset_tables.py:30-37)."""
-    return spark.createDataFrame([(pset_name,)], ["name"])
+    from pharmacodi_spark.functions.scalar import local_df
+
+    return local_df(spark, [(pset_name,)], ["name"])
 
 
 def build_tissue_df(cell: DataFrame) -> DataFrame:

@@ -11,6 +11,8 @@ integer hashes, integer-quantized vector math, exact integer-ratio doubles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from pharmacodi_spark.functions.scalar import local_df
 from pyspark.sql import functions as F
 
 from pharmacodi_spark.plans.queries import q, _t, _rnd, fan_out
@@ -508,7 +510,7 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     into O(|events| + Σ covered buckets) — the standard trick for interval
     joins at scale (and what AQE cannot derive on its own)."""
     ev = _t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    tiers = local_df(spark, _TIERS, ["tier", "lo", "hi"])
     bucketed_tiers = tiers.select(
         "tier",
         "lo",
@@ -2511,9 +2513,11 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_c = clickers.count()
     n_v = converted.count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_c, n_v, float(n_v) / n_c)],
-        "n_clickers long, n_converted long, conversion_rate double",
+        ["n_clickers", "n_converted", "conversion_rate"],
+        types=["long", "long", "double"],
     )
 
 

@@ -11,6 +11,8 @@ integer-ratio arithmetic, floor rounding.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from pharmacodi_spark.functions.scalar import local_df
 from pyspark.sql import functions as F
 
 from pharmacodi_spark.plans.queries import q, _rnd, _t
@@ -2667,8 +2669,8 @@ def url_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     with_url = d.select("doc_id", "source", F.expr(_URL_EXPR).alias("url"))
-    blocked = spark.createDataFrame(
-        [("src3.example.com",), ("src7.example.com",)], ["domain"]
+    blocked = local_df(
+        spark, [("src3.example.com",), ("src7.example.com",)], ["domain"]
     )
     return domain_gate(with_url, blocked)
 
@@ -2858,7 +2860,8 @@ def registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     with_url = d.select("doc_id", "source", F.expr(_URL_PSL_EXPR).alias("url"))
-    psl = spark.createDataFrame(
+    psl = local_df(
+        spark,
         [
             ("// ICANN DOMAINS",),
             ("com",),
@@ -3328,8 +3331,8 @@ def domain_quality_rollup_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("source") == "src7") & (F.col("doc_id") % 2 == 0))
         ).alias("failed"),
     )
-    psl = spark.createDataFrame(
-        [("// PSL excerpt",), ("uk",), ("co.uk",)], ["suffix"]
+    psl = local_df(
+        spark, [("// PSL excerpt",), ("uk",), ("co.uk",)], ["suffix"]
     )
     return domain_quality_gate(
         with_url, "failed", min_docs=3, max_fail_ppm=400_000, psl=psl
@@ -3484,8 +3487,8 @@ def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for host, body in sorted(_ROBOTS_BODIES.items())
         for r in parse_robots_lines(host, body)
     ]
-    rules = spark.createDataFrame(
-        rule_rows, ["host", "agent", "allow", "prefix"]
+    rules = local_df(
+        spark, rule_rows, ["host", "agent", "allow", "prefix"]
     )
     return robots_gate(with_url, rules, agent="trainbot")
 
@@ -3796,14 +3799,14 @@ def crawl_permission_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for host, body in sorted(_ROBOTS_BODIES.items())
         for r in parse_robots_lines(host, body)
     ]
-    rules = spark.createDataFrame(
-        rule_rows, ["host", "agent", "allow", "prefix"]
+    rules = local_df(
+        spark, rule_rows, ["host", "agent", "allow", "prefix"]
     )
     rb = robots_gate(with_url, rules, agent="trainbot").select(
         "doc_id", "allowed"
     )
-    blocked = spark.createDataFrame(
-        [("src4.example.com",), ("src6.example.com",)], ["domain"]
+    blocked = local_df(
+        spark, [("src4.example.com",), ("src6.example.com",)], ["domain"]
     )
     dg = domain_gate(with_url, blocked).select("doc_id", "keep")
     # the verdict join-up carries (id, bool) tuples on a unique unskewed

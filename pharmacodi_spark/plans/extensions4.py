@@ -15,6 +15,8 @@ verbatim between the Spark literal and the SQL literal.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pharmacodi_spark.functions.scalar import local_df
 from pyspark.sql import functions as F
 
 from pharmacodi_spark.plans.queries import q, _rnd, _t
@@ -805,10 +807,11 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq = _trunc_div(dd, _ABTT_SCALE)
     denom = _trunc_div(no2, _ABTT_SCALE) * _trunc_div(nn2, _ABTT_SCALE)
     cos2 = (-1 if dd < 0 else 1) * ((dq * dq * 1000000) // denom)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_old, n_new, mean_shift2, dq, cos2)],
-        "n_old long, n_new long, mean_shift2 long, comp_dot_q long, "
-        "cos2_ppm_signed long",
+        ["n_old", "n_new", "mean_shift2", "comp_dot_q", "cos2_ppm_signed"],
+        types=["long"] * 5,
     )
 
 
@@ -1176,8 +1179,9 @@ def unicode_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "), sent
         ).alias("text"),
     ).withColumn("toks", unicode_tokens("text"))
-    ev = spark.createDataFrame(
-        [(0, _MIXED_SENTENCES[0])], "doc_id long, text string"
+    ev = local_df(
+        spark, [(0, _MIXED_SENTENCES[0])], ["doc_id", "text"],
+        types=["long", "string"],
     ).withColumn("toks", unicode_tokens("text"))
     flags = decontaminate_against(train, ev, n=13, tokens_col="toks")
     return flags.groupBy(

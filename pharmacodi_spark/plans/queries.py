@@ -30,6 +30,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from pharmacodi_spark.functions.scalar import local_df
 from pyspark.sql import functions as F
 
 # name -> (spark_fn, oracle_sql | None)
@@ -544,8 +546,10 @@ def update_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pharmacodi_spark.operators.joins import update_join
 
     n = _t(spark, sf_dir, "nation")
-    patch = spark.createDataFrame(
-        [("ALGERIA", "DZ"), ("ARGENTINA", "AR"), ("BRAZIL", "BR")], ["n_name", "iso"]
+    patch = local_df(
+        spark,
+        [("ALGERIA", "DZ"), ("ARGENTINA", "AR"), ("BRAZIL", "BR")],
+        ["n_name", "iso"],
     )
     out = update_join(
         n.withColumn("display_name", F.col("n_name")),

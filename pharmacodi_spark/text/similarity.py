@@ -224,9 +224,13 @@ def ivf_assign_table(
     else:
         if not centroids:
             raise ValueError("ivf_assign_table: centroid list is empty")
-        cdf = spark.createDataFrame(
+        from pharmacodi_spark.functions.scalar import local_df
+
+        cdf = local_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "__i int, __c array<double>",
+            ["__i", "__c"],
+            types=["int", "array<double>"],
         )
     one = cdf.agg(
         F.collect_list(F.struct("__i", "__c")).alias("__cents")
@@ -1409,9 +1413,13 @@ def kmeans_lloyd_int(
         # ivf_assign_table exists to avoid — ship the centroids as a
         # broadcast k-row frame and join on the assignment instead
         # (ivf_assign already dispatched to the table path above this k)
-        cdf = df.sparkSession.createDataFrame(
+        from pharmacodi_spark.functions.scalar import local_df
+
+        cdf = local_df(
+            df.sparkSession,
             [(i, [int(x) for x in c]) for i, c in enumerate(cents)],
-            f"{out_col} int, __cqe array<long>",
+            [out_col, "__cqe"],
+            types=["int", "array<long>"],
         )
         assigned = assigned.join(F.broadcast(cdf), out_col)
         chosen = F.col("__cqe")
